@@ -8,6 +8,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> operators.Relational.pricingSummary,
+    "q2_analysis_join" -> operators.Relational.analysisJoin,
+    "q3_pivot_wide" -> operators.Relational.pivotWide,
+    "q4_unpivot_long" -> operators.Relational.unpivotLong,
+    "q5_split_explode" -> operators.Relational.splitExplode,
+    "q6_text_clean" -> operators.Relational.textClean,
+    "q7_group_index" -> operators.Relational.groupIndex,
+    "q8_zscore" -> operators.Relational.zscore,
+    "q9_ratio_analytics" -> operators.Relational.ratioAnalytics,
+    "q10_coalesce_fill" -> operators.Relational.coalesceFill,
+    "q11_dup_check" -> operators.Relational.dupCheck,
+    "q12_validity_filter" -> operators.Relational.validityFilter,
+    "q13_topk_group" -> operators.Relational.topkGroup,
+    "q14_star_join" -> operators.Relational.starJoin,
+    "q15_anti_semi" -> operators.Relational.antiSemi,
+    "q16_percentiles" -> operators.Relational.percentiles,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +36,113 @@ object SparkEntry {
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_analysis_join" ->
+      """SELECT n.n_nationkey, n.n_name,
+        |  string_agg(DISTINCT c.c_mktsegment, ', ' ORDER BY c.c_mktsegment) AS segments,
+        |  round(avg(c.c_acctbal), 4) AS avg_acctbal,
+        |  round(sum(co.total_spent), 4) AS total_spent,
+        |  CAST(sum(co.n_orders) AS BIGINT) AS n_orders
+        |FROM nation n
+        |LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+        |INNER JOIN (
+        |  SELECT o_custkey, sum(o_totalprice) AS total_spent, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey
+        |) co ON c.c_custkey = co.o_custkey
+        |GROUP BY n.n_nationkey, n.n_name""".stripMargin,
+    "q3_pivot_wide" ->
+      """SELECT o_custkey,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS total_p
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q4_unpivot_long" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+    "q5_split_explode" ->
+      """SELECT doc_id,
+        |  generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |FROM documents""".stripMargin,
+    "q6_text_clean" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey,
+        |    'n. ' || lower(p_name) AS dirty_name,
+        |    format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) AS dirty_price
+        |  FROM part
+        |)
+        |SELECT p_partkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    array_to_string(list_transform(string_split(lower(dirty_name), ' '),
+        |      w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' '),
+        |    'N\.', 'North', 'g'), 'S\.', 'South', 'g'),
+        |    'E\.', 'East', 'g'), 'W\.', 'West', 'g') AS clean_name,
+        |  CAST(replace(dirty_price, ',', '') AS BIGINT) AS clean_price
+        |FROM dirty""".stripMargin,
+    "q7_group_index" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS idx,
+        |  rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+        |FROM customer""".stripMargin,
+    "q8_zscore" ->
+      """SELECT c_custkey, c_acctbal,
+        |  round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 4) AS acctbal_std
+        |FROM customer""".stripMargin,
+    "q9_ratio_analytics" ->
+      """SELECT o_custkey,
+        |  count(*) AS n_total,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  round(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0 / count(*), 1) AS prop_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END) * 100.0
+        |        / sum(o_totalprice), 1) AS prop_spend_f
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q10_coalesce_fill" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), n_name) AS segment_filled
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q11_dup_check" ->
+      """SELECT o_custkey, count(*) AS n_rows
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 1""".stripMargin,
+    "q12_validity_filter" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+        |FROM events
+        |WHERE value IS NOT NULL AND value >= 0.0 AND value <= 400.0
+        |  AND event_type IN ('click', 'view', 'purchase', 'signup', 'error')""".stripMargin,
+    "q13_topk_group" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer
+        |) WHERE rk <= 3""".stripMargin,
+    "q14_star_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q15_anti_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT c_mktsegment,
+        |  round(min(c_acctbal), 4) AS bal_min,
+        |  round(quantile_cont(c_acctbal, 0.25), 4) AS bal_q1,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS bal_median,
+        |  round(quantile_cont(c_acctbal, 0.75), 4) AS bal_q3,
+        |  round(max(c_acctbal), 4) AS bal_max,
+        |  round(avg(c_acctbal), 4) AS bal_mean
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
   )
 }

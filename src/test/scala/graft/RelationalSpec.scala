@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level invariants at sf0.001 (fast). Full value-level
+  * equivalence vs DuckDB runs through graft.Verify + tools/verify_local.py.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+  import operators.Relational._
+
+  test("q1 pricing summary: one row per (returnflag, linestatus), counts sum to table") {
+    val df = pricingSummary(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.select(sum("count_order")).head.getLong(0) ==
+      Tables.lineitem(spark, dir).count())
+  }
+
+  test("q2 analysis join: one row per nation with customers, ordered segment list") {
+    val df = analysisJoin(spark, dir).cache()
+    assert(df.count() > 0 && df.count() <= 25)
+    val segs = df.select("segments").head.getString(0).split(", ")
+    assert(segs.sameElements(segs.sorted))
+  }
+
+  test("q3 pivot: one row per customer with orders, status totals") {
+    val df = pivotWide(spark, dir)
+    assert(df.columns.toSet == Set("o_custkey", "total_f", "total_o", "total_p"))
+    assert(df.count() == Tables.orders(spark, dir).select("o_custkey").distinct.count())
+  }
+
+  test("q4 unpivot: 3x row multiplication") {
+    assert(unpivotLong(spark, dir).count() == 3 * Tables.lineitem(spark, dir).count())
+  }
+
+  test("q5 split explode: positions are 1-based and dense") {
+    val df = splitExplode(spark, dir)
+    assert(df.filter(col("pos") < 1).count() == 0)
+    assert(df.count() > Tables.documents(spark, dir).count())
+  }
+
+  test("q6 text clean: directionals expanded, commas stripped") {
+    val df = textClean(spark, dir).cache()
+    assert(df.filter(col("clean_name").startsWith("North ")).count() == df.count())
+    assert(df.filter(col("clean_price").isNull).count() == 0)
+  }
+
+  test("q7 group index: idx is a permutation within each group") {
+    val df = groupIndex(spark, dir)
+    val bad = df.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), max(col("idx")).as("mx"), min(col("idx")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+  }
+
+  test("q8 zscore: mean ~0, unit spread") {
+    val row = zscore(spark, dir).agg(avg("acctbal_std"), stddev_samp("acctbal_std")).head
+    // outputs are round(_, 4)-ed, so tolerances reflect rounding noise
+    assert(math.abs(row.getDouble(0)) < 1e-4)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-3)
+  }
+
+  test("q9 ratios bounded 0..100") {
+    assert(ratioAnalytics(spark, dir)
+      .filter(col("prop_f") < 0 || col("prop_f") > 100).count() == 0)
+  }
+
+  test("q10 coalesce fill: never null") {
+    assert(coalesceFill(spark, dir).filter(col("segment_filled").isNull).count() == 0)
+  }
+
+  test("q11 dup check: all multiplicities > 1") {
+    assert(dupCheck(spark, dir).filter(col("n_rows") <= 1).count() == 0)
+  }
+
+  test("q12 validity filter: envelope holds") {
+    val df = validityFilter(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("value") < 0 || col("value") > 400).count() == 0)
+  }
+
+  test("q13 topk: at most 3 per nation, rank bounded") {
+    val df = topkGroup(spark, dir).cache()
+    assert(df.groupBy("c_nationkey").count().filter(col("count") > 3).count() == 0)
+  }
+
+  test("q14 star join: nonempty, AMERICA nations only") {
+    val df = starJoin(spark, dir).cache()
+    assert(df.count() > 0 && df.count() <= 5)
+  }
+
+  test("q15 anti join: excluded customers really have no big order") {
+    val anti = antiSemi(spark, dir)
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey").distinct
+    assert(anti.join(big, anti("c_custkey") === big("o_custkey")).count() == 0)
+  }
+
+  test("q16 percentiles: ordered five-number summary") {
+    val bad = percentiles(spark, dir).filter(
+      col("bal_min") > col("bal_q1") || col("bal_q1") > col("bal_median") ||
+      col("bal_median") > col("bal_q3") || col("bal_q3") > col("bal_max"))
+    assert(bad.count() == 0)
+  }
+}
