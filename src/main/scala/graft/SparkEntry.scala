@@ -23,6 +23,8 @@ object SparkEntry {
     "q14_star_join" -> operators.Relational.starJoin,
     "q15_anti_semi" -> operators.Relational.antiSemi,
     "q16_percentiles" -> operators.Relational.percentiles,
+    "q17_event_window" -> operators.Events.eventWindow,
+    "q18_sessionize" -> operators.Events.sessionize,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -144,5 +146,29 @@ object SparkEntry {
         |  round(max(c_acctbal), 4) AS bal_max,
         |  round(avg(c_acctbal), 4) AS bal_mean
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q17_event_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q18_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged
+        |), numbered AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM numbered GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-table analytics (SURVEY.md §2 #17–18) — the batch twins of the
+  * streaming operators in [[graft.streaming.EventStream]]. The reference
+  * runs its pipelines on a daily Airflow schedule
+  * (dags/district_gis_etl.py); on Spark the same logic is a windowed
+  * aggregation usable both in batch and as an incremental stream.
+  */
+object Events {
+
+  /** #17 Tumbling-window aggregation: per hour × event_type counts,
+    * value sums, and the mean of a JSON-extracted property. At scale
+    * this is a single shuffle on (hour, type) with map-side partials.
+    */
+  def eventWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(get_json_object(col("props"), "$.k").cast("int")), 4).as("avg_k"))
+
+  /** #18 Gap-based sessionization (batch): a session breaks after 30
+    * minutes of user inactivity. lag + running sum of session breaks —
+    * one shuffle on user_id; each user's timeline sorts locally within
+    * its partition.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30 * 60 * 1000L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+
+  // offset from epoch 0: the initial event-time watermark is 0, and a
+  // stateful operator drops rows at-or-before the watermark
+  def ts(minutes: Long): Timestamp = new Timestamp((24 * 60 + minutes) * 60000L)
+
+  test("windowedCounts over a memory stream matches batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(df).writeStream
+      .format("memory").queryName("wc").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(61), "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("wc")
+      assert(out.filter(col("event_type") === "click")
+        .select(sum("n_events")).head.getLong(0) == 2L)
+      assert(out.filter(col("event_type") === "view").count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize splits on gap and aggregates per session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 7: two events 5 min apart (one session), then 30 min gap →
+      // new session; the arrival of the later event closes the first.
+      input.addData(
+        Event(ts(0), 7L, "click", 1.0),
+        Event(ts(5), 7L, "click", 2.0),
+        Event(ts(35), 7L, "view", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.n_events == 2 && sessions.head.sum_value == 3.0)
+      assert(sessions.head.session_start == ts(0) && sessions.head.session_end == ts(5))
+    } finally q.stop()
+  }
+
+  test("batch sessionize on testdata: session bounds ordered, events conserved") {
+    val df = operators.Events.sessionize(spark, "/root/testdata/sf0.001").cache()
+    assert(df.filter(col("session_start") > col("session_end")).count() == 0)
+    assert(df.select(sum("n_events")).head.getLong(0) ==
+      Tables.events(spark, "/root/testdata/sf0.001").count())
+  }
+}
