@@ -25,6 +25,18 @@ object SparkEntry {
     "q16_percentiles" -> operators.Relational.percentiles,
     "q17_event_window" -> operators.Events.eventWindow,
     "q18_sessionize" -> operators.Events.sessionize,
+    "q19_dedup_exact" -> dedup.Dedup.dedupExact,
+    "q20_dedup_minhash" -> dedup.Dedup.dedupMinhash,
+    "q21_dedup_simhash" -> dedup.Dedup.dedupSimhash,
+    "q22_ngram_jaccard" -> dedup.Dedup.ngramJaccard,
+    "q23_embed_neardup" -> ann.Ann.embedNearDup,
+    "q24_ann_brute" -> ann.Ann.annBrute,
+    "q25_ann_lsh" -> ann.Ann.annLsh,
+    "q26_langid" -> textstats.TextStats.langid,
+    "q27_quality" -> textstats.TextStats.quality,
+    "q28_tokens" -> textstats.TextStats.tokenCounts,
+    "q29_fingerprint" -> textstats.TextStats.fingerprint,
+    "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMeta,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -170,5 +182,17 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM numbered GROUP BY 1, 2""".stripMargin,
+    "q19_dedup_exact" -> dedup.Dedup.dedupExactSql,
+    "q20_dedup_minhash" -> dedup.Dedup.dedupMinhashSql,
+    "q21_dedup_simhash" -> dedup.Dedup.dedupSimhashSql,
+    "q22_ngram_jaccard" -> dedup.Dedup.ngramJaccardSql,
+    "q23_embed_neardup" -> ann.Ann.embedNearDupSql,
+    "q24_ann_brute" -> ann.Ann.annBruteSql,
+    // q25_ann_lsh: rows-only (LSH recall-dependent; recall asserted in AnnSpec)
+    "q26_langid" -> textstats.TextStats.langidSql,
+    "q27_quality" -> textstats.TextStats.qualitySql,
+    "q28_tokens" -> textstats.TextStats.tokenCountsSql,
+    "q29_fingerprint" -> textstats.TextStats.fingerprintSql,
+    "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMetaSql,
   )
 }

@@ -1,0 +1,145 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Hyperplanes, VectorMath}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2 #24–25), plus the embedding near-duplicate operator
+  * (#23) that shares the sign-LSH machinery.
+  *
+  * All vector math is `zip_with`/`aggregate` over array<double> —
+  * codegen'd, no UDFs — with a strict left-fold so doubles are
+  * bitwise-identical to the DuckDB oracle ([[graft.functions.VectorMath]]).
+  */
+object Ann {
+
+  val Dim = 64
+  val TopK = 5
+  /** Every 50th vector is a query point (10 queries at sf0.01). */
+  val QueryStride = 50
+
+  private def embCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  // ---- #24 brute-force cosine top-k ----
+
+  /** Exact cosine top-k: broadcast the (small) query set against the full
+    * corpus scan, window-rank per query. The corpus side is a single
+    * pruned scan — at 100 TB the broadcast side stays tiny so this is
+    * shuffle-free until the final per-query top-k (TopK rows per query
+    * via rank). This is the recall oracle for [[annLsh]]; the scale path
+    * is LSH. */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embCast(spark, dir)
+    val queries = emb.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries)
+      .join(emb, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorMath.cosine(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  val annBruteSql: String = {
+    val cos = VectorMath.cosineSql("q.qv", "e.v", Dim)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, $cos AS cos
+       |  FROM q JOIN emb e ON e.vec_id <> q.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) AS cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $TopK""".stripMargin
+  }
+
+  // ---- #25 LSH-bucketed ANN (scale path; rows-only oracle) ----
+
+  val LshPlanes = 4
+  val LshTables = 3
+
+  /** Sign-LSH ANN: `LshTables` independent 4-plane tables; candidates =
+    * vectors sharing a bucket with the query in ANY table; exact cosine
+    * rank within candidates. Per table the shuffle key is the bucket id,
+    * so candidate generation is a hash join on a small key — O(n·tables)
+    * — never a cross join. Recall vs [[annBrute]] is asserted in
+    * AnnSpec; rows-only oracle (result depends on LSH recall, so a
+    * brute-force SQL twin would not hash-match). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embCast(spark, dir)
+    // plane index offset per table gives independent hash families
+    val withBuckets = (0 until LshTables).foldLeft(emb) { (df, t) =>
+      val bits = (0 until LshPlanes).map { j =>
+        when(VectorMath.dot(col("v"),
+          typedLit(Hyperplanes.plane(t * LshPlanes + j, Dim))) > 0.0, lit("1"))
+          .otherwise(lit("0"))
+      }
+      df.withColumn(s"b$t", concat(bits: _*))
+    }
+    val tables = (0 until LshTables).map { t =>
+      withBuckets.select(col("vec_id"), col("v"), lit(t).as("tbl"), col(s"b$t").as("bucket"))
+    }.reduce(_ unionByName _)
+    val queries = tables.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val cands = broadcast(queries)
+      .join(tables, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .withColumn("cos", VectorMath.cosine(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  // ---- #23 embedding near-duplicate pairs (shared LSH) ----
+
+  val NearDupPlanes = 4
+  val NearDupCos = 0.3
+
+  /** Embedding near-dup: vectors in the same 4-plane sign bucket with
+    * exact cosine ≥ threshold. Bucketing bounds the pair join to
+    * within-bucket candidates (O(Σ bucket²), not O(n²)); the oracle
+    * regenerates the identical planes from md5 so it reproduces the LSH
+    * decision exactly rather than approximating it. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embCast(spark, dir)
+      .withColumn("bucket", Hyperplanes.bucket(col("v"), NearDupPlanes, Dim))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", VectorMath.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  val embedNearDupSql: String = {
+    val cos = VectorMath.cosineSql("a.v", "b.v", Dim)
+    s"""WITH hp AS (${Hyperplanes.planesCteSql(NearDupPlanes, Dim).replace("\n", " ")}),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (
+       |  SELECT e.vec_id,
+       |    string_agg(CASE WHEN ${VectorMath.dotSql("e.v", "hp.h", Dim)} > 0 THEN '1' ELSE '0' END,
+       |               '' ORDER BY hp.j) AS bucket
+       |  FROM emb e CROSS JOIN hp GROUP BY e.vec_id),
+       |be AS (SELECT s.vec_id, s.bucket, e.v FROM sig s JOIN emb e ON s.vec_id = e.vec_id)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
+       |FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE $cos >= $NearDupCos""".stripMargin
+  }
+}

@@ -1,0 +1,208 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Deduplication suite for LLM-training-data pipelines (SURVEY.md §2
+  * #19–23) over the `documents` table.
+  *
+  * Scale design: no operator is ever O(n²) in the corpus. Candidate
+  * generation is always hash/LSH bucketing, so the shuffles are
+  * O(n·shingles) or O(n·bands); the only pairwise work happens inside
+  * buckets. Hashing is md5-derived ([[graft.functions.Hashing]]) so every
+  * operator has an exact DuckDB oracle — the `*Sql` builders here are the
+  * single source of truth for those oracles, generated from the same
+  * constants as the Spark plans so the two cannot drift.
+  *
+  * Reference provenance: the reference dedups via pandas
+  * `validate='1:1'` merges and `distinct` (school_outcomes_etl.py); the
+  * MinHash/SimHash/Jaccard/embedding operators are the scale
+  * generalization a 100 TB corpus needs.
+  */
+object Dedup {
+
+  // ---- shared shingling (3-word shingles) ----
+
+  /** 3-word shingle array from a text column; short docs fall back to the
+    * whole text as a single shingle. Pure Catalyst higher-order funcs. */
+  def shingles(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i => array_join(slice(ws, i, lit(3)), " ")))
+      .otherwise(array(text))
+  }
+
+  /** DuckDB twin of [[shingles]] over a `ws` = string_split(text,' ') var. */
+  def shinglesSql(ws: String, text: String): String =
+    s"""CASE WHEN len($ws) >= 3
+       |  THEN list_transform(range(1, len($ws) - 1), i -> array_to_string($ws[i:i+2], ' '))
+       |  ELSE [$text] END""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+
+  private val docShinglesSql: String =
+    s"""ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("ws", "text").replace("\n", " ")}) AS sh FROM ws)""".stripMargin
+
+  // ---- #19 exact dedup ----
+
+  /** Exact dedup: md5(text) groups; canonical survivor = min doc_id.
+    * At 100 TB this is one map-side-combined hash aggregate on a 32-hex
+    * key — the cheapest possible full-corpus dedup. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- #20 MinHash + LSH ----
+
+  val MinhashK = 16      // signature length
+  val MinhashBands = 4   // bands of K/Bands rows each
+  private val RowsPerBand = MinhashK / MinhashBands
+
+  /** MinHash signatures banded into LSH buckets → candidate near-dup
+    * pairs. Plan: explode shingles → ONE hash aggregate computing all K
+    * min-hashes as separate agg expressions (no K× row blowup) → band
+    * keys via md5 over the band's signature slice → self-join on
+    * (band, band_key). Shuffles: O(shingles) + O(n·bands); within-bucket
+    * pair expansion is bounded by bucket size, and AQE's skew join splits
+    * any hot bucket. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val mh = docShingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(min(Hashing.hash48(0, col("sh"))).as("mh0"),
+        (1 until MinhashK).map(i => min(Hashing.hash48(i, col("sh"))).as(s"mh$i")): _*)
+    val bandCols = (0 until MinhashBands).map { b =>
+      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      md5(concat_ws(",", slice: _*)).as(s"band$b")
+    }
+    val banded = mh.select(col("doc_id") +: bandCols: _*)
+    val stackExpr = (0 until MinhashBands).map(b => s"$b, band$b").mkString(", ")
+    val buckets = banded.select(col("doc_id"),
+      expr(s"stack($MinhashBands, $stackExpr) AS (band, band_key)"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val dedupMinhashSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min(${Hashing.hash48Sql(i, "sh")}) AS mh$i").mkString(",\n  ")
+    val bands = (0 until MinhashBands).map { b =>
+      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+      s"md5($slice) AS band$b"
+    }.mkString(",\n  ")
+    val unions = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, band$b AS band_key FROM banded")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $docShinglesSql,
+       |mh AS (SELECT doc_id,
+       |  $mins
+       |FROM sh GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |  $bands
+       |FROM mh),
+       |buckets AS (
+       |$unions
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM buckets a JOIN buckets b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---- #21 SimHash ----
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash fingerprint: per-bit ±1 votes over all token
+    * occurrences' 48-bit hashes, bit set where the vote is positive.
+    * One explode + one hash aggregate with 32 sum expressions — map-side
+    * combined, shuffle is O(n), no per-bit row blowup. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", Hashing.hash48(col("tok")))
+    val votes = tokens.groupBy(col("doc_id")).agg(
+      sum((shiftright(col("th"), 0).bitwiseAND(1)) * 2 - 1).as("v0"),
+      (1 until SimhashBits)
+        .map(b => sum((shiftright(col("th"), b).bitwiseAND(1)) * 2 - 1).as(s"v$b")): _*)
+    val fp = (0 until SimhashBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  val dedupSimhashSql: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"sum(((th >> $b) & 1) * 2 - 1) AS v$b").mkString(",\n  ")
+    val fp = (0 until SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Hashing.hash48Sql("tok")} AS th
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  // ---- #22 n-gram Jaccard ----
+
+  val JaccardThreshold = 0.6
+
+  /** Near-dup pairs by exact 3-gram-shingle Jaccard ≥ threshold.
+    * Candidates come from the inverted shingle index (join on shingle):
+    * only pairs sharing ≥1 shingle are ever materialized, so the work is
+    * Σ_sh df(sh)², not n². At 100 TB the production variant drops
+    * ultra-common shingles (df cut) before the join; kept exact here so
+    * the oracle is exact too. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $docShinglesSql,
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= $JaccardThreshold""".stripMargin
+}

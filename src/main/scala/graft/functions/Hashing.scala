@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives.
+  *
+  * Everything is built from `md5` because its hex output is identical in
+  * Spark and DuckDB (SURVEY.md §5), so every dedup/LSH operator has an
+  * exactly-reproducible SQL oracle. All expressions here are plain
+  * Catalyst `functions._` compositions — whole-stage codegen applies,
+  * no UDFs.
+  *
+  * hash48: first 12 hex chars of md5 → unsigned 48-bit value in a LONG.
+  * 48 bits keeps min-hash collision probability negligible while leaving
+  * headroom so sums of thousands of hashes can't overflow a signed 64-bit
+  * accumulator (used by the rolling-hash fingerprint).
+  */
+object Hashing {
+
+  /** 48-bit hash of a string column (unsigned, carried in a LONG). */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Seeded 48-bit hash — independent hash family member per seed. */
+  def hash48(seed: Int, c: Column): Column =
+    hash48(concat(lit(s"$seed:"), c))
+
+  /** DuckDB SQL fragment computing the same value as [[hash48(Column)]].
+    * Kept next to the Spark definition so the two can't drift. */
+  def hash48Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
+
+  def hash48Sql(seed: Int, expr: String): String =
+    hash48Sql(s"'$seed:' || $expr")
+
+  /** 24-bit hash → LONG, for hyperplane components (smaller range so the
+    * normalized double keeps full precision). */
+  def hash24(c: Column): Column =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long")
+
+  def hash24Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 6))::BIGINT"
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<double>` columns using only Catalyst
+  * higher-order functions (`zip_with`, `aggregate`, `transform`) — no
+  * UDFs, so everything stays inside whole-stage codegen and is portable
+  * to a SQL oracle.
+  *
+  * Summation is a strict left fold in element order on BOTH engines
+  * (Spark `aggregate` ↔ DuckDB `list_reduce`), so doubles come out
+  * bitwise-identical and oracle hash-compares are stable without
+  * tolerance windows.
+  */
+object VectorMath {
+
+  /** Left-fold sum of an array<double> column. */
+  def vsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two array<double> columns (element order fold). */
+  def dot(a: Column, b: Column): Column =
+    vsum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  // ---- DuckDB twins (same fold order via list_reduce) ----
+
+  /** DuckDB: dot product of two DOUBLE[] expressions, left fold. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  def normSql(a: String, dim: Int): String =
+    s"sqrt(${dotSql(a, a, dim)})"
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}))"
+}

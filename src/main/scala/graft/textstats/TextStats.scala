@@ -1,0 +1,169 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2
+  * #26–29) over the `documents` table. All single-pass, projection-only
+  * or one-aggregation plans — at 100 TB each is a pruned scan plus at
+  * most one map-side-combined hash aggregate.
+  */
+object TextStats {
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic.
+    * Deterministic, tiny, embedded as literals (broadcast-free). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "von", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "les"))
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def stopCount(lang: String): Column = {
+    val set = Stopwords.toMap.apply(lang)
+    size(filter(tokens, t => t.isin(set.map(lit(_)): _*)))
+  }
+
+  private def stopCountSql(lang: String): String = {
+    val set = Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> list_contains([$set], t)))"
+  }
+
+  // ---- #26 language ID ----
+
+  /** Heuristic language ID: stopword-occurrence score per language,
+    * argmax with a fixed priority order (de > en > es > fr on ties —
+    * alphabetical, matching the CASE chain in the oracle). Purely
+    * per-row projection: no shuffle at any scale. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Stopwords.map(_._1)
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => stopCount(l).as(s"s_$l")): _*)
+    // argmax via CASE chain in declared (alphabetical) order
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), elseCol) =>
+        val rest = langs.drop(i + 1)
+        val isMax = rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
+        when(isMax, lit(l)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      .select(Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
+        Seq(col("pred_lang"), col("is_match")): _*)
+  }
+
+  val langidSql: String = {
+    val langs = Stopwords.map(_._1)
+    val scores = langs.map(l => s"${stopCountSql(l)} AS s_$l").mkString(",\n  ")
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val cond = rest.map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scores
+       |  FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $cases ELSE '${langs.last}' END AS pred_lang,
+       |  CAST(CASE $cases ELSE '${langs.last}' END = lang AS INT) AS is_match
+       |FROM scored""".stripMargin
+  }
+
+  // ---- #27 quality score ----
+
+  /** Quality scoring: length, token count, mean token length, stopword
+    * ratio, punctuation ratio, composited into [0,1]. The formula is the
+    * reference's "derived ratio columns" pattern (app_data.R:34-38)
+    * applied to text curation. Per-row projection only. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_chars2", length(col("text")))
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("mean_tok_len",
+        (col("n_chars2") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", stopCount("en").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") / col("n_chars2"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
+          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_tok_len"), 4).as("mean_tok_len"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("punct_ratio"), 4).as("punct_ratio"),
+        round(col("quality_score"), 4).as("quality_score"))
+
+  val qualitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, length(text) AS nc, len(string_split(text, ' ')) AS n_tokens,
+       |    ${stopCountSql("en")} AS n_stop,
+       |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+       |  FROM documents),
+       |rat AS (
+       |  SELECT doc_id, n_tokens,
+       |    (nc - (n_tokens - 1)) * 1.0 / n_tokens AS mean_tok_len,
+       |    n_stop * 1.0 / n_tokens AS stop_ratio,
+       |    n_punct * 1.0 / nc AS punct_ratio
+       |  FROM base)
+       |SELECT doc_id, n_tokens,
+       |  round(mean_tok_len, 4) AS mean_tok_len,
+       |  round(stop_ratio, 4) AS stop_ratio,
+       |  round(punct_ratio, 4) AS punct_ratio,
+       |  round(least(n_tokens / 50.0, 1.0) * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.4
+       |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 4) AS quality_score
+       |FROM rat""".stripMargin
+
+  // ---- #28 token counting ----
+
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  /** Token counts: whitespace split and a BPE-ish regex segmentation
+    * (letter runs / single digits / single symbols), plus chars-per-token
+    * — the compression-rate proxy used to price documents in tokens. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(tokens))
+      .withColumn("bpe_tokens", regexp_count(col("text"), lit(BpePattern)))
+      .select(col("doc_id"), col("n_chars"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 4).as("chars_per_token"))
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id, n_chars, len(string_split(text, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens,
+       |  round(n_chars * 1.0 / len(regexp_extract_all(text, '$BpePattern')), 4) AS chars_per_token
+       |FROM documents""".stripMargin
+
+  // ---- #29 document fingerprint ----
+
+  /** Position-salted rolling-hash fingerprint: Σ_pos hash48(pos:token).
+    * Order-sensitive (unlike a bag-of-words hash) yet associative enough
+    * to compute as ONE map-side-combined sum aggregate — the cheap
+    * content-identity check for 100 TB re-crawl reconciliation. 48-bit
+    * hashes keep the i64 sum overflow-free below ~32k tokens/doc. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"),
+        Hashing.hash48(concat((col("pos0") + 1).cast("string"), lit(":"), col("tok"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("h")).as("fingerprint"), count(lit(1)).as("n_tokens"))
+
+  val fingerprintSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(sum(${Hashing.hash48Sql("(pos)::VARCHAR || ':' || tok")}) AS BIGINT) AS fingerprint,
+       |  count(*) AS n_tokens
+       |FROM toks GROUP BY doc_id""".stripMargin
+}

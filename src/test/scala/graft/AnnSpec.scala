@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ann.Ann
+
+/** ANN invariants at sf0.001: brute-force shape, LSH candidate validity,
+  * and LSH recall measured against the brute-force oracle. */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  test("q24 brute ANN: exactly top-k rows per query, ranks dense, cos within [-1,1]") {
+    val df = ann.Ann.annBrute(spark, dir).cache()
+    val perQuery = df.groupBy("query_id").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+    assert(perQuery.filter(col("n") =!= Ann.TopK || col("mx") =!= Ann.TopK).count() == 0)
+    assert(df.filter(col("cos") < -1.0 || col("cos") > 1.0).count() == 0)
+    assert(df.filter(col("neighbor_id") === col("query_id")).count() == 0)
+  }
+
+  test("q24 brute ANN: rank order agrees with cosine order") {
+    val df = ann.Ann.annBrute(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("rk"))
+    val bad = df.withColumn("prev_cos", lag("cos", 1).over(w))
+      .filter(col("prev_cos").isNotNull && col("cos") > col("prev_cos"))
+    assert(bad.count() == 0)
+  }
+
+  test("q25 LSH ANN: subset-of-corpus candidates, k rows max, positive recall") {
+    val lsh = ann.Ann.annLsh(spark, dir).cache()
+    val brute = ann.Ann.annBrute(spark, dir).cache()
+    val perQuery = lsh.groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(perQuery.filter(col("n") > Ann.TopK).count() == 0)
+    // recall@k vs brute force: with 3 tables x 4 planes on weakly-
+    // structured synthetic vectors expect well above random (k/n ~ 1%)
+    val hits = lsh.join(brute, Seq("query_id", "neighbor_id"), "inner").count()
+    val recall = hits.toDouble / brute.count()
+    info(f"LSH recall@${Ann.TopK} = $recall%.3f")
+    assert(recall >= 0.2, s"recall $recall below floor")
+  }
+
+  test("q23 embed near-dup: pairs share a bucket and clear the cosine floor") {
+    val df = ann.Ann.embedNearDup(spark, dir).cache()
+    assert(df.filter(col("cos") < Ann.NearDupCos).count() == 0)
+    assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
+  }
+}

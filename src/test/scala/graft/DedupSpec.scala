@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import dedup.Dedup
+
+/** Dedup-suite invariants at sf0.001. Value-level equivalence vs DuckDB
+  * runs through graft.Verify + tools/verify_local.py. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  test("q19 exact dedup: canonical ids are unique and counts sum to corpus") {
+    val df = Dedup.dedupExact(spark, dir).cache()
+    val n = Tables.documents(spark, dir).count()
+    assert(df.select(sum("n_copies")).head.getLong(0) == n)
+    assert(df.select("canonical_id").distinct.count() == df.count())
+  }
+
+  test("q20 minhash LSH: finds the high-jaccard planted pairs, pairs canonical a<b") {
+    val pairs = Dedup.dedupMinhash(spark, dir).cache()
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // every pair with true jaccard >= 0.9 must be caught by 4x4 banding
+    val trueDups = Dedup.ngramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
+    val missed = trueDups.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() == 0)
+  }
+
+  test("q21 simhash: deterministic, and near-dup pairs have close fingerprints") {
+    val fp = Dedup.dedupSimhash(spark, dir).cache()
+    assert(fp.count() == Tables.documents(spark, dir).count())
+    // hamming distance between planted near-dups is far below random (~16)
+    val pairs = Dedup.ngramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
+    val joined = pairs
+      .join(fp.withColumnRenamed("simhash", "ha"), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(fp.withColumnRenamed("simhash", "hb"), col("doc_b") === col("doc_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    if (joined.count() > 0)
+      assert(joined.agg(max("hamming")).head.getInt(0) <= 8)
+  }
+
+  test("q22 ngram jaccard: symmetric-free, thresholded, jaccard in (0,1]") {
+    val df = Dedup.ngramJaccard(spark, dir).cache()
+    assert(df.filter(col("jaccard") < Dedup.JaccardThreshold || col("jaccard") > 1.0).count() == 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+}
