@@ -1,0 +1,69 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Table sinks re-expressing the reference's load semantics on parquet
+  * (SURVEY.md §2 #32–34).
+  *
+  * - [[ReplaceSink]]: `if_exists='replace'` full-table load
+  *   (school_outcomes_etl.py) — overwrite the whole dataset.
+  * - [[KeyedOverwriteSink]]: the reference's delete-and-append by county
+  *   (election_results_etl.py:128-140) — Spark's dynamic partition
+  *   overwrite replaces ONLY the partitions present in the incoming
+  *   frame, which is the 100 TB-safe version: re-loading one county
+  *   never rewrites the other 99.9% of the table, and re-runs are
+  *   idempotent (same DAG-re-run semantics the reference relies on).
+  * - [[PartitionedParquet]]: partitioned + sorted physical layout so
+  *   downstream scans get partition pruning and per-file clustering
+  *   (min/max skipping) on the sort key.
+  */
+object Sinks {
+
+  object ReplaceSink {
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  object KeyedOverwriteSink {
+    /** Replace only the key-partitions present in `df`, leaving all
+      * other partitions untouched. */
+    def write(df: DataFrame, path: String, keyCol: String): Unit = {
+      val spark = df.sparkSession
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        df.write
+          .mode(SaveMode.Overwrite)
+          .partitionBy(keyCol)
+          .parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  object PartitionedParquet {
+    /** Partition by `partitionCol`, cluster files on `sortCols`:
+      * one shuffle to co-locate each partition's data, then an in-memory
+      * sort per task so every file is internally ordered — parquet
+      * min/max stats then let 100 TB scans skip non-matching row groups.
+      */
+    def write(df: DataFrame, path: String, partitionCol: String,
+              sortCols: Seq[String], nShufflePartitions: Int = 0): Unit = {
+      val repart =
+        if (nShufflePartitions > 0) df.repartition(nShufflePartitions, col(partitionCol))
+        else df.repartition(col(partitionCol))
+      // partition col must lead the sort: the file writer requires its
+      // input ordered by the partition columns and would otherwise insert
+      // its own sort, destroying the secondary clustering
+      repart
+        .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol)
+        .parquet(path)
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import sources.CleaningCsv
+import sinks.Sinks
+
+/** Source/sink round-trips (SURVEY.md §2 #31–34) in temp dirs. */
+class SourceSinkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  test("#31 CleaningCsv: comma-numerics, dash-missing, title-case repairs") {
+    val path = tmp()
+    Files.writeString(java.nio.file.Path.of(path, "scraped.csv"),
+      """town,yes_votes,no_votes
+        |  n. ADAMS ,"1,234",567
+        |BOSTON,"45,678",–
+        |""".stripMargin)
+    val df = CleaningCsv.read(spark, path, CleaningCsv.Options(
+      numericCols = Seq("yes_votes", "no_votes"),
+      titleCaseCols = Seq("town")))
+    val rows = df.orderBy("town").collect()
+    assert(rows.map(_.getString(0)).sameElements(Array("Boston", "N. Adams")))
+    assert(rows.map(r => Option(r.get(1))).sameElements(Array(Some(45678.0), Some(1234.0))))
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 567.0)
+  }
+
+  test("#32 ReplaceSink: second write fully replaces the first") {
+    val path = tmp() + "/t"
+    val nation = Tables.nation(spark, dir)
+    Sinks.ReplaceSink.write(nation, path)
+    Sinks.ReplaceSink.write(nation.limit(5), path)
+    assert(spark.read.parquet(path).count() == 5)
+  }
+
+  test("#33 KeyedOverwriteSink: touches only the incoming keys") {
+    val path = tmp() + "/t"
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    Sinks.KeyedOverwriteSink.write(cust, path, "c_nationkey")
+    val before = spark.read.parquet(path)
+    val total = before.count()
+    val key0 = before.filter(col("c_nationkey") === 0)
+    val nKey0 = key0.count()
+    // reload nation 0 with halved balances; all other nations untouched
+    val reload = cust.filter(col("c_nationkey") === 0)
+      .withColumn("c_acctbal", col("c_acctbal") / 2)
+    Sinks.KeyedOverwriteSink.write(reload, path, "c_nationkey")
+    val after = spark.read.parquet(path)
+    assert(after.count() == total)
+    assert(after.filter(col("c_nationkey") === 0).count() == nKey0)
+    val others = after.filter(col("c_nationkey") =!= 0)
+      .agg(sum("c_acctbal")).head.getDouble(0)
+    val othersBefore = before.filter(col("c_nationkey") =!= 0)
+      .agg(sum("c_acctbal")).head.getDouble(0)
+    assert(math.abs(others - othersBefore) < 1e-6)
+  }
+
+  test("#34 PartitionedParquet: partition dirs exist, files sorted on key") {
+    val path = tmp() + "/t"
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    Sinks.PartitionedParquet.write(orders, path, "o_orderstatus", Seq("o_custkey"))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("o_orderstatus=")))
+    // partition pruning: reading one status must scan only its dir
+    val one = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val expected = orders.filter(col("o_orderstatus") === "F").count()
+    assert(one.count() == expected)
+    // within-file ordering on the sort key
+    import spark.implicits._
+    val aFile = new java.io.File(path, dirs.find(_.startsWith("o_orderstatus=")).get)
+      .listFiles().map(_.toString).find(_.endsWith(".parquet")).get
+    val keys = spark.read.parquet(aFile).select("o_custkey").as[Long].collect()
+    assert(keys.sameElements(keys.sorted))
+  }
+}
