@@ -22,9 +22,18 @@ object Ann {
   /** Every 50th vector is a query point (10 queries at sf0.01). */
   val QueryStride = 50
 
+  /** Vectors as array<double> with the L2 norm precomputed ONCE per
+    * vector — candidate scoring then only pays one dot-product fold per
+    * pair instead of three (dot + two norms). */
   private def embCast(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorMath.norm(col("v")))
+
+  /** DuckDB twin of [[embCast]] as a CTE body. */
+  private val embCteSql: String =
+    s"""SELECT vec_id, v, ${VectorMath.normSql("v", Dim)} AS nrm
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
 
   // ---- #24 brute-force cosine top-k ----
 
@@ -37,12 +46,12 @@ object Ann {
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = embCast(spark, dir)
     val queries = emb.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     broadcast(queries)
       .join(emb, col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VectorMath.cosine(col("qv"), col("v")))
+      .withColumn("cos", VectorMath.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
@@ -50,9 +59,9 @@ object Ann {
   }
 
   val annBruteSql: String = {
-    val cos = VectorMath.cosineSql("q.qv", "e.v", Dim)
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % $QueryStride = 0),
+    val cos = s"(${VectorMath.dotSql("q.qv", "e.v", Dim)} / (q.qnrm * e.nrm))"
+    s"""WITH emb AS (${embCteSql.replace("\n", " ")}),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM emb WHERE vec_id % $QueryStride = 0),
        |scored AS (
        |  SELECT q.query_id, e.vec_id, $cos AS cos
        |  FROM q JOIN emb e ON e.vec_id <> q.query_id)
@@ -87,19 +96,21 @@ object Ann {
       df.withColumn(s"b$t", concat(bits: _*))
     }
     val tables = (0 until LshTables).map { t =>
-      withBuckets.select(col("vec_id"), col("v"), lit(t).as("tbl"), col(s"b$t").as("bucket"))
+      withBuckets.select(col("vec_id"), col("v"), col("nrm"),
+        lit(t).as("tbl"), col(s"b$t").as("bucket"))
     }.reduce(_ unionByName _)
     val queries = tables.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("tbl"), col("bucket"))
     val cands = broadcast(queries)
       .join(tables, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cands
-      .withColumn("cos", VectorMath.cosine(col("qv"), col("v")))
+      .withColumn("cos", VectorMath.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
@@ -122,22 +133,23 @@ object Ann {
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", VectorMath.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        VectorMath.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= NearDupCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 4).as("cos"))
   }
 
   val embedNearDupSql: String = {
-    val cos = VectorMath.cosineSql("a.v", "b.v", Dim)
+    val cos = s"(${VectorMath.dotSql("a.v", "b.v", Dim)} / (a.nrm * b.nrm))"
     s"""WITH hp AS (${Hyperplanes.planesCteSql(NearDupPlanes, Dim).replace("\n", " ")}),
-       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |emb AS (${embCteSql.replace("\n", " ")}),
        |sig AS (
        |  SELECT e.vec_id,
        |    string_agg(CASE WHEN ${VectorMath.dotSql("e.v", "hp.h", Dim)} > 0 THEN '1' ELSE '0' END,
        |               '' ORDER BY hp.j) AS bucket
        |  FROM emb e CROSS JOIN hp GROUP BY e.vec_id),
-       |be AS (SELECT s.vec_id, s.bucket, e.v FROM sig s JOIN emb e ON s.vec_id = e.vec_id)
+       |be AS (SELECT s.vec_id, s.bucket, e.v, e.nrm FROM sig s JOIN emb e ON s.vec_id = e.vec_id)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
        |FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE $cos >= $NearDupCos""".stripMargin

@@ -41,15 +41,28 @@ object Dedup {
        |  THEN list_transform(range(1, len($ws) - 1), i -> array_to_string($ws[i:i+2], ' '))
        |  ELSE [$text] END""".stripMargin
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Exploded (doc_id, shingle) rows — duplicates kept (min-hash is
+    * duplicate-insensitive, so no distinct shuffle is paid for it). */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .distinct()
 
   private val docShinglesSql: String =
     s"""ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("ws", "text").replace("\n", " ")}) AS sh FROM ws)""".stripMargin
+       |sh AS (SELECT doc_id, unnest(${shinglesSql("ws", "text").replace("\n", " ")}) AS sh FROM ws)""".stripMargin
+
+  /** Distinct (doc_id, 48-bit shingle hash) pairs: the Jaccard working
+    * set. Joining/aggregating on the 8-byte hash instead of the ~300-byte
+    * shingle string shrinks every downstream shuffle ~40× (exact up to
+    * 2^-48 hash collisions, identical on both engines either way). */
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir)
+      .select(col("doc_id"), Hashing.hash48(col("sh")).as("shk"))
+      .distinct()
+
+  private val docShingleHashesSql: String =
+    s"""$docShinglesSql,
+       |shk AS (SELECT DISTINCT doc_id, ${Hashing.hash48Sql("sh")} AS shk FROM sh)""".stripMargin
 
   // ---- #19 exact dedup ----
 
@@ -72,18 +85,38 @@ object Dedup {
   val MinhashBands = 4   // bands of K/Bands rows each
   private val RowsPerBand = MinhashK / MinhashBands
 
+  /** Universal-hash family over the Mersenne prime 2^31-1: the K seeded
+    * hashes are h_i = (a_i·(h mod p) + b_i) mod p derived from ONE md5
+    * per shingle — 16× less hashing than K independent md5s, identical
+    * arithmetic on both engines (products stay < 2^62, no overflow). */
+  val MinhashP = 2147483647L
+  private def md5const(tag: String, i: Int, mod: Long, offset: Long): Long = {
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString, 16)
+    h % mod + offset
+  }
+  /** (a_i, b_i) per signature position, a_i ∈ [1, p-1], b_i ∈ [0, p-1]. */
+  val MinhashCoefs: Seq[(Long, Long)] =
+    (0 until MinhashK).map(i =>
+      (md5const("a", i, MinhashP - 1, 1), md5const("b", i, MinhashP, 0)))
+
   /** MinHash signatures banded into LSH buckets → candidate near-dup
     * pairs. Plan: explode shingles → ONE hash aggregate computing all K
-    * min-hashes as separate agg expressions (no K× row blowup) → band
-    * keys via md5 over the band's signature slice → self-join on
-    * (band, band_key). Shuffles: O(shingles) + O(n·bands); within-bucket
-    * pair expansion is bounded by bucket size, and AQE's skew join splits
-    * any hot bucket. */
+    * min-hashes as separate agg expressions (no K× row blowup, partial
+    * aggregation map-side) → band keys via md5 over the band's signature
+    * slice → self-join on (band, band_key). Shuffles: O(docs·K) +
+    * O(n·bands); within-bucket pair expansion is bounded by bucket size,
+    * and AQE's skew join splits any hot bucket. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val hmod = Hashing.hash48(col("sh")) % MinhashP
     val mh = docShingles(spark, dir)
       .groupBy(col("doc_id"))
-      .agg(min(Hashing.hash48(0, col("sh"))).as("mh0"),
-        (1 until MinhashK).map(i => min(Hashing.hash48(i, col("sh"))).as(s"mh$i")): _*)
+      .agg(min((hmod * MinhashCoefs.head._1 + MinhashCoefs.head._2) % MinhashP).as("mh0"),
+        (1 until MinhashK).map { i =>
+          val (a, b) = MinhashCoefs(i)
+          min((hmod * a + b) % MinhashP).as(s"mh$i")
+        }: _*)
     val bandCols = (0 until MinhashBands).map { b =>
       val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
         .map(i => col(s"mh$i").cast("string"))
@@ -103,8 +136,10 @@ object Dedup {
   }
 
   val dedupMinhashSql: String = {
-    val mins = (0 until MinhashK)
-      .map(i => s"min(${Hashing.hash48Sql(i, "sh")}) AS mh$i").mkString(",\n  ")
+    val mins = (0 until MinhashK).map { i =>
+      val (a, b) = MinhashCoefs(i)
+      s"min((hm * $a + $b) % $MinhashP) AS mh$i"
+    }.mkString(",\n  ")
     val bands = (0 until MinhashBands).map { b =>
       val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
         .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
@@ -114,9 +149,10 @@ object Dedup {
       .map(b => s"SELECT doc_id, $b AS band, band$b AS band_key FROM banded")
       .mkString("\nUNION ALL\n")
     s"""WITH $docShinglesSql,
+       |hs AS (SELECT doc_id, ${Hashing.hash48Sql("sh")} % $MinhashP AS hm FROM sh),
        |mh AS (SELECT doc_id,
        |  $mins
-       |FROM sh GROUP BY doc_id),
+       |FROM hs GROUP BY doc_id),
        |banded AS (SELECT doc_id,
        |  $bands
        |FROM mh),
@@ -177,10 +213,10 @@ object Dedup {
     * ultra-common shingles (df cut) before the join; kept exact here so
     * the oracle is exact too. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
+    val sh = docShingleHashes(spark, dir)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -193,11 +229,11 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH $docShinglesSql,
-       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    s"""WITH $docShingleHashesSql,
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shk a JOIN shk b ON a.shk = b.shk AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
