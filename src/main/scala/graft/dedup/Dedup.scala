@@ -213,11 +213,24 @@ object Dedup {
     * ultra-common shingles (df cut) before the join; kept exact here so
     * the oracle is exact too. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingleHashes(spark, dir)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // one explode + ONE shuffle builds the full inverted index:
+    // shingle-hash -> sorted distinct doc list (collect_set also absorbs
+    // repeated shingles within a doc, so no separate distinct pass)
+    val byShk = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .groupBy(Hashing.hash48(col("sh")).as("shk"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    // per-doc distinct-shingle counts, derived from the same index (the
+    // exchange below the index aggregate is reused, not recomputed)
+    val counts = byShk
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // pair expansion inside each posting list: a < b, bounded by df(sh)
+    val inter = byShk
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(filter(col("ds"), d => d > col("doc_a"))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
