@@ -17,6 +17,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Streaming exact dedup — the continuous-ingest twin of
+    * [[graft.dedup.Dedup.dedupExact]]: keep the first document per
+    * content hash, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` drops a key's state once the
+    * watermark passes it — a 100 TB/day crawl can run this forever,
+    * deduping within the late-data horizon without unbounded memory).
+    * Input: streaming frame with (ts TIMESTAMP, text STRING, ...).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Hourly tumbling counts per event type over a streaming frame of
     * (ts TIMESTAMP, event_type STRING, value DOUBLE).
     */

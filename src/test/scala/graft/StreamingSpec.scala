@@ -56,6 +56,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first doc per content hash within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStream.dedupStream(df).writeStream
+      .format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), 1L, "alpha beta"), (ts(1), 2L, "alpha beta"), (ts(2), 3L, "gamma"))
+      q.processAllAvailable()
+      input.addData((ts(3), 4L, "gamma")) // duplicate in a later batch
+      q.processAllAvailable()
+      val out = spark.table("dd")
+      assert(out.count() == 2)
+      assert(out.filter(col("doc_id").isin(1L, 3L)).count() == 2)
+    } finally q.stop()
+  }
+
   test("batch sessionize on testdata: session bounds ordered, events conserved") {
     val df = operators.Events.sessionize(spark, "/root/testdata/sf0.001").cache()
     assert(df.filter(col("session_start") > col("session_end")).count() == 0)
