@@ -126,12 +126,15 @@ object Dedup {
     val stackExpr = (0 until MinhashBands).map(b => s"$b, band$b").mkString(", ")
     val buckets = banded.select(col("doc_id"),
       expr(s"stack($MinhashBands, $stackExpr) AS (band, band_key)"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // pair expansion via posting lists — ONE pass over the signature
+    // pipeline (a self-join would recompute the whole explode+aggregate
+    // subtree for each side), pairs bounded by bucket size
+    buckets
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(filter(col("ds"), d => d > col("doc_a"))).as("doc_b"))
       .distinct()
   }
 
