@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * matched to available cores rather than the 200 default.
   */
 object Engine {
-  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       : SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
