@@ -25,8 +25,8 @@ object Ann {
   /** Vectors as array<double> with the L2 norm precomputed ONCE per
     * vector — candidate scoring then only pays one dot-product fold per
     * pair instead of three (dot + two norms). */
-  private def embCast(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+  private def embCast(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorMath.norm(col("v")))
 
@@ -43,8 +43,8 @@ object Ann {
     * shuffle-free until the final per-query top-k (TopK rows per query
     * via rank). This is the recall oracle for [[annLsh]]; the scale path
     * is LSH. */
-  def annBrute(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embCast(spark, dir)
+  def annBrute(embeddings: DataFrame): DataFrame = {
+    val emb = embCast(embeddings)
     val queries = emb.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
@@ -57,6 +57,9 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
         round(col("cos"), 4).as("cos"))
   }
+
+  def annBrute(spark: SparkSession, dir: String): DataFrame =
+    annBrute(Tables.embeddings(spark, dir))
 
   val annBruteSql: String = {
     val cos = s"(${VectorMath.dotSql("q.qv", "e.v", Dim)} / (q.qnrm * e.nrm))"
@@ -84,8 +87,8 @@ object Ann {
     * — never a cross join. Recall vs [[annBrute]] is asserted in
     * AnnSpec; rows-only oracle (result depends on LSH recall, so a
     * brute-force SQL twin would not hash-match). */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embCast(spark, dir)
+  def annLsh(embeddings: DataFrame): DataFrame = {
+    val emb = embCast(embeddings)
     // plane index offset per table gives independent hash families
     val withBuckets = (0 until LshTables).foldLeft(emb) { (df, t) =>
       val bits = (0 until LshPlanes).map { j =>
@@ -117,6 +120,9 @@ object Ann {
         round(col("cos"), 4).as("cos"))
   }
 
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(Tables.embeddings(spark, dir))
+
   // ---- #23 embedding near-duplicate pairs (shared LSH) ----
 
   val NearDupPlanes = 4
@@ -127,8 +133,8 @@ object Ann {
     * within-bucket candidates (O(Σ bucket²), not O(n²)); the oracle
     * regenerates the identical planes from md5 so it reproduces the LSH
     * decision exactly rather than approximating it. */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embCast(spark, dir)
+  def embedNearDup(embeddings: DataFrame): DataFrame = {
+    val emb = embCast(embeddings)
       .withColumn("bucket", Hyperplanes.bucket(col("v"), NearDupPlanes, Dim))
     val a = emb.as("a")
     val b = emb.as("b")
@@ -139,6 +145,9 @@ object Ann {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 4).as("cos"))
   }
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(Tables.embeddings(spark, dir))
 
   val embedNearDupSql: String = {
     val cos = s"(${VectorMath.dotSql("a.v", "b.v", Dim)} / (a.nrm * b.nrm))"

@@ -43,23 +43,18 @@ object Dedup {
 
   /** Exploded (doc_id, shingle) rows — duplicates kept (min-hash is
     * duplicate-insensitive, so no distinct shuffle is paid for it). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
   private val docShinglesSql: String =
     s"""ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id, unnest(${shinglesSql("ws", "text").replace("\n", " ")}) AS sh FROM ws)""".stripMargin
 
-  /** Distinct (doc_id, 48-bit shingle hash) pairs: the Jaccard working
-    * set. Joining/aggregating on the 8-byte hash instead of the ~300-byte
-    * shingle string shrinks every downstream shuffle ~40× (exact up to
-    * 2^-48 hash collisions, identical on both engines either way). */
-  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    docShingles(spark, dir)
-      .select(col("doc_id"), Hashing.hash48(col("sh")).as("shk"))
-      .distinct()
-
+  /** Distinct (doc_id, 48-bit shingle hash) pairs — the Jaccard working
+    * set, on 8-byte hash keys instead of ~300-byte shingle strings
+    * (~40× smaller shuffles; exact up to 2^-48 hash collisions,
+    * identical on both engines either way). The Spark plan folds this
+    * into the inverted-index aggregate in [[ngramJaccard]]. */
   private val docShingleHashesSql: String =
     s"""$docShinglesSql,
        |shk AS (SELECT DISTINCT doc_id, ${Hashing.hash48Sql("sh")} AS shk FROM sh)""".stripMargin
@@ -69,11 +64,14 @@ object Dedup {
   /** Exact dedup: md5(text) groups; canonical survivor = min doc_id.
     * At 100 TB this is one map-side-combined hash aggregate on a 32-hex
     * key — the cheapest possible full-corpus dedup. */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
       .select(md5(col("text")).as("text_hash"), col("doc_id"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExact(Tables.documents(spark, dir))
 
   val dedupExactSql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -108,9 +106,9 @@ object Dedup {
     * slice → self-join on (band, band_key). Shuffles: O(docs·K) +
     * O(n·bands); within-bucket pair expansion is bounded by bucket size,
     * and AQE's skew join splits any hot bucket. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(docs: DataFrame): DataFrame = {
     val hmod = Hashing.hash48(col("sh")) % MinhashP
-    val mh = docShingles(spark, dir)
+    val mh = docShingles(docs)
       .groupBy(col("doc_id"))
       .agg(min((hmod * MinhashCoefs.head._1 + MinhashCoefs.head._2) % MinhashP).as("mh0"),
         (1 until MinhashK).map { i =>
@@ -137,6 +135,9 @@ object Dedup {
       .select(col("doc_a"), explode(filter(col("ds"), d => d > col("doc_a"))).as("doc_b"))
       .distinct()
   }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhash(Tables.documents(spark, dir))
 
   val dedupMinhashSql: String = {
     val mins = (0 until MinhashK).map { i =>
@@ -175,8 +176,8 @@ object Dedup {
     * occurrences' 48-bit hashes, bit set where the vote is positive.
     * One explode + one hash aggregate with 32 sum expressions — map-side
     * combined, shuffle is O(n), no per-bit row blowup. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables.documents(spark, dir)
+  def dedupSimhash(docs: DataFrame): DataFrame = {
+    val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("th", Hashing.hash48(col("tok")))
     val votes = tokens.groupBy(col("doc_id")).agg(
@@ -188,6 +189,9 @@ object Dedup {
       .reduce(_ + _)
     votes.select(col("doc_id"), fp.as("simhash"))
   }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhash(Tables.documents(spark, dir))
 
   val dedupSimhashSql: String = {
     val votes = (0 until SimhashBits)
@@ -215,11 +219,11 @@ object Dedup {
     * Σ_sh df(sh)², not n². At 100 TB the production variant drops
     * ultra-common shingles (df cut) before the join; kept exact here so
     * the oracle is exact too. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(docs: DataFrame): DataFrame = {
     // one explode + ONE shuffle builds the full inverted index:
     // shingle-hash -> sorted distinct doc list (collect_set also absorbs
     // repeated shingles within a doc, so no separate distinct pass)
-    val byShk = Tables.documents(spark, dir)
+    val byShk = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .groupBy(Hashing.hash48(col("sh")).as("shk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
@@ -243,6 +247,9 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, dir))
 
   val ngramJaccardSql: String =
     s"""WITH $docShingleHashesSql,

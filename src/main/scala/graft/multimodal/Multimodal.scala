@@ -31,9 +31,11 @@ object Multimodal {
   /** Synthesize a binary payload column per document (md5 bytes of the
     * text — a stand-in for real image bytes; deterministic so the oracle
     * can recompute it). */
+  def payloads(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+
   def payloads(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+    payloads(Tables.documents(spark, dir))
 
   /** STUB DECODER — deterministic fake standing in for a real codec.
     * Reads "metadata" straight out of payload bytes:
@@ -61,16 +63,19 @@ object Multimodal {
   /** #30 oracle query: the declarative twin of [[decodePayload]] —
     * identical metadata math expressed in Catalyst so DuckDB can verify
     * it (the mapPartitions path is asserted equal in MultimodalSpec). */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalMeta(docs: DataFrame): DataFrame = {
     val h = md5(col("text"))
     val fmtIdx = conv(substring(h, 1, 1), 16, 10).cast("int") % 4
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       length(unhex(h)).as("payload_len"),
       element_at(typedLit(Formats), fmtIdx + 1).as("format"),
       (conv(substring(h, 3, 2), 16, 10).cast("int") + 64).as("width"),
       (conv(substring(h, 5, 2), 16, 10).cast("int") + 64).as("height"))
   }
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    multimodalMeta(Tables.documents(spark, dir))
 
   val multimodalMetaSql: String = {
     val cases = Formats.zipWithIndex

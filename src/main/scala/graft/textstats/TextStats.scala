@@ -39,9 +39,9 @@ object TextStats {
     * argmax with a fixed priority order (de > en > es > fr on ties —
     * alphabetical, matching the CASE chain in the oracle). Purely
     * per-row projection: no shuffle at any scale. */
-  def langid(spark: SparkSession, dir: String): DataFrame = {
+  def langid(docs: DataFrame): DataFrame = {
     val langs = Stopwords.map(_._1)
-    val scored = Tables.documents(spark, dir)
+    val scored = docs
       .select(Seq(col("doc_id"), col("lang")) ++
         langs.map(l => stopCount(l).as(s"s_$l")): _*)
     // argmax via CASE chain in declared (alphabetical) order
@@ -57,6 +57,9 @@ object TextStats {
       .select(Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
         Seq(col("pred_lang"), col("is_match")): _*)
   }
+
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    langid(Tables.documents(spark, dir))
 
   val langidSql: String = {
     val langs = Stopwords.map(_._1)
@@ -82,8 +85,8 @@ object TextStats {
     * ratio, punctuation ratio, composited into [0,1]. The formula is the
     * reference's "derived ratio columns" pattern (app_data.R:34-38)
     * applied to text curation. Per-row projection only. */
-  def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def quality(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_chars2", length(col("text")))
       .withColumn("n_tokens", size(tokens))
       .withColumn("mean_tok_len",
@@ -100,6 +103,9 @@ object TextStats {
         round(col("stop_ratio"), 4).as("stop_ratio"),
         round(col("punct_ratio"), 4).as("punct_ratio"),
         round(col("quality_score"), 4).as("quality_score"))
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    quality(Tables.documents(spark, dir))
 
   val qualitySql: String =
     s"""WITH base AS (
@@ -128,12 +134,15 @@ object TextStats {
   /** Token counts: whitespace split and a BPE-ish regex segmentation
     * (letter runs / single digits / single symbols), plus chars-per-token
     * — the compression-rate proxy used to price documents in tokens. */
-  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws_tokens", size(tokens))
       .withColumn("bpe_tokens", regexp_count(col("text"), lit(BpePattern)))
       .select(col("doc_id"), col("n_chars"), col("ws_tokens"), col("bpe_tokens"),
         round(col("n_chars").cast("double") / col("bpe_tokens"), 4).as("chars_per_token"))
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir))
 
   val tokenCountsSql: String =
     s"""SELECT doc_id, n_chars, len(string_split(text, ' ')) AS ws_tokens,
@@ -148,13 +157,16 @@ object TextStats {
     * to compute as ONE map-side-combined sum aggregate — the cheap
     * content-identity check for 100 TB re-crawl reconciliation. 48-bit
     * hashes keep the i64 sum overflow-free below ~32k tokens/doc. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"),
         Hashing.hash48(concat((col("pos0") + 1).cast("string"), lit(":"), col("tok"))).as("h"))
       .groupBy(col("doc_id"))
       .agg(sum(col("h")).as("fingerprint"), count(lit(1)).as("n_tokens"))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.documents(spark, dir))
 
   val fingerprintSql: String =
     s"""WITH toks AS (
