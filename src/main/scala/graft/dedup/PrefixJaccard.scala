@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** PPJoin-style prefix-filtered exact Jaccard self-join — the scale
+  * path for [[Dedup.ngramJaccard]].
+  *
+  * Candidate pairs are generated only from each document's
+  * n − ⌈t·n⌉ + 1 globally-rarest shingles (prefix filter) plus a length
+  * filter |B| ∈ [t·|A|, |A|/t]; both filters are lossless for J ≥ t, so
+  * results are IDENTICAL to the plain inverted-index join (asserted in
+  * DedupSpec). On a realistic 100 TB corpus vocabulary the prefix cuts
+  * candidates by orders of magnitude because hot shingles almost never
+  * appear in rarity-ordered prefixes; on the tiny-vocab testdata the
+  * extra df-ranking passes cost more than they save (measured ~4.8s vs
+  * ~3.6s at sf0.1), which is why the plain version remains the
+  * benchmarked `q22` entry.
+  */
+object PrefixJaccard {
+  import Dedup.{shingles, JaccardThreshold => T}
+
+  def ngramJaccardPrefix(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), Hashing.hash48(col("sh")).as("shk"))
+      .distinct()
+    val dfreq = sh.groupBy(col("shk")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfreq, "shk")
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("shk"))))
+    // prefix filter: J >= t pairs must share a shingle within the first
+    // n - ceil(t*n) + 1 rarest shingles of each side (global rarity order)
+    val prefix = ranked
+      .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * T) + 1)
+      .select(col("doc_id"), col("shk"), col("n_sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.shk") === col("b.shk")
+        && col("a.doc_id") < col("b.doc_id")
+        // length filter: |B| in [t|A|, |A|/t] is necessary for J >= t
+        && col("b.n_sh") >= ceil(col("a.n_sh") * T)
+        && col("a.n_sh") >= ceil(col("b.n_sh") * T))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+        && col("sa.shk") === col("sb.shk"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= T)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPrefix(Tables.documents(spark, dir))
+}

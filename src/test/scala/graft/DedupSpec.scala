@@ -41,6 +41,13 @@ class DedupSpec extends AnyFunSuite {
       assert(joined.agg(max("hamming")).head.getInt(0) <= 8)
   }
 
+  test("prefix-filtered jaccard (scale path) is result-identical to the exact join") {
+    val plain = Dedup.ngramJaccard(spark, dir)
+    val prefix = dedup.PrefixJaccard.ngramJaccardPrefix(spark, dir)
+    assert(plain.exceptAll(prefix).count() == 0)
+    assert(prefix.exceptAll(plain).count() == 0)
+  }
+
   test("q22 ngram jaccard: symmetric-free, thresholded, jaccard in (0,1]") {
     val df = Dedup.ngramJaccard(spark, dir).cache()
     assert(df.filter(col("jaccard") < Dedup.JaccardThreshold || col("jaccard") > 1.0).count() == 0)
