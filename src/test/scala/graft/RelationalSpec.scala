@@ -105,4 +105,16 @@ class RelationalSpec extends AnyFunSuite {
       col("bal_median") > col("bal_q3") || col("bal_q3") > col("bal_max"))
     assert(bad.count() == 0)
   }
+
+  test("q16 scale path: sketch percentiles track exact within 3% of range") {
+    // the sketch returns actual data points (no interpolation), so at
+    // ~300 rows/group deviations up to a few value-gaps are expected
+    val exact = percentiles(spark, dir).select("c_mktsegment", "bal_median", "bal_max", "bal_min")
+    val approx = percentilesApprox(spark, dir)
+      .select(col("c_mktsegment"), col("bal_median").as("approx_median"))
+    val joined = exact.join(approx, "c_mktsegment")
+      .withColumn("tol", (col("bal_max") - col("bal_min")) * 0.03)
+      .filter(abs(col("bal_median") - col("approx_median")) > col("tol"))
+    assert(joined.count() == 0)
+  }
 }
