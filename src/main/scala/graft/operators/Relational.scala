@@ -285,6 +285,14 @@ object Relational {
         r4(max(col("c_acctbal"))).as("bal_max"),
         r4(avg(col("c_acctbal"))).as("bal_mean"))
 
+  /** Columns-by-prefix transform — the reference's
+    * `across(starts_with("pct_"), ~.x*100)` (app_data.R): apply a Column
+    * function to every column whose name matches the prefix, in place.
+    * One projection; no shuffle. */
+  def transformPrefixed(df: DataFrame, prefix: String)(f: Column => Column): DataFrame =
+    df.columns.filter(_.startsWith(prefix))
+      .foldLeft(df)((d, c) => d.withColumn(c, f(col(c))))
+
   /** Scale path for #16: exact `percentile` buffers every value per
     * group, which a 100 TB fact table cannot afford; `approx_percentile`
     * keeps a bounded KLL-style sketch per group that merges map-side.

@@ -44,6 +44,21 @@ object Sinks {
     }
   }
 
+  /** CSV export — the reference's CSV COPY staging step
+    * (district_gis_etl.py loads the crosswalk via CSV COPY). Parquet is
+    * the engine-native format; this sink exists for interchange with
+    * COPY-style consumers. `singleFile` coalesces to one file (COPY
+    * wants one stream) — only for dimension-sized outputs, never facts. */
+  object CsvSink {
+    def write(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+      val out = if (singleFile) df.coalesce(1) else df
+      out.write
+        .mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .csv(path)
+    }
+  }
+
   object PartitionedParquet {
     /** Partition by `partitionCol`, cluster files on `sortCols`:
       * one shuffle to co-locate each partition's data, then an in-memory

@@ -64,6 +64,31 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(math.abs(others - othersBefore) < 1e-6)
   }
 
+  test("CsvSink round-trips with header; single-file mode writes one part") {
+    val path = tmp() + "/t"
+    val nation = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    Sinks.CsvSink.write(nation, path, singleFile = true)
+    val parts = new java.io.File(path).listFiles().count(_.getName.endsWith(".csv"))
+    assert(parts == 1)
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() == nation.count())
+    assert(back.columns.sameElements(Array("n_nationkey", "n_name")))
+  }
+
+  test("transformPrefixed scales only the prefixed columns") {
+    import operators.Relational.transformPrefixed
+    val df = Tables.customer(spark, dir)
+      .select(col("c_custkey"), (col("c_acctbal") / 100).as("pct_bal"),
+        col("c_acctbal").as("raw_bal"))
+    val out = transformPrefixed(df, "pct_")(_ * 100)
+    val orig = df.select(col("c_custkey"), col("pct_bal").as("orig_pct"),
+      col("raw_bal").as("orig_raw"))
+    val bad = out.join(orig, "c_custkey").filter(
+      abs(col("pct_bal") - col("orig_pct") * 100) > 1e-9 || // prefixed scaled
+        col("raw_bal") =!= col("orig_raw"))                 // others untouched
+    assert(bad.count() == 0)
+  }
+
   test("#34 PartitionedParquet: partition dirs exist, files sorted on key") {
     val path = tmp() + "/t"
     val orders = Tables.orders(spark, dir)
