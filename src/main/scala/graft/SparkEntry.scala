@@ -102,7 +102,8 @@ object SparkEntry {
         |FROM customer""".stripMargin,
     "q8_zscore" ->
       """SELECT c_custkey, c_acctbal,
-        |  round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 4) AS acctbal_std
+        |  round((c_acctbal - round(avg(c_acctbal) OVER (), 6))
+        |        / round(stddev_samp(c_acctbal) OVER (), 6), 4) + 0.0 AS acctbal_std
         |FROM customer""".stripMargin,
     "q9_ratio_analytics" ->
       """SELECT o_custkey,
@@ -161,8 +162,8 @@ object SparkEntry {
     "q17_event_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,
-        |  round(sum(value), 4) AS sum_value,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |  round(sum(value), 4) + 0.0 AS sum_value,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) + 0.0 AS avg_k
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q18_sessionize" ->
       """WITH lagged AS (
@@ -180,7 +181,7 @@ object SparkEntry {
         |)
         |SELECT user_id, session_seq,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  count(*) AS n_events, round(sum(value), 4) + 0.0 AS sum_value
         |FROM numbered GROUP BY 1, 2""".stripMargin,
     "q19_dedup_exact" -> dedup.Dedup.dedupExactSql,
     "q20_dedup_minhash" -> dedup.Dedup.dedupMinhashSql,

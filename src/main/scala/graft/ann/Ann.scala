@@ -54,7 +54,7 @@ object Ann {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
-        round(col("cos"), 4).as("cos"))
+        (round(col("cos"), 4) + 0.0).as("cos"))
   }
 
   def annBrute(spark: SparkSession, dir: String): DataFrame =
@@ -67,7 +67,7 @@ object Ann {
        |scored AS (
        |  SELECT q.query_id, e.vec_id, $cos AS cos
        |  FROM q JOIN emb e ON e.vec_id <> q.query_id)
-       |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) AS cos FROM (
+       |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) + 0.0 AS cos FROM (
        |  SELECT query_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored)
@@ -115,7 +115,7 @@ object Ann {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
-        round(col("cos"), 4).as("cos"))
+        (round(col("cos"), 4) + 0.0).as("cos"))
   }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =
@@ -140,7 +140,7 @@ object Ann {
       .withColumn("cos", VectorMath.cosineFast(col("a.v"), col("b.v")))
       .filter(col("cos") >= NearDupCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 4).as("cos"))
+        (round(col("cos"), 4) + 0.0).as("cos"))
   }
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -156,7 +156,7 @@ object Ann {
        |               '' ORDER BY hp.j) AS bucket
        |  FROM emb e CROSS JOIN hp GROUP BY e.vec_id),
        |be AS (SELECT s.vec_id, s.bucket, e.v, e.nrm FROM sig s JOIN emb e ON s.vec_id = e.vec_id)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) + 0.0 AS cos
        |FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE $cos >= $NearDupCos""".stripMargin
   }

@@ -25,8 +25,8 @@ object Events {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
-        round(avg(get_json_object(col("props"), "$.k").cast("int")), 4).as("avg_k"))
+        (round(sum(col("value")), 4) + 0.0).as("sum_value"),
+        (round(avg(get_json_object(col("props"), "$.k").cast("int")), 4) + 0.0).as("avg_k"))
 
   /** #18 Gap-based sessionization (batch): a session breaks after 30
     * minutes of user inactivity. lag + running sum of session breaks —
@@ -49,6 +49,6 @@ object Events {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
+        (round(sum(col("value")), 4) + 0.0).as("sum_value"))
   }
 }

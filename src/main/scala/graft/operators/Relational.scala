@@ -148,12 +148,17 @@ object Relational {
   def zscore(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
+    // mu/sigma snapped to 6 decimals: parallel vs sequential summation
+    // differs in the last ulps, and an unrounded mu/sigma amplifies that
+    // into round-boundary flips across EVERY output row (seen at sf0.1)
     val stats = cust.agg(
-      avg(col("c_acctbal")).as("mu"),
-      stddev_samp(col("c_acctbal")).as("sigma"))
+      round(avg(col("c_acctbal")), 6).as("mu"),
+      round(stddev_samp(col("c_acctbal")), 6).as("sigma"))
     cust.join(broadcast(stats))
       .select(col("c_custkey"), col("c_acctbal"),
-        r4((col("c_acctbal") - col("mu")) / col("sigma")).as("acctbal_std"))
+        // + 0.0 normalizes IEEE -0.0 (engines disagree on the sign of a
+        // rounded tiny negative, which breaks stringified compares)
+        (r4((col("c_acctbal") - col("mu")) / col("sigma")) + 0.0).as("acctbal_std"))
   }
 
   /** #9 Ratio analytics — app_data.R:34-38 (prop_yes,

@@ -75,6 +75,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text-stats operators run unchanged on a stream (stateless projections)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = textstats.TextStats.quality(docs).writeStream
+      .format("memory").queryName("q_stream").outputMode("append").start()
+    try {
+      input.addData((1L, "the cat sat on the mat", "en", "s", 22L),
+        (2L, "xyzzy", "en", "s", 5L))
+      q.processAllAvailable()
+      val out = spark.table("q_stream")
+      assert(out.count() == 2)
+      // stopword-rich doc must outscore the garbage token
+      val scores = out.orderBy("doc_id").select("quality_score").collect().map(_.getDouble(0))
+      assert(scores(0) > scores(1))
+    } finally q.stop()
+  }
+
   test("batch sessionize on testdata: session bounds ordered, events conserved") {
     val df = operators.Events.sessionize(spark, "/root/testdata/sf0.001").cache()
     assert(df.filter(col("session_start") > col("session_end")).count() == 0)
