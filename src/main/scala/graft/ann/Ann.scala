@@ -86,13 +86,13 @@ object Ann {
     * — never a cross join. Recall vs [[annBrute]] is asserted in
     * AnnSpec; rows-only oracle (result depends on LSH recall, so a
     * brute-force SQL twin would not hash-match). */
-  def annLsh(embeddings: DataFrame): DataFrame = {
+  def annLsh(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
     val emb = embCast(embeddings)
     // plane index offset per table gives independent hash families
     val withBuckets = (0 until LshTables).foldLeft(emb) { (df, t) =>
       val bits = (0 until LshPlanes).map { j =>
         when(VectorMath.dot(col("v"),
-          typedLit(Hyperplanes.plane(t * LshPlanes + j, Dim))) > 0.0, lit("1"))
+          typedLit(Hyperplanes.plane(t * LshPlanes + j, dim))) > 0.0, lit("1"))
           .otherwise(lit("0"))
       }
       df.withColumn(s"b$t", concat(bits: _*))
@@ -131,9 +131,9 @@ object Ann {
     * within-bucket candidates (O(Σ bucket²), not O(n²)); the oracle
     * regenerates the identical planes from md5 so it reproduces the LSH
     * decision exactly rather than approximating it. */
-  def embedNearDup(embeddings: DataFrame): DataFrame = {
+  def embedNearDup(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
     val emb = embCast(embeddings)
-      .withColumn("bucket", Hyperplanes.bucket(col("v"), NearDupPlanes, Dim))
+      .withColumn("bucket", Hyperplanes.bucket(col("v"), NearDupPlanes, dim))
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

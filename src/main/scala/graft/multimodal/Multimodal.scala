@@ -60,6 +60,76 @@ object Multimodal {
       }
   }
 
+  /** Typed media feature row: payload → dense embedding. */
+  case class MediaFeatures(doc_id: Long, embedding: Array[Float])
+
+  /** STUB FEATURE EXTRACTOR — stands in for an ONNX/vision model: a
+    * deterministic `FeatureDim`-dim embedding derived from payload
+    * bytes. The Spark plumbing is the production shape: per-partition
+    * "model session" init amortized across rows, fixed-dim float array
+    * column out, directly consumable by [[graft.ann.Ann]]. */
+  val FeatureDim = 16
+  def extractFeatures(payloadDf: DataFrame): Dataset[MediaFeatures] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: load the ONNX session ONCE per partition here
+        rows.map { case (id, bytes) =>
+          val emb = Array.tabulate(FeatureDim) { d =>
+            // fake forward pass: byte mix, deterministic per (payload, d)
+            (bytes(d % bytes.length) & 0xFF) / 255.0f + d * 0.001f
+          }
+          MediaFeatures(id, emb)
+        }
+      }
+  }
+
+  /** Typed resize result: same payload identity, new dims. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB RESIZE — a real impl decodes, scales, re-encodes; the fake
+    * truncates/extends the payload deterministically so output size
+    * tracks the target area (exercising variable-width binary results
+    * through the Encoder path). */
+  def resize(payloadDf: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val outLen = math.max(4, (w.toLong * h % 64).toInt)
+          val out = Array.tabulate(outLen)(i => bytes(i % bytes.length))
+          ResizedMedia(id, w, h, out)
+        }
+      }
+  }
+
+  /** Typed frame sample: one row per sampled frame. */
+  case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** STUB FRAME SAMPLER — a real impl seeks keyframes in a video
+    * container; the fake emits `n` deterministic byte-slices. Shape:
+    * one input row fans out to n output rows via iterator flatMap —
+    * the row-multiplying pattern a video pipeline needs (no driver
+    * involvement, stays partition-local). */
+  def sampleFrames(payloadDf: DataFrame, n: Int): Dataset[Frame] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          (0 until n).iterator.map { f =>
+            val start = (f * bytes.length / n) % bytes.length
+            Frame(id, f, bytes.slice(start, math.min(start + 4, bytes.length)))
+          }
+        }
+      }
+  }
+
   /** #30 oracle query: the declarative twin of [[decodePayload]] —
     * identical metadata math expressed in Catalyst so DuckDB can verify
     * it (the mapPartitions path is asserted equal in MultimodalSpec). */
