@@ -32,6 +32,7 @@ object SparkEntry {
     "q23_embed_neardup" -> ann.Ann.embedNearDup,
     "q24_ann_brute" -> ann.Ann.annBrute,
     "q25_ann_lsh" -> ann.Ann.annLsh,
+    "q25b_ann_ivf" -> ann.Ann.annIvf,
     "q26_langid" -> textstats.TextStats.langid,
     "q27_quality" -> textstats.TextStats.quality,
     "q28_tokens" -> textstats.TextStats.tokenCounts,
@@ -189,7 +190,7 @@ object SparkEntry {
     "q22_ngram_jaccard" -> dedup.Dedup.ngramJaccardSql,
     "q23_embed_neardup" -> ann.Ann.embedNearDupSql,
     "q24_ann_brute" -> ann.Ann.annBruteSql,
-    // q25_ann_lsh: rows-only (LSH recall-dependent; recall asserted in AnnSpec)
+    // q25_ann_lsh, q25b_ann_ivf: rows-only (recall-dependent; asserted in AnnSpec)
     "q26_langid" -> textstats.TextStats.langidSql,
     "q27_quality" -> textstats.TextStats.qualitySql,
     "q28_tokens" -> textstats.TextStats.tokenCountsSql,

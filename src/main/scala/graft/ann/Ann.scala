@@ -121,6 +121,53 @@ object Ann {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(Tables.embeddings(spark, dir))
 
+  // ---- IVF ANN (scale path #2: coarse quantizer + multi-probe) ----
+
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** IVF ANN: a coarse quantizer of `nCells` sampled centroids (the
+    * cheap deterministic stand-in for a k-means job — at 100 TB you'd
+    * fit centroids on a sample and broadcast them exactly like this);
+    * every vector is assigned to its best-cosine cell, queries probe
+    * their `nProbe` best cells, and exact cosine ranks the candidates.
+    * Shuffle key is the cell id — candidate generation is an equi-join
+    * on a small int, never a cross join; probed fraction ≈ nProbe/nCells
+    * bounds work per query. Centroids are literals in the plan, so cell
+    * assignment is a pure codegen'd projection over the scan. */
+  def annIvf(embeddings: DataFrame, dim: Int = Dim, nCells: Int = IvfCells,
+      nProbe: Int = IvfProbes, k: Int = TopK): DataFrame = {
+    val emb = embCast(embeddings)
+    val centroids = emb.orderBy(col("vec_id")).limit(nCells).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // per-row array of (cos-to-centroid, cell), sorted best-first
+    val scoredCells = reverse(array_sort(array(centroids.map { case (cid, cv) =>
+      struct(VectorMath.cosineFast(col("v"), typedLit(cv)).as("cos"),
+        lit(cid).as("cell"))
+    }.toIndexedSeq: _*)))
+    val assigned = emb.withColumn("cell",
+      element_at(scoredCells, 1).getField("cell"))
+    val queries = emb.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(slice(scoredCells, 1, nProbe), s => s.getField("cell")))
+          .as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries)
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .distinct()
+      .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        (round(col("cos"), 4) + 0.0).as("cos"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(Tables.embeddings(spark, dir))
+
   // ---- #23 embedding near-duplicate pairs (shared LSH) ----
 
   val NearDupPlanes = 4

@@ -42,6 +42,16 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall below floor")
   }
 
+  test("IVF ANN: k rows max per query, recall comparable to LSH") {
+    val ivf = ann.Ann.annIvf(spark, dir).cache()
+    val brute = ann.Ann.annBrute(spark, dir).cache()
+    assert(ivf.groupBy("query_id").count().filter(col("count") > Ann.TopK).count() == 0)
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"), "inner").count()
+    val recall = hits.toDouble / brute.count()
+    info(f"IVF recall@${Ann.TopK} = $recall%.3f (probing ${Ann.IvfProbes}/${Ann.IvfCells} cells)")
+    assert(recall >= 0.2, s"recall $recall below floor")
+  }
+
   test("q23 embed near-dup: pairs share a bucket and clear the cosine floor") {
     val df = ann.Ann.embedNearDup(spark, dir).cache()
     assert(df.filter(col("cos") < Ann.NearDupCos).count() == 0)
