@@ -135,42 +135,44 @@ object Dedup {
     (0 until MinhashK).map(i =>
       (md5const("a", i, MinhashP - 1, 1), md5const("b", i, MinhashP, 0)))
 
-  /** MinHash signatures banded into LSH buckets → candidate near-dup
-    * pairs. Plan: explode shingles → ONE hash aggregate computing all K
-    * min-hashes as separate agg expressions (no K× row blowup, partial
-    * aggregation map-side) → band keys via md5 over the band's signature
-    * slice → self-join on (band, band_key). Shuffles: O(docs·K) +
-    * O(n·bands); within-bucket pair expansion is bounded by bucket size,
-    * and AQE's skew join splits any hot bucket. */
-  def dedupMinhash(docs: DataFrame): DataFrame = {
-    val hmod = col("shk") % MinhashP
-    val mh = docShingles(docs)
-      .groupBy(col("doc_id"))
-      .agg(min((hmod * MinhashCoefs.head._1 + MinhashCoefs.head._2) % MinhashP).as("mh0"),
-        (1 until MinhashK).map { i =>
-          val (a, b) = MinhashCoefs(i)
-          min((hmod * a + b) % MinhashP).as(s"mh$i")
-        }: _*)
+  /** Per-doc (band, band_key) rows as a PURE PROJECTION + one explode:
+    * each of the K min-hashes is `array_min` over the shingle-key array
+    * (no per-shingle row explosion, no signature shuffle — a document's
+    * signature never leaves its scan task). The only shuffles left are
+    * the bucket groupBy and final distinct. Also the shape the streaming
+    * twin needs: signatures of a stream are a stateless projection. */
+  private[graft] def bandedSignatures(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
+    val mhCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("sk"), k => ((k % MinhashP) * a + b) % MinhashP))
+        .cast("string").as(s"mh$i")
+    }
     val bandCols = (0 until MinhashBands).map { b =>
-      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"mh$i").cast("string"))
+      val slice = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i"))
       md5(concat_ws(",", slice: _*)).as(s"band$b")
     }
-    val banded = mh.select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until MinhashBands).map(b => s"$b, band$b").mkString(", ")
-    val buckets = banded.select(col("doc_id"),
-      expr(s"stack($MinhashBands, $stackExpr) AS (band, band_key)"))
-    // pair expansion via posting lists — ONE pass over the signature
-    // pipeline (a self-join would recompute the whole explode+aggregate
-    // subtree for each side), pairs bounded by bucket size
-    buckets
+    docs
+      .select(col("doc_id") +: col("text") +: keep :+ tokenHashes(col("text")).as("th"): _*)
+      .select(col("doc_id") +: keep :+ shingleKeysFromHashes(col("th"), col("text")).as("sk"): _*)
+      .select((col("doc_id") +: keep) ++ mhCols: _*)
+      .select((col("doc_id") +: keep) ++ bandCols: _*)
+      .select(col("doc_id") +: keep :+
+        expr(s"stack($MinhashBands, $stackExpr) AS (band, band_key)"): _*)
+  }
+
+  /** MinHash signatures banded into LSH buckets → candidate near-dup
+    * pairs. Shuffles: one bucket groupBy of O(n·bands) tiny rows + the
+    * final pair distinct; within-bucket pair expansion is bounded by
+    * bucket size, and AQE's skew join splits any hot bucket. */
+  def dedupMinhash(docs: DataFrame): DataFrame =
+    bandedSignatures(docs)
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(filter(col("ds"), d => d > col("doc_a"))).as("doc_b"))
       .distinct()
-  }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     dedupMinhash(Tables.documents(spark, dir))
@@ -178,21 +180,23 @@ object Dedup {
   val dedupMinhashSql: String = {
     val mins = (0 until MinhashK).map { i =>
       val (a, b) = MinhashCoefs(i)
-      s"min((hm * $a + $b) % $MinhashP) AS mh$i"
+      s"list_min(list_transform(sk, k -> ((k % $MinhashP) * $a + $b) % $MinhashP))::VARCHAR AS mh$i"
     }.mkString(",\n  ")
     val bands = (0 until MinhashBands).map { b =>
       val slice = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+        .map(i => s"mh$i").mkString(" || ',' || ")
       s"md5($slice) AS band$b"
     }.mkString(",\n  ")
     val unions = (0 until MinhashBands)
       .map(b => s"SELECT doc_id, $b AS band, band$b AS band_key FROM banded")
       .mkString("\nUNION ALL\n")
-    s"""WITH $docShinglesSql,
-       |hs AS (SELECT doc_id, shk % $MinhashP AS hm FROM sh),
+    s"""WITH th AS (SELECT doc_id, text,
+       |  list_transform(string_split(text, ' '), t -> ${Hashing.hash48Sql("t")} % $ShingleP) AS th
+       |FROM documents),
+       |sk AS (SELECT doc_id, ${shingleKeysSql("th", "text").replace("\n", " ")} AS sk FROM th),
        |mh AS (SELECT doc_id,
        |  $mins
-       |FROM hs GROUP BY doc_id),
+       |FROM sk),
        |banded AS (SELECT doc_id,
        |  $bands
        |FROM mh),

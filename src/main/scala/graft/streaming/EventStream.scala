@@ -31,6 +31,58 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  case class SigRow(bucket: String, doc_id: Long, ts: Timestamp)
+  case class CandPair(doc_a: Long, doc_b: Long, bucket: String)
+
+  /** Streaming MinHash near-dup candidates — the continuous twin of
+    * [[graft.dedup.Dedup.dedupMinhash]]. Signatures are a stateless
+    * projection (see `Dedup.bandedSignatures` — a doc's signature never
+    * needs other rows), so the only stateful piece is the bucket
+    * membership: per (band, band_key) bucket we keep the doc ids seen
+    * within the watermark horizon and emit a candidate pair the moment
+    * a new doc lands in a non-empty bucket. Event-time timeout drops a
+    * bucket's state once it has been quiet past the watermark — state
+    * is bounded by the late-data horizon, not the corpus.
+    * Input: streaming (ts TIMESTAMP, doc_id LONG, text STRING).
+    * Output: (doc_a, doc_b, bucket) — a pair repeats per matching band;
+    * compose with dropDuplicatesWithinWatermark for unique pairs.
+    */
+  def nearDupStream(docs: DataFrame, watermark: String = "1 hour",
+      stateTtlMs: Long = 60 * 60 * 1000L): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val sigs = graft.dedup.Dedup.bandedSignatures(docs, carry = Seq("ts"))
+      .select(concat(col("band").cast("string"), lit(":"), col("band_key")).as("bucket"),
+        col("doc_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[SigRow]
+    sigs
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: String, rows: Iterator[SigRow], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Nil)
+            val incoming = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var known = seen
+            val out = List.newBuilder[CandPair]
+            var maxTs = 0L
+            incoming.foreach { r =>
+              if (!known.contains(r.doc_id)) {
+                known.foreach { prev =>
+                  out += CandPair(math.min(prev, r.doc_id), math.max(prev, r.doc_id), bucket)
+                }
+                known = r.doc_id :: known
+              }
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            state.update(known)
+            state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Hourly tumbling counts per event type over a streaming frame of
     * (ts TIMESTAMP, event_type STRING, value DOUBLE).
     */

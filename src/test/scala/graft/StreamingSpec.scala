@@ -75,6 +75,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: duplicate docs pair across batches, distinct don't") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStream.nearDupStream(docs).writeStream
+      .format("memory").queryName("ndup").outputMode("append").start()
+    try {
+      val dup = "alpha beta gamma delta epsilon zeta eta theta"
+      input.addData((ts(0), 1L, dup), (ts(1), 2L, "totally different words here now ok yes"))
+      q.processAllAvailable()
+      input.addData((ts(2), 3L, dup)) // duplicate arrives in a LATER batch
+      q.processAllAvailable()
+      val pairs = spark.table("ndup").select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSet == Set((1L, 3L)), s"got ${pairs.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("text-stats operators run unchanged on a stream (stateless projections)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
