@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.expressions.CosineSimilarity
 
@@ -18,12 +19,22 @@ import graft.functions.expressions.CosineSimilarity
   */
 object Engine {
 
-  /** graft's native function surface, injected via extensions. */
+  /** graft's native function surface, injected via extensions.
+    * Arguments are wrapped in Cast to array<double> so float/int arrays
+    * compute correctly (the raw expression reads 8-byte slots) and
+    * non-array arguments fail analysis instead of returning garbage. */
   private def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"cosine_sim expects 2 arguments, got ${children.length}")
+        val Seq(a, b) = children.map(c =>
+          Cast(c, ArrayType(DoubleType, containsNull = true)))
+        CosineSimilarity(a, b)
+      }))
 
   def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)

@@ -164,7 +164,7 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,
         |  round(sum(value), 4) + 0.0 AS sum_value,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) + 0.0 AS avg_k
+        |  round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INT)), 4) + 0.0 AS avg_k
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q18_sessionize" ->
       """WITH lagged AS (

@@ -22,6 +22,12 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   /** events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark rejects by
     * default; read it as long nanos and rebuild a timestamp column.
+    *
+    * NOTE: the legacy flag is session-wide and intentionally NOT
+    * restored — the DataFrame is lazy, so the conf must still hold at
+    * execution time (a save/restore around the read would re-break the
+    * scan when the query actually runs). Side effect: other
+    * nanos-timestamp parquet reads in the session also arrive as LONG.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

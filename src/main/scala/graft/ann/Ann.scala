@@ -156,8 +156,9 @@ object Ann {
     broadcast(queries)
       .join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+      // no distinct: each vector has ONE cell and a query's probed cells
+      // are distinct, so (query_id, vec_id) pairs are already unique
       .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
-      .distinct()
       .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

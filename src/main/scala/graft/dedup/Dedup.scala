@@ -76,9 +76,9 @@ object Dedup {
        |  ELSE [${Hashing.hash48Sql(text)}] END""".stripMargin
   }
 
-  /** Exploded (doc_id, shingle-key) rows — duplicates kept (min-hash is
-    * duplicate-insensitive, so no distinct shuffle is paid for it). */
-  private def docShingles(docs: DataFrame): DataFrame =
+  /** Exploded (doc_id, shingle-key) rows — duplicates kept (cheap for
+    * consumers that are duplicate-insensitive or aggregate them away). */
+  private[graft] def docShingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
       .select(col("doc_id"),
@@ -263,10 +263,7 @@ object Dedup {
     // one explode + ONE shuffle builds the full inverted index:
     // shingle-hash -> sorted distinct doc list (collect_set also absorbs
     // repeated shingles within a doc, so no separate distinct pass)
-    val byShk = docs
-      .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
-      .select(col("doc_id"),
-        explode(shingleKeysFromHashes(col("th"), col("text"))).as("shk"))
+    val byShk = docShingles(docs)
       .groupBy(col("shk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     // per-doc distinct-shingle counts, derived from the same index (the

@@ -22,14 +22,10 @@ import graft.functions.Hashing
   * benchmarked `q22` entry.
   */
 object PrefixJaccard {
-  import Dedup.{shingleKeysFromHashes, tokenHashes, JaccardThreshold => T}
+  import Dedup.{JaccardThreshold => T}
 
   def ngramJaccardPrefix(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
-      .select(col("doc_id"),
-        explode(shingleKeysFromHashes(col("th"), col("text"))).as("shk"))
-      .distinct()
+    val sh = Dedup.docShingles(docs).distinct()
     val dfreq = sh.groupBy(col("shk")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val ranked = sh.join(dfreq, "shk")

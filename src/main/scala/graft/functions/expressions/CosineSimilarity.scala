@@ -22,10 +22,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
-  // inputs must be array<double> — callers cast upstream
-  // (ExpectsInputTypes/AbstractDataType are private[sql] in Spark 4)
+  // inputs must be array<double> — the Engine's registration wraps SQL
+  // arguments in a Cast to array<double>, and Column-API callers cast
+  // upstream (ExpectsInputTypes/AbstractDataType are private[sql] in
+  // Spark 4, so type errors surface from that Cast instead)
 
   override def dataType: DataType = DoubleType
+
+  /** Null when either input OR any consumed element is null — matching
+    * the composable zip_with/aggregate form's null propagation. */
+  override def nullable: Boolean = true
 
   override def prettyName: String = "cosine_sim"
 
@@ -38,6 +44,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = xs.getDouble(i)
       val y = ys.getDouble(i)
       dot += x * y
@@ -63,13 +70,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |double $na = 0.0;
          |double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = $a.getDouble($i);
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y;
          |  $na += $x * $x;
          |  $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -26,7 +26,7 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         (round(sum(col("value")), 4) + 0.0).as("sum_value"),
-        (round(avg(get_json_object(col("props"), "$.k").cast("int")), 4) + 0.0).as("avg_k"))
+        (round(avg(get_json_object(col("props"), "$.k").try_cast("int")), 4) + 0.0).as("avg_k"))
 
   /** #18 Gap-based sessionization (batch): a session breaks after 30
     * minutes of user inactivity. lag + running sum of session breaks —

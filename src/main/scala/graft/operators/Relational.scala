@@ -294,9 +294,10 @@ object Relational {
     * `across(starts_with("pct_"), ~.x*100)` (app_data.R): apply a Column
     * function to every column whose name matches the prefix, in place.
     * One projection; no shuffle. */
-  def transformPrefixed(df: DataFrame, prefix: String)(f: Column => Column): DataFrame =
-    df.columns.filter(_.startsWith(prefix))
-      .foldLeft(df)((d, c) => d.withColumn(c, f(col(c))))
+  def transformPrefixed(df: DataFrame, prefix: String)(f: Column => Column): DataFrame = {
+    val mapped = df.columns.filter(_.startsWith(prefix)).map(c => c -> f(col(c))).toMap
+    if (mapped.isEmpty) df else df.withColumns(mapped)
+  }
 
   /** Scale path for #16: exact `percentile` buffers every value per
     * group, which a 100 TB fact table cannot afford; `approx_percentile`

@@ -26,9 +26,15 @@ object Skew {
     * ways. Result columns = fact.* then dim.* minus its join key. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 1, "salting needs at least 2 buckets")
-    // deterministic per-row salt: spread is what matters, not secrecy
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a __salt column")
+    // salt mixes row content with a positional uniquifier: hot keys are
+    // usually byte-identical rows, and a content-only hash would send
+    // them all to ONE salt, defeating the spread. The salt never reaches
+    // the output, so its run-to-run instability cannot leak into results.
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
+      pmod(xxhash64((fact.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+        lit(buckets)).cast("int"))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     val dimCols = dim.columns.filterNot(_ == key)

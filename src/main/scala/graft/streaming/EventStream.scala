@@ -126,8 +126,12 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                // merge if within gap of the session's SPAN — a late but
+                // in-watermark event may precede state.start, so bounds
+                // take min/max rather than assuming arrival order
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -75,6 +75,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: late in-watermark event extends bounds, never corrupts them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      input.addData(Event(ts(20), 9L, "click", 1.0))
+      q.processAllAvailable()
+      // late event 5 min BEFORE the session start, still within watermark
+      input.addData(Event(ts(15), 9L, "click", 2.0))
+      q.processAllAvailable()
+      // a far-future event closes the session
+      input.addData(Event(ts(120), 9L, "view", 4.0))
+      q.processAllAvailable()
+      val s = spark.table("sess_late").as[Session].collect()
+        .find(_.n_events == 2).get
+      assert(s.session_start == ts(15) && s.session_end == ts(20),
+        s"bounds ${s.session_start}..${s.session_end}")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: duplicate docs pair across batches, distinct don't") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
