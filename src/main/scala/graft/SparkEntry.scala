@@ -38,6 +38,7 @@ object SparkEntry {
     "q28_tokens" -> textstats.TextStats.tokenCounts,
     "q29_fingerprint" -> textstats.TextStats.fingerprint,
     "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMeta,
+    "q31_profile" -> operators.Relational.profile,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -196,5 +197,6 @@ object SparkEntry {
     "q28_tokens" -> textstats.TextStats.tokenCountsSql,
     "q29_fingerprint" -> textstats.TextStats.fingerprintSql,
     "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMetaSql,
+    "q31_profile" -> operators.Relational.profileSql,
   )
 }

@@ -290,6 +290,39 @@ object Relational {
         r4(max(col("c_acctbal"))).as("bal_max"),
         r4(avg(col("c_acctbal"))).as("bal_mean"))
 
+  /** #31 Data profile — the generalization of the reference's assorted
+    * validation asserts (1:1 checks, NA drops, row-count sanity): one
+    * row per column with null and distinct counts. A single aggregate
+    * pass computes every column's stats (map-side combined), then a
+    * stack pivots to the long shape — profiling a 100 TB table costs
+    * one scan. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.customer(spark, dir)
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"),
+        count_distinct(col(c)).as(s"d_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c => s"'$c', n_$c, d_$c").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackExpr) AS (column_name, n_nulls, n_distinct)"))
+  }
+
+  val profileSql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val aggs = cols.flatMap(c => Seq(
+      s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_$c",
+      s"count(DISTINCT $c) AS d_$c")).mkString(",\n  ")
+    val unions = cols.map(c =>
+      s"SELECT '$c' AS column_name, n_$c AS n_nulls, d_$c AS n_distinct FROM wide")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wide AS (SELECT
+       |  $aggs
+       |FROM customer)
+       |$unions""".stripMargin
+  }
+
   /** Columns-by-prefix transform — the reference's
     * `across(starts_with("pct_"), ~.x*100)` (app_data.R): apply a Column
     * function to every column whose name matches the prefix, in place.

@@ -44,6 +44,30 @@ object Sinks {
     }
   }
 
+  /** Small-file compaction — the operational chore every incremental
+    * 100 TB parquet table accumulates: streaming/keyed-overwrite
+    * writers leave many small files, and scan efficiency dies on file-
+    * open overhead. Rewrites a dataset into ~`targetFileMB` files based
+    * on its actual on-disk size (staged into a temp dir first — the
+    * read and the overwrite cannot safely overlap on the same path). */
+  object Compaction {
+    def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+        targetFileMB: Int = 128): Int = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val bytes = fs.getContentSummary(p).getLength
+      val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+      val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+      spark.read.parquet(path).repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.delete(p, true)
+      if (!fs.rename(staging, p))
+        throw new java.io.IOException(s"compaction rename failed for $path")
+      nFiles
+    }
+  }
+
   /** CSV export — the reference's CSV COPY staging step
     * (district_gis_etl.py loads the crosswalk via CSV COPY). Parquet is
     * the engine-native format; this sink exists for interchange with

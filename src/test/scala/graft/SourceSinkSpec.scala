@@ -89,6 +89,21 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("Compaction: many small files collapse to few, data intact") {
+    val path = tmp() + "/t"
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    orders.repartition(24).write.parquet(path) // fragment into 24 small files
+    val before = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 20)
+    val checksum = orders.agg(sum("o_totalprice")).head.getDouble(0)
+    Sinks.Compaction.compact(spark, path, targetFileMB = 512)
+    val after = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after <= 2, s"still $after files")
+    val back = spark.read.parquet(path)
+    assert(back.count() == orders.count())
+    assert(math.abs(back.agg(sum("o_totalprice")).head.getDouble(0) - checksum) < 1e-6)
+  }
+
   test("#34 PartitionedParquet: partition dirs exist, files sorted on key") {
     val path = tmp() + "/t"
     val orders = Tables.orders(spark, dir)
