@@ -266,8 +266,11 @@ object Dedup {
     val byShk = docShingles(docs)
       .groupBy(col("shk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-    // per-doc distinct-shingle counts, derived from the same index (the
-    // exchange below the index aggregate is reused, not recomputed)
+    // per-doc distinct-shingle counts, derived from the index via an
+    // aggregate. NOT a projection on purpose: an aggregate is an
+    // optimizer barrier, while a projected n_sh expression gets inlined
+    // PAST the pair join and recomputed per candidate pair (measured
+    // 40x slower — 1.1M pairs x full shingle pipeline per side)
     val counts = byShk
       .select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
