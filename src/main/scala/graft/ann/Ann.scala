@@ -90,12 +90,8 @@ object Ann {
     val emb = embCast(embeddings)
     // plane index offset per table gives independent hash families
     val withBuckets = (0 until LshTables).foldLeft(emb) { (df, t) =>
-      val bits = (0 until LshPlanes).map { j =>
-        when(VectorMath.dot(col("v"),
-          typedLit(Hyperplanes.plane(t * LshPlanes + j, dim))) > 0.0, lit("1"))
-          .otherwise(lit("0"))
-      }
-      df.withColumn(s"b$t", concat(bits: _*))
+      df.withColumn(s"b$t",
+        Hyperplanes.bucket(col("v"), LshPlanes, dim, planeOffset = t * LshPlanes))
     }
     val tables = (0 until LshTables).map { t =>
       withBuckets.select(col("vec_id"), col("v"),
@@ -103,11 +99,14 @@ object Ann {
     }.reduce(_ unionByName _)
     val queries = tables.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    // dedupe multi-table repeats on the scalar pair key — a distinct
+    // over rows still carrying both 64-double vectors would shuffle and
+    // compare ~1 KB per candidate instead of 16 bytes
     val cands = broadcast(queries)
       .join(tables, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
-      .distinct()
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cands
@@ -174,14 +173,19 @@ object Ann {
   val NearDupPlanes = 4
   val NearDupCos = 0.3
 
-  /** Embedding near-dup: vectors in the same 4-plane sign bucket with
-    * exact cosine ≥ threshold. Bucketing bounds the pair join to
-    * within-bucket candidates (O(Σ bucket²), not O(n²)); the oracle
-    * regenerates the identical planes from md5 so it reproduces the LSH
+  /** Embedding near-dup: vectors in the same sign bucket with exact
+    * cosine ≥ threshold. Bucketing bounds the pair join to within-bucket
+    * candidates: Σ bucket² over 2^planes buckets. `planes` MUST be
+    * sized to the corpus — buckets average n/2^planes, so pair work is
+    * ~n²/2^planes; pick planes ≈ log2(n / targetBucket) (e.g. ~20
+    * planes for 10^9 vectors at ~1k-vector buckets). The default 4
+    * matches the oracle-checked q23 on the small testdata; the oracle
+    * regenerates identical planes from md5 so it reproduces the LSH
     * decision exactly rather than approximating it. */
-  def embedNearDup(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
+  def embedNearDup(embeddings: DataFrame, dim: Int = Dim,
+      planes: Int = NearDupPlanes): DataFrame = {
     val emb = embCast(embeddings)
-      .withColumn("bucket", Hyperplanes.bucket(col("v"), NearDupPlanes, dim))
+      .withColumn("bucket", Hyperplanes.bucket(col("v"), planes, dim))
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

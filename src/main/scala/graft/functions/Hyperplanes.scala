@@ -35,10 +35,13 @@ object Hyperplanes {
     (0 until dim).map(c => component(j, c))
 
   /** Bucket-signature column: '0'/'1' per plane, concatenated in plane
-    * order. `vec` must be array<double>. */
-  def bucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    * order. `vec` must be array<double>. `planeOffset` selects an
+    * independent hash-family member (multi-table LSH uses offset
+    * t·nPlanes for table t). */
+  def bucket(vec: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
-      when(VectorMath.dot(vec, typedLit(plane(j, dim))) > 0.0, lit("1")).otherwise(lit("0"))
+      when(VectorMath.dot(vec, typedLit(plane(planeOffset + j, dim))) > 0.0, lit("1"))
+        .otherwise(lit("0"))
     }
     concat(bits: _*)
   }

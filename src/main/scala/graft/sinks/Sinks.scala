@@ -27,43 +27,52 @@ object Sinks {
 
   object KeyedOverwriteSink {
     /** Replace only the key-partitions present in `df`, leaving all
-      * other partitions untouched. */
-    def write(df: DataFrame, path: String, keyCol: String): Unit = {
-      val spark = df.sparkSession
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        df.write
-          .mode(SaveMode.Overwrite)
-          .partitionBy(keyCol)
-          .parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+      * other partitions untouched. The overwrite mode is a PER-WRITE
+      * option, not a session-conf mutation: toggling the session conf
+      * races with concurrent writers on the same SparkSession (the
+      * other writer could pick up 'static' and wipe the whole table). */
+    def write(df: DataFrame, path: String, keyCol: String): Unit =
+      df.write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(keyCol)
+        .parquet(path)
   }
 
   /** Small-file compaction — the operational chore every incremental
-    * 100 TB parquet table accumulates: streaming/keyed-overwrite
-    * writers leave many small files, and scan efficiency dies on file-
-    * open overhead. Rewrites a dataset into ~`targetFileMB` files based
-    * on its actual on-disk size (staged into a temp dir first — the
-    * read and the overwrite cannot safely overlap on the same path). */
+    * 100 TB parquet table accumulates: streaming writers leave many
+    * small files, and scan efficiency dies on file-open overhead.
+    * Rewrites a dataset into ~`targetFileMB` files based on its actual
+    * on-disk size. UNPARTITIONED datasets only (a partitioned layout
+    * would be flattened — the method refuses). The swap is
+    * rename-based: stage → retire old → promote staging → drop old;
+    * a crash can leave the retired copy at `<path>.compact-old` but
+    * never zero copies. */
   object Compaction {
     def compact(spark: org.apache.spark.sql.SparkSession, path: String,
         targetFileMB: Int = 128): Int = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path) // normalizes trailing '/'
+      val fs = p.getFileSystem(conf) // the PATH's fs, not the default fs
+      val partitioned = fs.listStatus(p)
+        .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+      require(!partitioned,
+        s"$path has partition directories; compaction would flatten the layout")
       val bytes = fs.getContentSummary(p).getLength
       val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
-      val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
-      spark.read.parquet(path).repartition(nFiles)
+      // siblings of the dataset dir, never children
+      val staging = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".compact-staging")
+      val retired = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".compact-old")
+      spark.read.parquet(p.toString).repartition(nFiles)
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.delete(p, true)
-      if (!fs.rename(staging, p))
-        throw new java.io.IOException(s"compaction rename failed for $path")
+      fs.delete(retired, true)
+      if (!fs.rename(p, retired))
+        throw new java.io.IOException(s"compaction could not retire $p")
+      if (!fs.rename(staging, p)) {
+        fs.rename(retired, p) // roll back: restore the original
+        throw new java.io.IOException(s"compaction rename failed for $path; original restored")
+      }
+      fs.delete(retired, true)
       nFiles
     }
   }

@@ -32,7 +32,18 @@ object EventStream {
       .dropDuplicatesWithinWatermark("text_hash")
 
   case class SigRow(bucket: String, doc_id: Long, ts: Timestamp)
-  case class CandPair(doc_a: Long, doc_b: Long, bucket: String)
+  /** `ts` = event time of the doc whose arrival created the pair, so
+    * downstream watermark-aware ops (dedup of the per-band repeats)
+    * remain possible. */
+  case class CandPair(doc_a: Long, doc_b: Long, bucket: String, ts: Timestamp)
+  case class BucketState(docs: List[Long], maxTs: Long)
+
+  /** Cap on docs tracked per bucket: a pathological bucket (boilerplate
+    * band shared by endless near-identical docs) would otherwise grow
+    * state and emit O(n²) pairs. Docs past the cap still pair with the
+    * tracked members — enough to mark them duplicates — but are not
+    * added. The batch twin's analog is the posting-list bound. */
+  val MaxBucketDocs = 64
 
   /** Streaming MinHash near-dup candidates — the continuous twin of
     * [[graft.dedup.Dedup.dedupMinhash]]. Signatures are a stateless
@@ -44,8 +55,9 @@ object EventStream {
     * bucket's state once it has been quiet past the watermark — state
     * is bounded by the late-data horizon, not the corpus.
     * Input: streaming (ts TIMESTAMP, doc_id LONG, text STRING).
-    * Output: (doc_a, doc_b, bucket) — a pair repeats per matching band;
-    * compose with dropDuplicatesWithinWatermark for unique pairs.
+    * Output: (doc_a, doc_b, bucket, ts) — a pair repeats per matching
+    * band; re-watermark on `ts` and dropDuplicatesWithinWatermark on
+    * (doc_a, doc_b) for unique pairs.
     */
   def nearDupStream(docs: DataFrame, watermark: String = "1 hour",
       stateTtlMs: Long = 60 * 60 * 1000L): Dataset[CandPair] = {
@@ -57,26 +69,29 @@ object EventStream {
       .as[SigRow]
     sigs
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState[List[Long], CandPair](
+      .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (bucket: String, rows: Iterator[SigRow], state: GroupState[List[Long]]) =>
+        (bucket: String, rows: Iterator[SigRow], state: GroupState[BucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val seen = state.getOption.getOrElse(Nil)
+            val prev = state.getOption.getOrElse(BucketState(Nil, 0L))
             val incoming = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-            var known = seen
+            var known = prev.docs
             val out = List.newBuilder[CandPair]
-            var maxTs = 0L
+            // maxTs is monotone across batches: a late (in-watermark)
+            // event must never REWIND the timeout already registered,
+            // or still-live state expires early and pairs are lost
+            var maxTs = prev.maxTs
             incoming.foreach { r =>
               if (!known.contains(r.doc_id)) {
-                known.foreach { prev =>
-                  out += CandPair(math.min(prev, r.doc_id), math.max(prev, r.doc_id), bucket)
+                known.foreach { p =>
+                  out += CandPair(math.min(p, r.doc_id), math.max(p, r.doc_id), bucket, r.ts)
                 }
-                known = r.doc_id :: known
+                if (known.size < MaxBucketDocs) known = r.doc_id :: known
               }
               maxTs = math.max(maxTs, r.ts.getTime)
             }
-            state.update(known)
+            state.update(BucketState(known, maxTs))
             state.setTimeoutTimestamp(maxTs + stateTtlMs)
             out.result().iterator
           }
