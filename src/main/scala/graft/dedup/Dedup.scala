@@ -36,13 +36,8 @@ object Dedup {
     * Collision space 2^62 → negligible at any corpus size, and
     * collisions are identical on both engines regardless. */
   val ShingleP: Long = 2147483647L // Mersenne prime 2^31-1
-  private def mixconst(k: Int): Long = {
-    val h = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s"c:$k".getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString, 16)
-    h % (ShingleP - 1) + 1
-  }
-  private val MixCoefs: Seq[Long] = (0 until 6).map(mixconst)
+  private val MixCoefs: Seq[Long] =
+    (0 until 6).map(k => Hashing.derivedConst("c", k, ShingleP - 1, 1))
 
   /** Per-token 31-bit hashes. MUST be materialized as its own projected
     * column before feeding [[shingleKeysFromHashes]] — passing the
@@ -124,16 +119,11 @@ object Dedup {
     * per shingle — 16× less hashing than K independent md5s, identical
     * arithmetic on both engines (products stay < 2^62, no overflow). */
   val MinhashP = 2147483647L
-  private def md5const(tag: String, i: Int, mod: Long, offset: Long): Long = {
-    val h = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$tag:$i".getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString, 16)
-    h % mod + offset
-  }
   /** (a_i, b_i) per signature position, a_i ∈ [1, p-1], b_i ∈ [0, p-1]. */
   val MinhashCoefs: Seq[(Long, Long)] =
     (0 until MinhashK).map(i =>
-      (md5const("a", i, MinhashP - 1, 1), md5const("b", i, MinhashP, 0)))
+      (Hashing.derivedConst("a", i, MinhashP - 1, 1),
+        Hashing.derivedConst("b", i, MinhashP, 0)))
 
   /** Per-doc (band, band_key) rows as a PURE PROJECTION + one explode:
     * each of the K min-hashes is `array_min` over the shingle-key array

@@ -41,4 +41,19 @@ object Hashing {
 
   def hash24Sql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 6))::BIGINT"
+
+  // ---- JVM-side twins (for driver-derived constants) ----
+
+  /** JVM md5 hex — byte-identical to SQL md5 on both engines. */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Deterministic constant from md5("tag:i"): first 24 bits, then
+    * `% mod + offset`. The ONE recipe behind every driver-derived
+    * hash-family coefficient (minhash a/b, shingle mixes); keep in sync
+    * with nothing — everything calls this. */
+  def derivedConst(tag: String, i: Int, mod: Long, offset: Long): Long =
+    java.lang.Long.parseLong(md5hex(s"$tag:$i").substring(0, 6), 16) % mod + offset
 }

@@ -1,8 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -22,13 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Hyperplanes {
 
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-
   def component(plane: Int, coord: Int): Double =
-    java.lang.Long.parseLong(md5hex(s"$plane,$coord").substring(0, 6), 16) / 8388607.5 - 1.0
+    java.lang.Long.parseLong(Hashing.md5hex(s"$plane,$coord").substring(0, 6), 16) / 8388607.5 - 1.0
 
   /** Plane j as a dim-length array. */
   def plane(j: Int, dim: Int): Seq[Double] =

@@ -28,6 +28,9 @@ object Skew {
     require(buckets > 1, "salting needs at least 2 buckets")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "input already has a __salt column")
+    val shared = fact.columns.toSet.intersect(dim.columns.toSet) - key
+    require(shared.isEmpty,
+      s"fact and dim share non-key columns ${shared.mkString(", ")}; rename before joining")
     // salt mixes row content with a positional uniquifier: hot keys are
     // usually byte-identical rows, and a content-only hash would send
     // them all to ONE salt, defeating the spread. The salt never reaches

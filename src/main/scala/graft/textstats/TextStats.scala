@@ -92,8 +92,9 @@ object TextStats {
       .withColumn("mean_tok_len",
         (col("n_chars2") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .withColumn("stop_ratio", stopCount("en").cast("double") / col("n_tokens"))
-      .withColumn("punct_ratio",
-        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") / col("n_chars2"))
+      .withColumn("punct_ratio", // greatest guards empty text (0 chars)
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+          / greatest(col("n_chars2"), lit(1)))
       .withColumn("quality_score",
         least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
           least(col("stop_ratio") * 5.0, lit(1.0)) * 0.4 +
@@ -117,7 +118,7 @@ object TextStats {
        |  SELECT doc_id, n_tokens,
        |    (nc - (n_tokens - 1)) * 1.0 / n_tokens AS mean_tok_len,
        |    n_stop * 1.0 / n_tokens AS stop_ratio,
-       |    n_punct * 1.0 / nc AS punct_ratio
+       |    n_punct * 1.0 / greatest(nc, 1) AS punct_ratio
        |  FROM base)
        |SELECT doc_id, n_tokens,
        |  round(mean_tok_len, 4) AS mean_tok_len,
@@ -139,7 +140,9 @@ object TextStats {
       .withColumn("ws_tokens", size(tokens))
       .withColumn("bpe_tokens", regexp_count(col("text"), lit(BpePattern)))
       .select(col("doc_id"), col("n_chars"), col("ws_tokens"), col("bpe_tokens"),
-        round(col("n_chars").cast("double") / col("bpe_tokens"), 4).as("chars_per_token"))
+        // greatest guards whitespace-only text (0 bpe tokens)
+        round(col("n_chars").cast("double") / greatest(col("bpe_tokens"), lit(1)), 4)
+          .as("chars_per_token"))
 
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(spark, dir))
@@ -147,7 +150,7 @@ object TextStats {
   val tokenCountsSql: String =
     s"""SELECT doc_id, n_chars, len(string_split(text, ' ')) AS ws_tokens,
        |  len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens,
-       |  round(n_chars * 1.0 / len(regexp_extract_all(text, '$BpePattern')), 4) AS chars_per_token
+       |  round(n_chars * 1.0 / greatest(len(regexp_extract_all(text, '$BpePattern')), 1), 4) AS chars_per_token
        |FROM documents""".stripMargin
 
   // ---- #29 document fingerprint ----
