@@ -33,6 +33,19 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12) // self-cosine is 1
   }
 
+  test("mismatched-length and null-element inputs yield null, same as the composable form") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),       // length mismatch
+      (Seq(1.0, 2.0), Seq(1.0, 2.0))              // control: valid
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorMath.cosineFast(col("a"), col("b")).as("fused"),
+      VectorMath.cosine(col("a"), col("b")).as("composable")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // both null on mismatch
+    assert(!out(1).isNullAt(0) && out(1).getDouble(0) == out(1).getDouble(1))
+  }
+
   test("interpreted eval path agrees with codegen") {
     val emb = Tables.embeddings(spark, dir)
       .select(col("embedding").cast("array<double>").as("v")).limit(10).collect()
