@@ -191,7 +191,8 @@ object SparkEntry {
     "q22_ngram_jaccard" -> dedup.Dedup.ngramJaccardSql,
     "q23_embed_neardup" -> ann.Ann.embedNearDupSql,
     "q24_ann_brute" -> ann.Ann.annBruteSql,
-    // q25_ann_lsh, q25b_ann_ivf: rows-only (recall-dependent; asserted in AnnSpec)
+    "q25_ann_lsh" -> ann.Ann.annLshSql,
+    "q25b_ann_ivf" -> ann.Ann.annIvfSql,
     "q26_langid" -> textstats.TextStats.langidSql,
     "q27_quality" -> textstats.TextStats.qualitySql,
     "q28_tokens" -> textstats.TextStats.tokenCountsSql,

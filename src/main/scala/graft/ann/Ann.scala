@@ -84,8 +84,9 @@ object Ann {
     * rank within candidates. Per table the shuffle key is the bucket id,
     * so candidate generation is a hash join on a small key — O(n·tables)
     * — never a cross join. Recall vs [[annBrute]] is asserted in
-    * AnnSpec; rows-only oracle (result depends on LSH recall, so a
-    * brute-force SQL twin would not hash-match). */
+    * AnnSpec; the pipeline itself is fully deterministic (md5-derived
+    * planes), so [[annLshSql]] reproduces the exact bucket decision and
+    * the oracle hash-matches — it verifies THIS plan, not brute force. */
   def annLsh(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
     val emb = embCast(embeddings)
     // plane index offset per table gives independent hash families
@@ -120,25 +121,63 @@ object Ann {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(Tables.embeddings(spark, dir))
 
+  /** DuckDB twin of [[annLsh]]: regenerates the identical
+    * `LshTables·LshPlanes` hyperplanes from md5 (same technique as
+    * [[embedNearDupSql]]), buckets per table with the same bit order
+    * (`ORDER BY j` within `j // LshPlanes`), joins candidates on
+    * (table, bucket), and ranks by the same left-fold cosine — so the
+    * whole LSH decision, not an approximation of it, is hash-checked. */
+  val annLshSql: String = {
+    val cos = s"(${VectorMath.dotSql("qe.v", "e.v", Dim)} / (qe.nrm * e.nrm))"
+    s"""WITH hp AS (${Hyperplanes.planesCteSql(LshTables * LshPlanes, Dim).replace("\n", " ")}),
+       |emb AS (${embCteSql.replace("\n", " ")}),
+       |sig AS (
+       |  SELECT e.vec_id, hp.j // $LshPlanes AS tbl,
+       |    string_agg(CASE WHEN ${VectorMath.dotSql("e.v", "hp.h", Dim)} > 0 THEN '1' ELSE '0' END,
+       |               '' ORDER BY hp.j) AS bucket
+       |  FROM emb e CROSS JOIN hp GROUP BY e.vec_id, hp.j // $LshPlanes),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+       |  FROM sig q JOIN sig b ON q.tbl = b.tbl AND q.bucket = b.bucket AND b.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id, $cos AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb e ON e.vec_id = c.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) + 0.0 AS cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $TopK""".stripMargin
+  }
+
   // ---- IVF ANN (scale path #2: coarse quantizer + multi-probe) ----
 
   val IvfCells = 16
   val IvfProbes = 4
 
-  /** IVF ANN: a coarse quantizer of `nCells` sampled centroids (the
-    * cheap deterministic stand-in for a k-means job — at 100 TB you'd
-    * fit centroids on a sample and broadcast them exactly like this);
-    * every vector is assigned to its best-cosine cell, queries probe
-    * their `nProbe` best cells, and exact cosine ranks the candidates.
+  /** Coarse-quantizer fit: the first `nCells` vectors in `vec_id` order
+    * as centroids — the cheap deterministic stand-in for a k-means job.
+    * This is the ONLY place IVF touches the driver, and it is a separate
+    * fit step by design: at 100 TB you fit centroids once on a sample,
+    * cache them, and pass them to every [[annIvf]] query — the query
+    * path itself never collects. */
+  def fitCentroids(embeddings: DataFrame, nCells: Int = IvfCells): Seq[(Int, Seq[Double])] =
+    embCast(embeddings).orderBy(col("vec_id")).limit(nCells).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+  /** IVF ANN over pre-fitted centroids (see [[fitCentroids]]): every
+    * vector is assigned to its best-cosine cell, queries probe their
+    * `nProbe` best cells, and exact cosine ranks the candidates.
     * Shuffle key is the cell id — candidate generation is an equi-join
     * on a small int, never a cross join; probed fraction ≈ nProbe/nCells
     * bounds work per query. Centroids are literals in the plan, so cell
-    * assignment is a pure codegen'd projection over the scan. */
-  def annIvf(embeddings: DataFrame, dim: Int = Dim, nCells: Int = IvfCells,
+    * assignment is a pure codegen'd projection over the scan — no join,
+    * no collect, nothing driver-side in this path. */
+  def annIvf(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
       nProbe: Int = IvfProbes, k: Int = TopK): DataFrame = {
     val emb = embCast(embeddings)
-    val centroids = emb.orderBy(col("vec_id")).limit(nCells).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     // per-row array of (cos-to-centroid, cell), sorted best-first
     val scoredCells = reverse(array_sort(array(centroids.map { case (cid, cv) =>
       struct(VectorMath.cosineFast(col("v"), typedLit(cv)).as("cos"),
@@ -165,8 +204,51 @@ object Ann {
         (round(col("cos"), 4) + 0.0).as("cos"))
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame =
-    annIvf(Tables.embeddings(spark, dir))
+  /** Registered q25b: explicit fit-then-query composition (the fit is
+    * the one collect, outside the query plan). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annIvf(emb, fitCentroids(emb))
+  }
+
+  /** DuckDB twin of [[fitCentroids]]+[[annIvf]]: re-derives the same
+    * centroids (first `IvfCells` vectors by vec_id, cell = rank-1),
+    * assigns cells with the same (cos DESC, cell DESC) order that
+    * `reverse(array_sort(struct(cos, cell)))` produces, probes the same
+    * `IvfProbes` cells per query, and ranks with the same left-fold
+    * cosine — exact hash parity with the registered pipeline. */
+  val annIvfSql: String = {
+    val ccos = s"(${VectorMath.dotSql("e.v", "c.v", Dim)} / (e.nrm * c.nrm))"
+    val cos = s"(${VectorMath.dotSql("qe.v", "e.v", Dim)} / (qe.nrm * e.nrm))"
+    s"""WITH emb AS (${embCteSql.replace("\n", " ")}),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v, nrm
+       |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT $IvfCells)),
+       |cellscore AS (
+       |  SELECT e.vec_id, c.cell, $ccos AS ccos
+       |  FROM emb e CROSS JOIN cent c),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crk
+       |  FROM cellscore),
+       |assigned AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM ranked
+       |  WHERE vec_id % $QueryStride = 0 AND crk <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id, $cos AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb e ON e.vec_id = c.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) + 0.0 AS cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $TopK""".stripMargin
+  }
 
   // ---- #23 embedding near-duplicate pairs (shared LSH) ----
 

@@ -52,6 +52,21 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall below floor")
   }
 
+  test("IVF ANN: centroid-param path is collect-free and matches the registered fit+query") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ann.fitCentroids(emb)
+    assert(cents.length == Ann.IvfCells)
+    assert(cents.map(_._1) == (0 until Ann.IvfCells))
+    val viaParam = Ann.annIvf(emb, cents).cache()
+    val registered = Ann.annIvf(spark, dir)
+    assert(viaParam.except(registered).count() == 0)
+    assert(registered.except(viaParam).count() == 0)
+    // the query plan over pre-fitted centroids must not scan for them:
+    // centroids appear only as literals (no extra exchange/limit subtree)
+    val plan = viaParam.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("globallimit"), "centroid TakeOrdered leaked into query plan")
+  }
+
   test("q23 embed near-dup: pairs share a bucket and clear the cosine floor") {
     val df = ann.Ann.embedNearDup(spark, dir).cache()
     assert(df.filter(col("cos") < Ann.NearDupCos).count() == 0)
