@@ -39,6 +39,7 @@ object SparkEntry {
     "q29_fingerprint" -> textstats.TextStats.fingerprint,
     "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMeta,
     "q31_profile" -> operators.Relational.profile,
+    "q32_regression" -> operators.Regression.regression,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -199,5 +200,6 @@ object SparkEntry {
     "q29_fingerprint" -> textstats.TextStats.fingerprintSql,
     "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMetaSql,
     "q31_profile" -> operators.Relational.profileSql,
+    "q32_regression" -> operators.Regression.regressionSql,
   )
 }

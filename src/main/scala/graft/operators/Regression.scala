@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Weighted regression (SURVEY.md §2 #35): the model-fitting capability
+  * behind the reference's headline analysis —
+  * `glm(q2_yes_prop ~ ..., family = quasibinomial, weights =
+  * response_total)` (/root/reference/run_analysis.Rmd:120-146) with tidy
+  * coefficient extraction (run_analysis.Rmd:247-260).
+  *
+  * Engine shape: weighted least squares via closed-form normal
+  * equations. The sufficient statistics (X'WX, X'Wy — 10 sums for two
+  * predictors + intercept) are ONE map-side-combinable aggregate pass
+  * over the fact, then the 3×3 solve is pure scalar arithmetic — so the
+  * whole fit is a single job whose shuffle carries 10 numbers,
+  * regardless of corpus size. The quasibinomial family is IRLS on top:
+  * each iteration re-weights and re-runs the same one-pass WLS
+  * ([[glmQuasibinomial]]).
+  *
+  * Oracle parity: double sums are order-dependent (Spark's partial
+  * aggregation order ≠ DuckDB's), so the per-row terms are snapped to
+  * fixed-point (floor(t·10⁶) summed as DECIMAL(38,0) — exact integer
+  * arithmetic, order-free) and recovered to doubles before the solve.
+  * The solve formulas are shared SQL text run by BOTH engines, so every
+  * downstream double op has identical operand order → bitwise-equal
+  * coefficients (SURVEY.md §5).
+  */
+object Regression {
+
+  /** Fixed-point snap scale for sufficient-statistic terms. 10⁶ keeps
+    * term·scale < 2^53 for O(10³)-magnitude features (exact floor on
+    * both engines) while the DECIMAL(38,0) sums have ~10²⁸ headroom —
+    * enough for 10²⁰ rows of such terms, i.e. never the overflow at
+    * 100 TB (keep features O(1)–O(10³) by scaling, as here). */
+  val FixedScale = 1000000.0
+
+  /** (sum name, per-row term) for X'WX and X'Wy with X = [1, x1, x2].
+    * The term strings are Spark AND DuckDB SQL — one source, no drift. */
+  private val Terms: Seq[(String, String)] = Seq(
+    "sw" -> "w",
+    "sx1" -> "w * x1",
+    "sx2" -> "w * x2",
+    "sx11" -> "w * x1 * x1",
+    "sx12" -> "w * x1 * x2",
+    "sx22" -> "w * x2 * x2",
+    "sy" -> "w * y",
+    "sx1y" -> "w * x1 * y",
+    "sx2y" -> "w * x2 * y",
+    "syy" -> "w * y * y",
+  )
+
+  private def fixedSql(t: String): String =
+    s"CAST(floor(($t) * $FixedScale) AS DECIMAL(38,0))"
+
+  // Cramer's rule for the symmetric 3×3 system A·b = c,
+  // A = [[sw,sx1,sx2],[sx1,sx11,sx12],[sx2,sx12,sx22]], c = [sy,sx1y,sx2y].
+  // Shared text ⇒ identical FP operand order on both engines.
+  private val DetSql =
+    "(sw * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2))"
+  private val Det0Sql =
+    "(sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y))"
+  private val Det1Sql =
+    "(sw * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2))"
+  private val Det2Sql =
+    "(sw * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2))"
+  /** Weighted R² from the same sums: SSE = Σwy² − b·(X'Wy) (exact at the
+    * WLS optimum), SST = Σwy² − (Σwy)²/Σw. */
+  private val R2Sql =
+    "round(1.0 - (syy - (b0 * sy + b1 * sx1y + b2 * sx2y)) / (syy - sy * sy / sw), 6) + 0.0"
+
+  /** One-pass sufficient statistics over a prepared frame with double
+    * columns (w, x1, x2, y): exact DECIMAL(38,0) fixed-point sums. */
+  def sufficientStats(rows: DataFrame): DataFrame =
+    rows.agg(
+      count(lit(1)).as("n_rows"),
+      Terms.map { case (n, t) =>
+        expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
+      }: _*)
+
+  private def recover(stats: DataFrame): DataFrame =
+    stats.select(col("n_rows") +: Terms.map { case (n, _) =>
+      expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
+    }: _*)
+
+  /** Engine-side WLS fit: (w, x1, x2, y) rows → one row with
+    * n_rows, b_intercept, b_x1, b_x2, r2 (coefficients round-6). */
+  def wlsFit(rows: DataFrame): DataFrame =
+    recover(sufficientStats(rows))
+      .select(col("n_rows"),
+        col("sw"), col("sy"), col("sx1y"), col("sx2y"), col("syy"),
+        expr(s"$Det0Sql / $DetSql").as("b0"),
+        expr(s"$Det1Sql / $DetSql").as("b1"),
+        expr(s"$Det2Sql / $DetSql").as("b2"))
+      .select(col("n_rows"),
+        expr("round(b0, 6) + 0.0").as("b_intercept"),
+        expr("round(b1, 6) + 0.0").as("b_x1"),
+        expr("round(b2, 6) + 0.0").as("b_x2"),
+        expr(R2Sql).as("r2"))
+
+  /** Driver-side solve (for IRLS's per-iteration coefficients — three
+    * doubles cross the driver per iteration, nothing else). */
+  final case class Coefs(b0: Double, b1: Double, b2: Double, n: Long)
+
+  def wlsFitCollect(rows: DataFrame): Coefs = {
+    val r = recover(sufficientStats(rows)).head()
+    def d(name: String): Double = r.getDouble(r.fieldIndex(name))
+    val (sw, sx1, sx2) = (d("sw"), d("sx1"), d("sx2"))
+    val (sx11, sx12, sx22) = (d("sx11"), d("sx12"), d("sx22"))
+    val (sy, sx1y, sx2y) = (d("sy"), d("sx1y"), d("sx2y"))
+    val det = sw * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+    val det0 = sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    val det1 = sw * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+    val det2 = sw * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+    Coefs(det0 / det, det1 / det, det2 / det, r.getLong(r.fieldIndex("n_rows")))
+  }
+
+  /** Quasibinomial GLM via IRLS (the reference's family;
+    * run_analysis.Rmd:120-146): each iteration recomputes the working
+    * response z = η + (y−μ)/(μ(1−μ)) and weight w·μ(1−μ), then re-runs
+    * the one-pass WLS. Iterations are sequential jobs; per-iteration
+    * driver traffic is 3 coefficients. Proportions y ∈ [0,1] with
+    * case weights w, exactly like the reference's weighted glm. */
+  def glmQuasibinomial(rows: DataFrame, iters: Int = 8): Coefs = {
+    var b = wlsFitCollect(rows) // linear-probability warm start
+    for (_ <- 0 until iters) {
+      val eta = lit(b.b0) + lit(b.b1) * col("x1") + lit(b.b2) * col("x2")
+      val working = rows
+        .withColumn("eta", eta)
+        .withColumn("mu", lit(1.0) / (lit(1.0) + exp(-col("eta"))))
+        // clamp so a saturated μ can't zero the IRLS weight
+        .withColumn("mu", least(greatest(col("mu"), lit(1e-10)), lit(1.0 - 1e-10)))
+        .select(
+          (col("w") * col("mu") * (lit(1.0) - col("mu"))).as("w"),
+          col("x1"), col("x2"),
+          (col("eta") + (col("y") - col("mu")) / (col("mu") * (lit(1.0) - col("mu")))).as("y"))
+      b = wlsFitCollect(working)
+    }
+    b
+  }
+
+  // ---- q32: the registered fit on the testdata star schema ----
+
+  /** Analysis frame mirroring the reference's unit of analysis (district
+    * proportions with respondent-count weights → here: per-customer
+    * proportion of F-status orders weighted by order count):
+    * y = n_F/n, w = n, x1 = acctbal/10³, x2 = avg order value/10⁵.
+    * The per-group price sum is snapped to exact cents before dividing
+    * (double sum order differs between engines; SURVEY.md §5). */
+  def regressionRows(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).cast("double").as("w"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("double").as("nf"),
+        sum(expr("CAST(floor(o_totalprice * 100.0) AS DECIMAL(38,0))")).as("spi"))
+    base.join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("w"),
+        (col("nf") / col("w")).as("y"),
+        (col("c_acctbal") / 1000.0).as("x1"),
+        (col("spi").cast("double") / 100.0 / col("w") / 100000.0).as("x2"))
+  }
+
+  def regression(spark: SparkSession, dir: String): DataFrame =
+    wlsFit(regressionRows(spark, dir))
+
+  /** DuckDB twin: same row prep, same fixed-point sums, same shared
+    * solve text — coefficients hash-match bitwise. */
+  val regressionSql: String = {
+    val sums = Terms.map { case (n, t) =>
+      s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0)) AS ${n}_i"
+    }.mkString(",\n  ")
+    val rec = Terms.map { case (n, _) =>
+      s"CAST(${n}_i AS DOUBLE) / $FixedScale AS $n"
+    }.mkString(",\n  ")
+    s"""WITH base AS (
+       |  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS w,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS nf,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spi
+       |  FROM orders GROUP BY o_custkey),
+       |rws AS (
+       |  SELECT w, nf / w AS y, c_acctbal / 1000.0 AS x1,
+       |    CAST(spi AS DOUBLE) / 100.0 / w / 100000.0 AS x2
+       |  FROM base JOIN customer ON o_custkey = c_custkey),
+       |sums AS (SELECT count(*) AS n_rows,
+       |  $sums
+       |FROM rws),
+       |rec AS (SELECT n_rows,
+       |  $rec
+       |FROM sums),
+       |solved AS (SELECT n_rows, sw, sy, sx1y, sx2y, syy,
+       |  $Det0Sql / $DetSql AS b0,
+       |  $Det1Sql / $DetSql AS b1,
+       |  $Det2Sql / $DetSql AS b2
+       |FROM rec)
+       |SELECT n_rows,
+       |  round(b0, 6) + 0.0 AS b_intercept,
+       |  round(b1, 6) + 0.0 AS b_x1,
+       |  round(b2, 6) + 0.0 AS b_x2,
+       |  $R2Sql AS r2
+       |FROM solved""".stripMargin
+  }
+}
