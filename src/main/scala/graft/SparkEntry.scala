@@ -28,7 +28,10 @@ object SparkEntry {
     "q19_dedup_exact" -> dedup.Dedup.dedupExact,
     "q20_dedup_minhash" -> dedup.Dedup.dedupMinhash,
     "q21_dedup_simhash" -> dedup.Dedup.dedupSimhash,
-    "q22_ngram_jaccard" -> dedup.Dedup.ngramJaccard,
+    // registered path is the PPJoin prefix-filtered variant: identical
+    // results (lossless filters), but hot shingles generate zero
+    // candidates instead of df² pairs — the 100 TB-safe shape
+    "q22_ngram_jaccard" -> dedup.PrefixJaccard.ngramJaccardPrefix,
     "q23_embed_neardup" -> ann.Ann.embedNearDup,
     "q24_ann_brute" -> ann.Ann.annBrute,
     "q25_ann_lsh" -> ann.Ann.annLsh,

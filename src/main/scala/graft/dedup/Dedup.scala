@@ -243,12 +243,14 @@ object Dedup {
 
   val JaccardThreshold = 0.6
 
-  /** Near-dup pairs by exact 3-gram-shingle Jaccard ≥ threshold.
-    * Candidates come from the inverted shingle index (join on shingle):
-    * only pairs sharing ≥1 shingle are ever materialized, so the work is
-    * Σ_sh df(sh)², not n². At 100 TB the production variant drops
-    * ultra-common shingles (df cut) before the join; kept exact here so
-    * the oracle is exact too. */
+  /** Near-dup pairs by exact 3-gram-shingle Jaccard ≥ threshold —
+    * the plain inverted-index formulation, which is the DuckDB oracle's
+    * mirror ([[ngramJaccardSql]]). Candidates come from posting-list
+    * expansion: Σ_sh df(sh)² work, which one boilerplate shingle shared
+    * by 10⁶ docs turns into 10¹² pairs — so the REGISTERED q22 path is
+    * [[PrefixJaccard.ngramJaccardPrefix]] (result-identical, lossless
+    * prefix filter; hot shingles generate zero candidates). This version
+    * stays for the oracle twin and small-corpus use. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     // one explode + ONE shuffle builds the full inverted index:
     // shingle-hash -> sorted distinct doc list (collect_set also absorbs

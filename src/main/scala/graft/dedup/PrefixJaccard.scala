@@ -5,27 +5,38 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Hashing
 
-/** PPJoin-style prefix-filtered exact Jaccard self-join — the scale
-  * path for [[Dedup.ngramJaccard]].
+/** PPJoin-style prefix-filtered exact Jaccard self-join — the registered
+  * q22 path, and the reason the operator survives hot shingles at scale.
   *
   * Candidate pairs are generated only from each document's
-  * n − ⌈t·n⌉ + 1 globally-rarest shingles (prefix filter) plus a length
+  * n − ⌈t·n⌉ + 1 globally-RAREST shingles (prefix filter) plus a length
   * filter |B| ∈ [t·|A|, |A|/t]; both filters are lossless for J ≥ t, so
-  * results are IDENTICAL to the plain inverted-index join (asserted in
-  * DedupSpec). On a realistic 100 TB corpus vocabulary the prefix cuts
-  * candidates by orders of magnitude because hot shingles almost never
-  * appear in rarity-ordered prefixes; on the tiny-vocab testdata the
-  * extra df-ranking passes cost more than they save (measured ~4.8s vs
-  * ~3.6s at sf0.1), which is why the plain version remains the
-  * benchmarked `q22` entry.
+  * results are IDENTICAL to the plain inverted-index join
+  * ([[Dedup.ngramJaccard]], which doubles as the DuckDB oracle twin —
+  * asserted in DedupSpec). The hot-shingle guard falls out of the
+  * rarity ordering: a boilerplate shingle shared by 10⁶ documents sorts
+  * LAST within every document, lands outside every prefix (for any doc
+  * with ≥ 2 shingles at t = 0.6), and therefore contributes ZERO
+  * candidate pairs — the df² posting-list blowup of the plain join
+  * cannot happen here (planted-hot-shingle bound asserted in DedupSpec).
+  *
+  * Intersection counting joins the (deduped, tiny) candidate pairs back
+  * to per-doc sorted shingle arrays and takes `array_intersect` size —
+  * two hash joins on doc_id carrying one array per doc, instead of
+  * re-exploding both posting lists through a pair-keyed aggregation.
   */
 object PrefixJaccard {
   import Dedup.{JaccardThreshold => T}
 
-  def ngramJaccardPrefix(docs: DataFrame): DataFrame = {
-    val sh = Dedup.docShingles(docs).distinct()
+  /** Distinct (doc_id, shk) pairs: the shared working set. */
+  private def distinctShingles(docs: DataFrame): DataFrame =
+    Dedup.docShingles(docs).distinct()
+
+  /** Lossless candidate pairs (doc_a, doc_b, na, nb): prefix filter on
+    * global-rarity order + length filter. Exposed for the DedupSpec
+    * hot-shingle bound — candidate count is THE scale metric here. */
+  private[graft] def candidates(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy(col("shk")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val ranked = sh.join(dfreq, "shk")
@@ -36,7 +47,7 @@ object PrefixJaccard {
     val prefix = ranked
       .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * T) + 1)
       .select(col("doc_id"), col("shk"), col("n_sh"))
-    val cand = prefix.as("a")
+    prefix.as("a")
       .join(prefix.as("b"), col("a.shk") === col("b.shk")
         && col("a.doc_id") < col("b.doc_id")
         // length filter: |B| in [t|A|, |A|/t] is necessary for J >= t
@@ -45,13 +56,17 @@ object PrefixJaccard {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .distinct()
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
-        && col("sa.shk") === col("sb.shk"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+  }
+
+  def ngramJaccardPrefix(docs: DataFrame): DataFrame = {
+    val sh = distinctShingles(docs)
+    val cand = candidates(sh)
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shk")).as("ss"))
+    cand
+      .join(docSets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docSets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_inter", size(array_intersect(col("sa.ss"), col("sb.ss"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= T)

@@ -48,6 +48,38 @@ class DedupSpec extends AnyFunSuite {
     assert(prefix.exceptAll(plain).count() == 0)
   }
 
+  test("prefix jaccard: a planted hot shingle (df=2000) yields zero candidates") {
+    // 2000 docs, each with 3 unique tokens followed by the same
+    // boilerplate trigram: the shared shingle's df is 2000, so the plain
+    // posting-list join would expand ~2M pairs from it. The prefix
+    // filter must place it outside every document's rarity prefix and
+    // generate NO candidates at all.
+    import spark.implicits._
+    val docs = (0 until 2000)
+      .map(i => (i.toLong, s"u${i}a u${i}b u${i}c common1 common2 common3"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.docShingles(docs).distinct().cache()
+    val hotDf = sh.groupBy("shk").count().agg(max("count")).head.getLong(0)
+    assert(hotDf == 2000, s"planted shingle df $hotDf")
+    assert(dedup.PrefixJaccard.candidates(sh).count() == 0)
+    assert(dedup.PrefixJaccard.ngramJaccardPrefix(docs).count() == 0)
+  }
+
+  test("prefix jaccard: identity holds on a corpus WITH the planted hot shingle") {
+    // small enough that the plain join's 200²/2 hot-shingle pairs are
+    // still runnable: both paths must agree exactly, including the
+    // all-shingles-shared-except-unique-prefix near-dups
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"u${i % 150}a u${i % 150}b u${i % 150}c common1 common2 common3"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.ngramJaccard(docs)
+    val prefix = dedup.PrefixJaccard.ngramJaccardPrefix(docs)
+    assert(plain.exceptAll(prefix).count() == 0)
+    assert(prefix.exceptAll(plain).count() == 0)
+    assert(plain.count() > 0) // the i%150 collisions are exact dups: J=1
+  }
+
   test("q22 ngram jaccard: symmetric-free, thresholded, jaccard in (0,1]") {
     val df = Dedup.ngramJaccard(spark, dir).cache()
     assert(df.filter(col("jaccard") < Dedup.JaccardThreshold || col("jaccard") > 1.0).count() == 0)
