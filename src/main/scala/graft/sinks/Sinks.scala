@@ -39,6 +39,78 @@ object Sinks {
         .parquet(path)
   }
 
+  /** JDBC full-replace load — the reference's
+    * `to_sql(if_exists='replace')` (school_outcomes_etl.py:170-174) as a
+    * Spark JDBC write. SaveMode.Overwrite drops and recreates the remote
+    * table (set `truncate=true` in options to keep the existing DDL and
+    * TRUNCATE instead). Parallelism = the frame's partitions, one remote
+    * connection each — coalesce before writing if the database can't
+    * take that many writers. */
+  object JdbcReplace {
+    def write(df: DataFrame, url: String, table: String,
+        options: Map[String, String] = Map.empty): Unit = {
+      val w = df.write.mode(SaveMode.Overwrite)
+      options.foreach { case (k, v) => w.option(k, v) }
+      w.jdbc(url, table, graft.sources.Jdbc.props(options))
+    }
+  }
+
+  /** JDBC delete-and-append by key — the reference's per-county load
+    * (election_results_etl.py:128-140: `DELETE FROM … WHERE county = …`
+    * then append). Deletes exactly the key values present in the
+    * incoming frame (one transaction, batched parameterized deletes),
+    * then appends — so re-running a load for one county is idempotent
+    * and never touches the others, mirroring
+    * [[KeyedOverwriteSink]]'s dynamic-partition-overwrite semantics on
+    * an RDBMS. The delete+append pair is NOT one transaction (the
+    * append is a parallel Spark write) — same exposure as the
+    * reference; run loads per-key-batch under a scheduler that retries.
+    *
+    * The key set crosses the driver: keys are partition-grade values
+    * (counties, dates) — bounded by design, not data-sized. */
+  object JdbcKeyedOverwrite {
+    private val Ident = "^[A-Za-z_][A-Za-z0-9_.]*$".r
+
+    private[graft] def requireIdent(s: String): String = {
+      require(Ident.matches(s), s"unsafe SQL identifier: $s")
+      s
+    }
+
+    def write(df: DataFrame, url: String, table: String, keyCol: String,
+        options: Map[String, String] = Map.empty): Unit = {
+      requireIdent(table); requireIdent(keyCol)
+      val keys = df.select(keyCol).distinct().collect().map(_.get(0))
+      val conn = java.sql.DriverManager.getConnection(url,
+        graft.sources.Jdbc.props(options))
+      try {
+        val exists = {
+          // DatabaseMetaData needs exact case per-dialect; a probe query
+          // is the portable existence check
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+          catch { case _: java.sql.SQLException => false }
+          finally st.close()
+        }
+        if (exists && keys.nonEmpty) {
+          conn.setAutoCommit(false)
+          // Spark's JDBC writer creates columns as QUOTED (case-exact)
+          // identifiers; an unquoted name would be case-normalized by
+          // the database (Derby/Postgres upcase) and miss the column
+          val ps = conn.prepareStatement(s"""DELETE FROM $table WHERE "$keyCol" = ?""")
+          try {
+            keys.foreach { k => ps.setObject(1, k); ps.addBatch() }
+            ps.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally ps.close()
+        }
+      } finally conn.close()
+      df.write.mode(SaveMode.Append)
+        .jdbc(url, table, graft.sources.Jdbc.props(options))
+    }
+  }
+
   /** Small-file compaction — the operational chore every incremental
     * 100 TB parquet table accumulates: streaming writers leave many
     * small files, and scan efficiency dies on file-open overhead.
