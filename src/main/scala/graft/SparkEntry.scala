@@ -43,6 +43,7 @@ object SparkEntry {
     "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMeta,
     "q31_profile" -> operators.Relational.profile,
     "q32_regression" -> operators.Regression.regression,
+    "q33_spatial_join" -> operators.Geo.spatialJoin,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -204,5 +205,6 @@ object SparkEntry {
     "q30_multimodal_meta" -> multimodal.Multimodal.multimodalMetaSql,
     "q31_profile" -> operators.Relational.profileSql,
     "q32_regression" -> operators.Regression.regressionSql,
+    "q33_spatial_join" -> operators.Geo.spatialJoinSql,
   )
 }

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorMath
+
+/** Geometry-lite operator set (SURVEY.md §2 #36) — the reference's GIS
+  * branch re-expressed as pure Catalyst expressions over WKT text:
+  * geometry validity filtering (dags/district_gis_etl.py:70 `is_valid`),
+  * `ST_AsText`-style WKT round-trip (dashboard/app_data.R:24-28), and
+  * the shapes↔analysis spatial join. Real CRS re-projection needs a
+  * geodesy library (Sedona); bbox/centroid/containment over WKT covers
+  * the reference's analytical uses without one, and everything stays
+  * inside whole-stage codegen (regexp + array ops, no UDFs).
+  *
+  * Scale design: the spatial join is GRID-BUCKETED — polygons explode to
+  * the few grid cells their bbox covers, points hash to exactly one
+  * cell, and the join is an equi-join on the cell key followed by the
+  * exact bbox test. Shuffle is O(polys·cells + points), never the
+  * all-pairs theta join a naive BETWEEN join degenerates to (Spark
+  * plans that as BroadcastNestedLoop — a 100 TB non-starter). A point
+  * matches each polygon in exactly one cell (its own), so the join
+  * needs no distinct.
+  *
+  * Parsing preconditions: the `ring*`/`bbox`/`centroid` extractors
+  * require structurally numeric WKT — gate untrusted input through
+  * [[isValidPolygon]] (whose regex guard guarantees castability) first.
+  */
+object Geo {
+
+  // ---- WKT builders ----
+
+  def wktPoint(x: Column, y: Column): Column =
+    concat(lit("POINT ("), x.cast("string"), lit(" "), y.cast("string"), lit(")"))
+
+  /** Closed axis-aligned rectangle ring (the canonical 5-vertex box). */
+  def wktBox(x1: Column, y1: Column, x2: Column, y2: Column): Column = {
+    def v(a: Column, b: Column) = concat(a.cast("string"), lit(" "), b.cast("string"))
+    concat(lit("POLYGON (("),
+      v(x1, y1), lit(", "), v(x2, y1), lit(", "), v(x2, y2), lit(", "),
+      v(x1, y2), lit(", "), v(x1, y1), lit("))"))
+  }
+
+  // ---- WKT parsers (codegen'd regexp/array expressions) ----
+
+  private val PointRe = "POINT \\(([-0-9.]+) ([-0-9.]+)\\)"
+  private val PolygonRe = "POLYGON \\(\\((.*)\\)\\)"
+  /** Structure guard: POLYGON ((x y, x y, ...)) with castable numbers. */
+  private val ValidPolygonRe =
+    "^POLYGON \\(\\(-?[0-9]+(\\.[0-9]+)? -?[0-9]+(\\.[0-9]+)?(, -?[0-9]+(\\.[0-9]+)? -?[0-9]+(\\.[0-9]+)?)*\\)\\)$"
+
+  def pointX(wkt: Column): Column = regexp_extract(wkt, PointRe, 1).cast("double")
+  def pointY(wkt: Column): Column = regexp_extract(wkt, PointRe, 2).cast("double")
+
+  private def ringCoord(wkt: Column, idx: Int): Column =
+    transform(split(regexp_extract(wkt, PolygonRe, 1), ", "),
+      p => element_at(split(p, " "), idx).cast("double"))
+
+  /** Ring vertex x / y coordinate arrays (closing vertex included). */
+  def ringX(wkt: Column): Column = ringCoord(wkt, 1)
+  def ringY(wkt: Column): Column = ringCoord(wkt, 2)
+
+  /** Axis-aligned bounding box as struct(xmin, ymin, xmax, ymax). */
+  def bbox(wkt: Column): Column = {
+    val (xs, ys) = (ringX(wkt), ringY(wkt))
+    struct(array_min(xs).as("xmin"), array_min(ys).as("ymin"),
+      array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+  }
+
+  /** Ring-vertex centroid (closing vertex dropped; exact for
+    * rectangles, the standard cheap centroid elsewhere). */
+  def centroid(wkt: Column): Column = {
+    val (xs, ys) = (ringX(wkt), ringY(wkt))
+    val n = (size(xs) - 1).cast("double")
+    struct(
+      (VectorMath.vsum(slice(xs, lit(1), size(xs) - 1)) / n).as("cx"),
+      (VectorMath.vsum(slice(ys, lit(1), size(ys) - 1)) / n).as("cy"))
+  }
+
+  /** Validity predicate (district_gis_etl.py:70): structurally numeric
+    * WKT, ≥ 4 vertices, closed ring, non-degenerate extent. Safe on
+    * arbitrary strings — the structural regex gates the numeric casts. */
+  def isValidPolygon(wkt: Column): Column =
+    when(wkt.rlike(ValidPolygonRe), {
+      val (xs, ys) = (ringX(wkt), ringY(wkt))
+      size(xs) >= 4 &&
+        element_at(xs, 1) === element_at(xs, -1) &&
+        element_at(ys, 1) === element_at(ys, -1) &&
+        array_min(xs) < array_max(xs) && array_min(ys) < array_max(ys)
+    }).otherwise(lit(false))
+
+  /** Inclusive point-in-bbox test against a [[bbox]] struct. */
+  def containsPoint(bb: Column, x: Column, y: Column): Column =
+    x >= bb.getField("xmin") && x <= bb.getField("xmax") &&
+      y >= bb.getField("ymin") && y <= bb.getField("ymax")
+
+  // ---- spatial join ----
+
+  /** Grid cell edge. Size to the typical polygon extent so bboxes cover
+    * O(1) cells; cells only key the shuffle, any value is correct. */
+  val CellSize = 16
+
+  /** Scale-path spatial join: `points(px, py, …)` × `polys(xmin, ymin,
+    * xmax, ymax, …)` on grid-cell equi-keys + exact bbox test. Each
+    * polygon explodes to its bbox's covering cells; each point lives in
+    * exactly one cell, so matches are already unique. */
+  def gridJoin(points: DataFrame, polys: DataFrame): DataFrame = {
+    val cells = polys
+      .withColumn("cellx",
+        explode(sequence(floor(col("xmin") / CellSize), floor(col("xmax") / CellSize))))
+      .withColumn("celly",
+        explode(sequence(floor(col("ymin") / CellSize), floor(col("ymax") / CellSize))))
+    val keyed = points
+      .withColumn("cellx", floor(col("px") / CellSize))
+      .withColumn("celly", floor(col("py") / CellSize))
+    keyed.join(cells, Seq("cellx", "celly"))
+      .filter(col("px") >= col("xmin") && col("px") <= col("xmax")
+        && col("py") >= col("ymin") && col("py") <= col("ymax"))
+      .drop("cellx", "celly")
+  }
+
+  /** Naive BETWEEN theta join — the parity oracle for [[gridJoin]]
+    * (Spark plans it as a nested-loop; small inputs only). */
+  private[graft] def naiveJoin(points: DataFrame, polys: DataFrame): DataFrame =
+    points.join(polys,
+      col("px") >= col("xmin") && col("px") <= col("xmax")
+        && col("py") >= col("ymin") && col("py") <= col("ymax"))
+
+  // ---- q33: shapes ↔ analysis spatial join on the testdata schema ----
+
+  /** Districts derived deterministically from `nation`: a 5×5 grid of
+    * overlapping 13×13 boxes (integer coordinates so WKT strings are
+    * engine-identical), with nation 13's ring left unclosed to exercise
+    * the validity filter exactly like the reference's invalid-geometry
+    * drop. Points derive from `customer`. The whole pipeline round-trips
+    * through WKT text — build, parse, validate, join — mirroring the
+    * reference's ST_AsText hand-off (app_data.R:24-28). */
+  def spatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("int").as("district_id"),
+      ((col("n_nationkey") % 5) * 10).cast("int").as("x1"),
+      expr("CAST((n_nationkey - (n_nationkey % 5)) / 5 AS INT) * 10").as("y1"))
+      .withColumn("x2", col("x1") + 12)
+      .withColumn("y2", col("y1") + 12)
+    val districts = d0.select(col("district_id"),
+      when(col("district_id") === 13, {
+        // unclosed ring: structurally parseable, semantically invalid
+        def s(c: String) = col(c).cast("string")
+        concat(lit("POLYGON (("),
+          s("x1"), lit(" "), s("y1"), lit(", "), s("x2"), lit(" "), s("y1"),
+          lit(", "), s("x2"), lit(" "), s("y2"), lit(", "), s("x1"), lit(" "),
+          s("y2"), lit("))"))
+      })
+        .otherwise(wktBox(col("x1"), col("y1"), col("x2"), col("y2"))).as("wkt"))
+    val polys = districts
+      .filter(isValidPolygon(col("wkt")))
+      .withColumn("bb", bbox(col("wkt")))
+      .withColumn("c", centroid(col("wkt")))
+      .select(col("district_id"),
+        col("bb.xmin"), col("bb.ymin"), col("bb.xmax"), col("bb.ymax"),
+        col("c.cx"), col("c.cy"))
+    val points = Tables.customer(spark, dir)
+      .select(wktPoint(((col("c_custkey") * 7) % 50).cast("int"),
+        ((col("c_custkey") * 13) % 50).cast("int")).as("wkt"))
+      .select(pointX(col("wkt")).as("px"), pointY(col("wkt")).as("py"))
+    gridJoin(points, polys)
+      .groupBy(col("district_id"), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("district_id"), col("n_points"),
+        (round(col("cx"), 4) + 0.0).as("centroid_x"),
+        (round(col("cy"), 4) + 0.0).as("centroid_y"))
+  }
+
+  /** DuckDB twin: same WKT build/parse/validate/join, naive BETWEEN
+    * join (result-identical to the grid join). */
+  val spatialJoinSql: String =
+    """WITH d0 AS (
+      |  SELECT CAST(n_nationkey AS INT) AS district_id,
+      |    CAST((n_nationkey % 5) * 10 AS INT) AS x1,
+      |    CAST((n_nationkey - (n_nationkey % 5)) / 5 AS INT) * 10 AS y1
+      |  FROM nation),
+      |d1 AS (SELECT district_id, x1, y1, x1 + 12 AS x2, y1 + 12 AS y2 FROM d0),
+      |districts AS (
+      |  SELECT district_id,
+      |    CASE WHEN district_id = 13 THEN
+      |      'POLYGON ((' || x1 || ' ' || y1 || ', ' || x2 || ' ' || y1 || ', ' ||
+      |      x2 || ' ' || y2 || ', ' || x1 || ' ' || y2 || '))'
+      |    ELSE
+      |      'POLYGON ((' || x1 || ' ' || y1 || ', ' || x2 || ' ' || y1 || ', ' ||
+      |      x2 || ' ' || y2 || ', ' || x1 || ' ' || y2 || ', ' || x1 || ' ' || y1 || '))'
+      |    END AS wkt
+      |  FROM d1),
+      |parsed AS (
+      |  SELECT district_id, wkt,
+      |    list_transform(string_split(regexp_extract(wkt, 'POLYGON \(\((.*)\)\)', 1), ', '),
+      |      p -> CAST(string_split(p, ' ')[1] AS DOUBLE)) AS xs,
+      |    list_transform(string_split(regexp_extract(wkt, 'POLYGON \(\((.*)\)\)', 1), ', '),
+      |      p -> CAST(string_split(p, ' ')[2] AS DOUBLE)) AS ys
+      |  FROM districts),
+      |valid AS (
+      |  SELECT district_id,
+      |    list_min(xs) AS xmin, list_min(ys) AS ymin,
+      |    list_max(xs) AS xmax, list_max(ys) AS ymax,
+      |    list_reduce(xs[1:len(xs) - 1], (a, b) -> a + b) / CAST(len(xs) - 1 AS DOUBLE) AS cx,
+      |    list_reduce(ys[1:len(ys) - 1], (a, b) -> a + b) / CAST(len(ys) - 1 AS DOUBLE) AS cy
+      |  FROM parsed
+      |  WHERE len(xs) >= 4 AND xs[1] = xs[len(xs)] AND ys[1] = ys[len(ys)]
+      |    AND list_min(xs) < list_max(xs) AND list_min(ys) < list_max(ys)),
+      |pts AS (
+      |  SELECT 'POINT (' || CAST((c_custkey * 7) % 50 AS INT) || ' ' ||
+      |    CAST((c_custkey * 13) % 50 AS INT) || ')' AS wkt
+      |  FROM customer),
+      |ppt AS (
+      |  SELECT CAST(regexp_extract(wkt, 'POINT \(([-0-9.]+) ([-0-9.]+)\)', 1) AS DOUBLE) AS px,
+      |    CAST(regexp_extract(wkt, 'POINT \(([-0-9.]+) ([-0-9.]+)\)', 2) AS DOUBLE) AS py
+      |  FROM pts)
+      |SELECT v.district_id, CAST(count(*) AS BIGINT) AS n_points,
+      |  round(v.cx, 4) + 0.0 AS centroid_x, round(v.cy, 4) + 0.0 AS centroid_y
+      |FROM valid v JOIN ppt p
+      |  ON p.px >= v.xmin AND p.px <= v.xmax AND p.py >= v.ymin AND p.py <= v.ymax
+      |GROUP BY v.district_id, v.cx, v.cy""".stripMargin
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import operators.Geo
+
+/** Geometry-lite invariants: WKT round-trip, bbox/centroid/validity
+  * semantics, and grid-join parity with the naive theta join. */
+class GeoSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("WKT point and box round-trip through build → parse") {
+    val df = Seq((3, 7), (-2, 11)).toDF("x", "y")
+      .withColumn("pw", Geo.wktPoint(col("x"), col("y")))
+      .withColumn("bw", Geo.wktBox(col("x"), col("y"), col("x") + 5, col("y") + 5))
+    val r = df.select(
+      Geo.pointX(col("pw")), Geo.pointY(col("pw")),
+      Geo.bbox(col("bw")).getField("xmin"), Geo.bbox(col("bw")).getField("ymax")).collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(3.0, -2.0))
+    assert(r.map(_.getDouble(1)).toSeq == Seq(7.0, 11.0))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(3.0, -2.0))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(12.0, 16.0))
+  }
+
+  test("centroid of a box is its center; validity rejects malformed rings") {
+    val df = Seq("POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))").toDF("wkt")
+    val c = df.select(Geo.centroid(col("wkt"))).head.getStruct(0)
+    assert(c.getDouble(0) == 5.0 && c.getDouble(1) == 2.0)
+    val cases = Seq(
+      ("POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))", true),
+      ("POLYGON ((0 0, 10 0, 10 4, 0 4))", false), // unclosed
+      ("POLYGON ((0 0, 0 0, 0 0, 0 0))", false), // degenerate extent
+      ("POLYGON ((0 0, 1 1))", false), // too few vertices
+      ("not wkt at all", false),
+      ("POINT (3 4)", false),
+    ).toDF("wkt", "expected")
+    assert(cases.filter(Geo.isValidPolygon(col("wkt")) =!= col("expected")).count() == 0)
+  }
+
+  test("grid-bucketed spatial join is result-identical to the naive theta join") {
+    val polys = Seq(
+      (1, 0.0, 0.0, 20.0, 20.0), // spans 2x2 grid cells
+      (2, 15.0, 15.0, 40.0, 18.0), // overlaps poly 1
+      (3, 100.0, 100.0, 101.0, 101.0), // empty region
+    ).toDF("district_id", "xmin", "ymin", "xmax", "ymax")
+    val points = (0 until 500)
+      .map(i => ((i * 17 % 45).toDouble, (i * 29 % 45).toDouble)).toDF("px", "py")
+    val grid = Geo.gridJoin(points, polys).select("district_id", "px", "py")
+    val naive = Geo.naiveJoin(points, polys).select("district_id", "px", "py")
+    assert(grid.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(grid).count() == 0)
+    assert(naive.count() > 0)
+  }
+
+  test("q33: one row per valid district (invalid ring filtered), overlaps counted") {
+    val df = Geo.spatialJoin(spark, dir).cache()
+    assert(df.count() == 24) // 25 nations minus the planted invalid ring
+    assert(df.filter(col("district_id") === 13).count() == 0)
+    // overlapping 13-wide boxes on a 10-grid: total point-district pairs
+    // exceed the point count
+    val nPoints = Tables.customer(spark, dir).count()
+    assert(df.agg(sum("n_points")).head.getLong(0) > nPoints)
+  }
+}
