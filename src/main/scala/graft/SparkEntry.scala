@@ -44,6 +44,7 @@ object SparkEntry {
     "q31_profile" -> operators.Relational.profile,
     "q32_regression" -> operators.Regression.regression,
     "q33_spatial_join" -> operators.Geo.spatialJoin,
+    "q34_separate" -> operators.Relational.separateCols,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -206,5 +207,6 @@ object SparkEntry {
     "q31_profile" -> operators.Relational.profileSql,
     "q32_regression" -> operators.Regression.regressionSql,
     "q33_spatial_join" -> operators.Geo.spatialJoinSql,
+    "q34_separate" -> operators.Relational.separateColsSql,
   )
 }

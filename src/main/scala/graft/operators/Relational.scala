@@ -323,6 +323,34 @@ object Relational {
        |$unions""".stripMargin
   }
 
+  /** `separate`-style split-to-N-columns — the reference's
+    * `separate(..., into = paste0("town_", 1:n), fill = "right")`
+    * (create_school_town_lookup.Rmd:36-40): split a string column on a
+    * delimiter into a FIXED number of columns, null-filling on the
+    * right when a row has fewer pieces. Pure projection (one `split`,
+    * `try_element_at` per output column — out-of-range reads are null
+    * by definition, not an ANSI error); no shuffle. */
+  def separate(df: DataFrame, column: String, delim: String, n: Int,
+      into: Int => String = i => s"part_$i"): DataFrame = {
+    val parts = split(col(column), java.util.regex.Pattern.quote(delim))
+    df.withColumns(
+      (1 to n).map(i => into(i) -> try_element_at(parts, lit(i))).toMap)
+  }
+
+  /** #34 q34: [[separate]] driven over the documents table — first
+    * three whitespace pieces of each text, right-null-filled. */
+  def separateCols(spark: SparkSession, dir: String): DataFrame =
+    separate(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "text", " ", 3, i => s"word_$i")
+      .select(col("doc_id"), col("word_1"), col("word_2"), col("word_3"))
+
+  val separateColsSql: String =
+    """SELECT doc_id,
+      |  string_split(text, ' ')[1] AS word_1,
+      |  string_split(text, ' ')[2] AS word_2,
+      |  string_split(text, ' ')[3] AS word_3
+      |FROM documents""".stripMargin
+
   /** Columns-by-prefix transform — the reference's
     * `across(starts_with("pct_"), ~.x*100)` (app_data.R): apply a Column
     * function to every column whose name matches the prefix, in place.

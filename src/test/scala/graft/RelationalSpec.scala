@@ -117,4 +117,30 @@ class RelationalSpec extends AnyFunSuite {
       .filter(abs(col("bal_median") - col("approx_median")) > col("tol"))
     assert(joined.count() == 0)
   }
+
+  test("separate: fixed-width split with right null fill, delimiter taken literally") {
+    import spark.implicits._
+    val df = Seq("a|b|c|d", "x|y", "solo", "").toDF("s")
+    val out = separate(df, "s", "|", 3).collect().map(r =>
+      (r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", "c"), // extra pieces beyond n are dropped
+      ("x", "y", null),
+      ("solo", null, null),
+      ("", null, null)))
+    // a regex metacharacter delimiter must not be interpreted as regex
+    val dotted = Seq("1.2.3").toDF("s")
+    val r = separate(dotted, "s", ".", 2).head()
+    assert(r.getString(1) == "1" && r.getString(2) == "2")
+  }
+
+  test("q34 separate over documents: first words line up with split positions") {
+    val df = separateCols(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).count())
+    val probe = Tables.documents(spark, dir)
+      .select(col("doc_id"), element_at(split(col("text"), " "), 1).as("w"))
+    val joined = df.join(probe, "doc_id")
+      .filter(col("word_1") =!= col("w"))
+    assert(joined.count() == 0)
+  }
 }
