@@ -51,8 +51,14 @@ object Geo {
   private val ValidPolygonRe =
     "^POLYGON \\(\\(-?[0-9]+(\\.[0-9]+)? -?[0-9]+(\\.[0-9]+)?(, -?[0-9]+(\\.[0-9]+)? -?[0-9]+(\\.[0-9]+)?)*\\)\\)$"
 
-  def pointX(wkt: Column): Column = regexp_extract(wkt, PointRe, 1).cast("double")
-  def pointY(wkt: Column): Column = regexp_extract(wkt, PointRe, 2).cast("double")
+  /** POINT parsers are null on malformed input (an unguarded
+    * `CAST('' AS DOUBLE)` would ABORT the job under Spark 4's default
+    * ANSI mode the moment one bad row appears; the rlike gate makes the
+    * cast branch unreachable for non-matching strings). */
+  def pointX(wkt: Column): Column =
+    when(wkt.rlike(PointRe), regexp_extract(wkt, PointRe, 1).cast("double"))
+  def pointY(wkt: Column): Column =
+    when(wkt.rlike(PointRe), regexp_extract(wkt, PointRe, 2).cast("double"))
 
   private def ringCoord(wkt: Column, idx: Int): Column =
     transform(split(regexp_extract(wkt, PolygonRe, 1), ", "),
@@ -98,23 +104,27 @@ object Geo {
 
   // ---- spatial join ----
 
-  /** Grid cell edge. Size to the typical polygon extent so bboxes cover
-    * O(1) cells; cells only key the shuffle, any value is correct. */
+  /** Default grid cell edge for the testdata's ~13-unit districts. */
   val CellSize = 16
 
   /** Scale-path spatial join: `points(px, py, …)` × `polys(xmin, ymin,
     * xmax, ymax, …)` on grid-cell equi-keys + exact bbox test. Each
     * polygon explodes to its bbox's covering cells; each point lives in
-    * exactly one cell, so matches are already unique. */
-  def gridJoin(points: DataFrame, polys: DataFrame): DataFrame = {
+    * exactly one cell, so matches are already unique. `cell` is the
+    * central tuning knob: size it to the typical polygon extent so
+    * bboxes cover O(1) cells (too small → polygon explode blowup, too
+    * large → every point in few cells → skew). Any value is CORRECT —
+    * cells only key the shuffle. */
+  def gridJoin(points: DataFrame, polys: DataFrame,
+      cell: Double = CellSize.toDouble): DataFrame = {
     val cells = polys
       .withColumn("cellx",
-        explode(sequence(floor(col("xmin") / CellSize), floor(col("xmax") / CellSize))))
+        explode(sequence(floor(col("xmin") / cell), floor(col("xmax") / cell))))
       .withColumn("celly",
-        explode(sequence(floor(col("ymin") / CellSize), floor(col("ymax") / CellSize))))
+        explode(sequence(floor(col("ymin") / cell), floor(col("ymax") / cell))))
     val keyed = points
-      .withColumn("cellx", floor(col("px") / CellSize))
-      .withColumn("celly", floor(col("py") / CellSize))
+      .withColumn("cellx", floor(col("px") / cell))
+      .withColumn("celly", floor(col("py") / cell))
     keyed.join(cells, Seq("cellx", "celly"))
       .filter(col("px") >= col("xmin") && col("px") <= col("xmax")
         && col("py") >= col("ymin") && col("py") <= col("ymax"))

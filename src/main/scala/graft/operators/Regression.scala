@@ -124,21 +124,26 @@ object Regression {
     * driver traffic is 3 coefficients. Proportions y ∈ [0,1] with
     * case weights w, exactly like the reference's weighted glm. */
   def glmQuasibinomial(rows: DataFrame, iters: Int = 8): Coefs = {
-    var b = wlsFitCollect(rows) // linear-probability warm start
-    for (_ <- 0 until iters) {
-      val eta = lit(b.b0) + lit(b.b1) * col("x1") + lit(b.b2) * col("x2")
-      val working = rows
-        .withColumn("eta", eta)
-        .withColumn("mu", lit(1.0) / (lit(1.0) + exp(-col("eta"))))
-        // clamp so a saturated μ can't zero the IRLS weight
-        .withColumn("mu", least(greatest(col("mu"), lit(1e-10)), lit(1.0 - 1e-10)))
-        .select(
-          (col("w") * col("mu") * (lit(1.0) - col("mu"))).as("w"),
-          col("x1"), col("x2"),
-          (col("eta") + (col("y") - col("mu")) / (col("mu") * (lit(1.0) - col("mu")))).as("y"))
-      b = wlsFitCollect(working)
-    }
-    b
+    // 1 + iters actions over the same rows: pin the lineage once
+    // instead of recomputing the caller's source pipeline per iteration
+    val pinned = rows.persist()
+    try {
+      var b = wlsFitCollect(pinned) // linear-probability warm start
+      for (_ <- 0 until iters) {
+        val eta = lit(b.b0) + lit(b.b1) * col("x1") + lit(b.b2) * col("x2")
+        val working = pinned
+          .withColumn("eta", eta)
+          .withColumn("mu", lit(1.0) / (lit(1.0) + exp(-col("eta"))))
+          // clamp so a saturated μ can't zero the IRLS weight
+          .withColumn("mu", least(greatest(col("mu"), lit(1e-10)), lit(1.0 - 1e-10)))
+          .select(
+            (col("w") * col("mu") * (lit(1.0) - col("mu"))).as("w"),
+            col("x1"), col("x2"),
+            (col("eta") + (col("y") - col("mu")) / (col("mu") * (lit(1.0) - col("mu")))).as("y"))
+        b = wlsFitCollect(working)
+      }
+      b
+    } finally pinned.unpersist()
   }
 
   // ---- q32: the registered fit on the testdata star schema ----

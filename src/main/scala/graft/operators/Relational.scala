@@ -332,9 +332,14 @@ object Relational {
     * by definition, not an ANSI error); no shuffle. */
   def separate(df: DataFrame, column: String, delim: String, n: Int,
       into: Int => String = i => s"part_$i"): DataFrame = {
+    val names = (1 to n).map(into)
+    // select, not withColumns(Map): a Map would hash-scramble column
+    // order for n >= 5, and positional consumers read the wrong piece
+    require(names.distinct.size == n && names.forall(!df.columns.contains(_)),
+      s"separate target names collide: ${names.mkString(", ")}")
     val parts = split(col(column), java.util.regex.Pattern.quote(delim))
-    df.withColumns(
-      (1 to n).map(i => into(i) -> try_element_at(parts, lit(i))).toMap)
+    df.select(df.columns.map(col).toIndexedSeq ++
+      (1 to n).map(i => try_element_at(parts, lit(i)).as(into(i))): _*)
   }
 
   /** #34 q34: [[separate]] driven over the documents table — first

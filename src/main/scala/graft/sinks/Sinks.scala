@@ -48,11 +48,11 @@ object Sinks {
     * take that many writers. */
   object JdbcReplace {
     def write(df: DataFrame, url: String, table: String,
-        options: Map[String, String] = Map.empty): Unit = {
-      val w = df.write.mode(SaveMode.Overwrite)
-      options.foreach { case (k, v) => w.option(k, v) }
-      w.jdbc(url, table, graft.sources.Jdbc.props(options))
-    }
+        options: Map[String, String] = Map.empty): Unit =
+      // DataFrameWriter.jdbc merges the Properties into writer options,
+      // so one options path serves both connection and writer settings
+      df.write.mode(SaveMode.Overwrite)
+        .jdbc(url, table, graft.sources.Jdbc.props(options))
   }
 
   /** JDBC delete-and-append by key — the reference's per-county load
@@ -79,35 +79,65 @@ object Sinks {
     def write(df: DataFrame, url: String, table: String, keyCol: String,
         options: Map[String, String] = Map.empty): Unit = {
       requireIdent(table); requireIdent(keyCol)
-      val keys = df.select(keyCol).distinct().collect().map(_.get(0))
-      val conn = java.sql.DriverManager.getConnection(url,
-        graft.sources.Jdbc.props(options))
+      // one materialization: the key set collected here and the rows
+      // appended below must come from the SAME evaluation, or a source
+      // that changes between the two actions deletes a key set that
+      // doesn't match the appended rows
+      val pinned = df.persist()
       try {
-        val exists = {
-          // DatabaseMetaData needs exact case per-dialect; a probe query
-          // is the portable existence check
-          val st = conn.createStatement()
-          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
-          catch { case _: java.sql.SQLException => false }
-          finally st.close()
-        }
-        if (exists && keys.nonEmpty) {
-          conn.setAutoCommit(false)
-          // Spark's JDBC writer creates columns as QUOTED (case-exact)
-          // identifiers; an unquoted name would be case-normalized by
-          // the database (Derby/Postgres upcase) and miss the column
-          val ps = conn.prepareStatement(s"""DELETE FROM $table WHERE "$keyCol" = ?""")
-          try {
-            keys.foreach { k => ps.setObject(1, k); ps.addBatch() }
-            ps.executeBatch()
-            conn.commit()
-          } catch {
-            case e: Throwable => conn.rollback(); throw e
-          } finally ps.close()
-        }
-      } finally conn.close()
-      df.write.mode(SaveMode.Append)
-        .jdbc(url, table, graft.sources.Jdbc.props(options))
+        val keys = pinned.select(keyCol).distinct().collect().map(_.get(0))
+        val conn = java.sql.DriverManager.getConnection(url,
+          graft.sources.Jdbc.props(options))
+        try {
+          val exists = {
+            // DatabaseMetaData needs exact case per-dialect; a probe
+            // query is the portable existence check. ONLY a missing-
+            // object error (SQLState class 42) means "skip the delete" —
+            // a transient failure (lock timeout, dropped connection)
+            // must abort the load, not silently skip to a duplicating
+            // append
+            val st = conn.createStatement()
+            try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+            catch {
+              case e: java.sql.SQLException
+                  if e.getSQLState != null && e.getSQLState.startsWith("42") =>
+                false
+            }
+            finally st.close()
+          }
+          if (exists && keys.nonEmpty) {
+            conn.setAutoCommit(false)
+            try {
+              val nonNull = keys.filter(_ != null)
+              if (nonNull.nonEmpty) {
+                // Spark's JDBC writer creates columns as QUOTED
+                // (case-exact) identifiers; an unquoted name would be
+                // case-normalized by the database (Derby/Postgres
+                // upcase) and miss the column. Prepared lazily: some
+                // dialects reject '=' on large-object columns at
+                // PREPARE time, and a null-only key set never needs it
+                val ps = conn.prepareStatement(
+                  s"""DELETE FROM $table WHERE "$keyCol" = ?""")
+                try {
+                  nonNull.foreach { k => ps.setObject(1, k); ps.addBatch() }
+                  ps.executeBatch()
+                } finally ps.close()
+              }
+              // '= NULL' matches nothing: null keys need their own form
+              if (keys.contains(null)) {
+                val st = conn.createStatement()
+                try st.executeUpdate(s"""DELETE FROM $table WHERE "$keyCol" IS NULL""")
+                finally st.close()
+              }
+              conn.commit()
+            } catch {
+              case e: Throwable => conn.rollback(); throw e
+            }
+          }
+        } finally conn.close()
+        pinned.write.mode(SaveMode.Append)
+          .jdbc(url, table, graft.sources.Jdbc.props(options))
+      } finally pinned.unpersist()
     }
   }
 

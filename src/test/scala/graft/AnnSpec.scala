@@ -61,10 +61,13 @@ class AnnSpec extends AnyFunSuite {
     val registered = Ann.annIvf(spark, dir)
     assert(viaParam.except(registered).count() == 0)
     assert(registered.except(viaParam).count() == 0)
-    // the query plan over pre-fitted centroids must not scan for them:
-    // centroids appear only as literals (no extra exchange/limit subtree)
-    val plan = viaParam.queryExecution.optimizedPlan.toString
-    assert(!plan.toLowerCase.contains("globallimit"), "centroid TakeOrdered leaked into query plan")
+    // collect-freedom, tested for real: build the query over an input
+    // that THROWS if any row is ever evaluated. Plan construction must
+    // succeed (a driver-side collect inside annIvf — the regression this
+    // guards — would evaluate rows right here and blow up).
+    val poisoned = emb.where(assert_true(lit(false)).isNull)
+    intercept[Exception] { poisoned.head() } // the poison is live
+    Ann.annIvf(poisoned, cents) // must not throw: no action at build time
   }
 
   test("q23 embed near-dup: pairs share a bucket and clear the cosine floor") {

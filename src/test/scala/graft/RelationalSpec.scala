@@ -134,6 +134,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getString(1) == "1" && r.getString(2) == "2")
   }
 
+  test("separate: n >= 5 keeps positional column order (no Map hash scramble)") {
+    import spark.implicits._
+    val df = Seq("a|b|c|d|e|f").toDF("s")
+    val out = separate(df, "s", "|", 6)
+    assert(out.columns.toSeq ==
+      "s" +: (1 to 6).map(i => s"part_$i"))
+    assert(out.head.getString(6) == "f")
+    intercept[IllegalArgumentException] {
+      separate(df, "s", "|", 2, _ => "s") // collides with an input column
+    }
+  }
+
   test("q34 separate over documents: first words line up with split positions") {
     val df = separateCols(spark, dir).cache()
     assert(df.count() == Tables.documents(spark, dir).count())
