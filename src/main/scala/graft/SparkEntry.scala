@@ -45,6 +45,8 @@ object SparkEntry {
     "q32_regression" -> operators.Regression.regression,
     "q33_spatial_join" -> operators.Geo.spatialJoin,
     "q34_separate" -> operators.Relational.separateCols,
+    "q35_asof_join" -> operators.AsOf.asofEventState,
+    "q36_range_join" -> operators.RangeJoin.rangeEventWindows,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -208,5 +210,7 @@ object SparkEntry {
     "q32_regression" -> operators.Regression.regressionSql,
     "q33_spatial_join" -> operators.Geo.spatialJoinSql,
     "q34_separate" -> operators.Relational.separateColsSql,
+    "q35_asof_join" -> operators.AsOf.asofEventStateSql,
+    "q36_range_join" -> operators.RangeJoin.rangeEventWindowsSql,
   )
 }
