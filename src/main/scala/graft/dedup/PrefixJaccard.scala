@@ -34,8 +34,18 @@ object PrefixJaccard {
     Dedup.docShingles(docs).distinct()
 
   /** Lossless candidate pairs (doc_a, doc_b, na, nb): prefix filter on
-    * global-rarity order + length filter. Exposed for the DedupSpec
-    * hot-shingle bound — candidate count is THE scale metric here. */
+    * global-rarity order + length filter + PPJoin positional bound.
+    * Exposed for the DedupSpec hot-shingle bound — candidate count is
+    * THE scale metric here.
+    *
+    * Positional bound: all shingles sort in ONE global (df, shk) order,
+    * so the first shingle a pair shares sits at the minimal prefix
+    * position on BOTH sides simultaneously — overlap is then at most
+    * 1 + min(na − pa, nb − pb) (that shingle plus everything after it
+    * on the shorter remainder). J ≥ t needs overlap ≥ t/(1+t)·(na+nb);
+    * pairs whose bound can't reach it are dropped BEFORE the
+    * intersection join. Strictly lossless — if the bound fails,
+    * J < t is certain. */
   private[graft] def candidates(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy(col("shk")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -46,16 +56,19 @@ object PrefixJaccard {
     // n - ceil(t*n) + 1 rarest shingles of each side (global rarity order)
     val prefix = ranked
       .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * T) + 1)
-      .select(col("doc_id"), col("shk"), col("n_sh"))
+      .select(col("doc_id"), col("shk"), col("n_sh"), col("pos"))
     prefix.as("a")
       .join(prefix.as("b"), col("a.shk") === col("b.shk")
         && col("a.doc_id") < col("b.doc_id")
         // length filter: |B| in [t|A|, |A|/t] is necessary for J >= t
         && col("b.n_sh") >= ceil(col("a.n_sh") * T)
         && col("a.n_sh") >= ceil(col("b.n_sh") * T))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"),
+        min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"))
+      .filter(lit(1.0) + least(col("na") - col("pa"), col("nb") - col("pb"))
+        >= lit(T / (1.0 + T)) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
   }
 
   def ngramJaccardPrefix(docs: DataFrame): DataFrame = {
