@@ -47,6 +47,8 @@ object SparkEntry {
     "q34_separate" -> operators.Relational.separateCols,
     "q35_asof_join" -> operators.AsOf.asofEventState,
     "q36_range_join" -> operators.RangeJoin.rangeEventWindows,
+    "q37_tfidf" -> textstats.TextStats.tfidf,
+    "q38_stratified_sample" -> operators.Sampling.stratifiedSample,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -212,5 +214,7 @@ object SparkEntry {
     "q34_separate" -> operators.Relational.separateColsSql,
     "q35_asof_join" -> operators.AsOf.asofEventStateSql,
     "q36_range_join" -> operators.RangeJoin.rangeEventWindowsSql,
+    "q37_tfidf" -> textstats.TextStats.tfidfSql,
+    "q38_stratified_sample" -> operators.Sampling.stratifiedSampleSql,
   )
 }

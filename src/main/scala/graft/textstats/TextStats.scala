@@ -181,4 +181,61 @@ object TextStats {
        |  CAST(sum(${Hashing.hash48Sql("(pos)::VARCHAR || ':' || tok")}) AS BIGINT) AS fingerprint,
        |  count(*) AS n_tokens
        |FROM toks GROUP BY doc_id""".stripMargin
+
+  // ---- #41 TF-IDF top terms ----
+
+  val TfidfTopK = 5
+
+  /** Per-document top-k terms by tf·idf. The idf weight is the RATIONAL
+    * (N+1)/(df+1) rather than its logarithm: a transcendental here
+    * would rank by doubles whose last ulp differs between libm
+    * implementations (SURVEY.md §5 — ln is not guaranteed correctly
+    * rounded), while the rational weight is exact integer-derived
+    * division, so scores AND the rank order they induce are
+    * bitwise-identical to the oracle. Monotone in the same df, so
+    * per-document ranking semantics match log-idf for fixed tf.
+    *
+    * Plan: one explode → (doc, term) tf aggregate; term df aggregate
+    * reuses the same shuffle key; N is a 1-row broadcast; window top-k
+    * per doc. All aggregates map-side combined — no shuffle carries
+    * raw text. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .join(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") + 1).cast("double")
+          / (col("df") + 1).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("rk"), col("tf"), col("df"),
+        (round(col("score"), 4) + 0.0).as("score"))
+  }
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidf(Tables.documents(spark, dir))
+
+  val tfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, rk, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  round(score, 4) + 0.0 AS score
+       |FROM (
+       |  SELECT doc_id, term, tf, df, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       |  FROM scored)
+       |WHERE rk <= $TfidfTopK""".stripMargin
 }

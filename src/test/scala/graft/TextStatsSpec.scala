@@ -1,4 +1,5 @@
 package graft
+// (TF-IDF and sampling specs appended for round 2)
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -39,5 +40,42 @@ class TextStatsSpec extends AnyFunSuite {
     // collided at the bag level, position salting would be broken
     val distinctFp = df.select("fingerprint").distinct.count()
     assert(distinctFp == df.count(), "fingerprint collision on distinct docs")
+  }
+
+  test("q37 tfidf: k rows per doc, rarer term outranks commoner term at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana banana shared"),
+      (2L, "apple cherry shared"),
+      (3L, "apple shared"),
+    ).toDF("doc_id", "text")
+    val out = TextStats.tfidf(docs).cache()
+    assert(out.groupBy("doc_id").count().filter(col("count") > TextStats.TfidfTopK).count() == 0)
+    // doc 2: cherry (df=1) must outrank apple (df=3) and shared (df=3)
+    val top2 = out.filter(col("doc_id") === 2 && col("rk") === 1).head()
+    assert(top2.getString(1) == "cherry")
+    // doc 1: banana has tf=2 AND df=1 — strictly top
+    assert(out.filter(col("doc_id") === 1 && col("rk") === 1).head().getString(1) == "banana")
+    val real = TextStats.tfidf(spark, dir)
+    assert(real.groupBy("doc_id").count().filter(col("count") > TextStats.TfidfTopK).count() == 0)
+  }
+
+  test("q38 stratified sample: membership is deterministic and fractions are honored") {
+    import operators.Sampling
+    val base = Tables.customer(spark, dir)
+    val s1 = Sampling.stratifiedSample(spark, dir).cache()
+    val s2 = Sampling.stratifiedSample(spark, dir)
+    // identical row set on re-run (the whole point vs RNG sampling)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // per-stratum rates near their targets (hash uniformity; wide tolerance
+    // at sf0.001's ~300 customers per segment)
+    val rates = s1.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = base.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val auto = rates.getOrElse("AUTOMOBILE", 0L).toDouble / totals("AUTOMOBILE")
+    assert(auto > 0.05 && auto < 0.5, s"AUTOMOBILE rate $auto far from 0.2")
+    // subset property
+    assert(s1.join(base, Seq("c_custkey"), "left_anti").count() == 0)
   }
 }
