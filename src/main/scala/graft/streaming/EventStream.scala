@@ -98,6 +98,82 @@ object EventStream {
       }
   }
 
+  /** Streaming as-of input row: side 0 = state change, side 1 = measure. */
+  case class AsofEvent(user_id: Long, ts: Timestamp, side: Int, event_id: Long, value: Double)
+  case class AsofPending(event_id: Long, tsMs: Long, value: Double)
+  case class AsofBuf(states: List[(Long, Double)], pending: List[AsofPending])
+  case class EnrichedEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double,
+      state_ts: Option[Timestamp], state_value: Option[Double])
+
+  /** Streaming as-of enrichment — the continuous twin of
+    * [[graft.operators.AsOf.asofJoin]]: each measure event picks up the
+    * user's latest state change at-or-before its EVENT time, correct
+    * under out-of-order arrival. Measures buffer per user until the
+    * watermark passes their event time (only then can no earlier state
+    * still arrive); resolved measures emit exactly once. State kept per
+    * user: the newest state change at-or-before the watermark plus any
+    * ahead of it, and the unresolved measures — both bounded by the
+    * late-data horizon. Event-time timeout evicts users idle past
+    * `stateTtlMs` (flushing their resolvable measures first), so a
+    * 100 TB/day stream holds state ∝ active users within the horizon,
+    * not history. Requires state rows unique per (user, ts) — dedupe
+    * upstream, as the batch twin does. */
+  def asofStream(events: Dataset[AsofEvent], watermark: String = "10 minutes",
+      stateTtlMs: Long = 60 * 60 * 1000L): Dataset[EnrichedEvent] = {
+    import events.sparkSession.implicits._
+
+    def resolve(user: Long, states: List[(Long, Double)], ready: List[AsofPending]) = {
+      val sorted = states.sortBy(_._1)
+      ready.sortBy(p => (p.tsMs, p.event_id)).map { p =>
+        val st = sorted.filter(_._1 <= p.tsMs).lastOption
+        EnrichedEvent(user, p.event_id, new Timestamp(p.tsMs), p.value,
+          st.map(s => new Timestamp(s._1)), st.map(_._2))
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofBuf, EnrichedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // idle past TTL: flush what the watermark already released,
+            // then forget the user (measures still ahead of the
+            // watermark stay — they could yet be resolved wrongly
+            // otherwise; keep them with the surviving states)
+            val s = state.get
+            val (ready, rest) = s.pending.partition(_.tsMs <= wm)
+            val out = resolve(user, s.states, ready)
+            if (rest.isEmpty) state.remove()
+            else {
+              state.update(AsofBuf(s.states, rest))
+              state.setTimeoutTimestamp(wm + stateTtlMs)
+            }
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+            var states = prev.states
+            var pending = prev.pending
+            rows.foreach { e =>
+              if (e.side == 0) states ::= (e.ts.getTime, e.value)
+              else pending ::= AsofPending(e.event_id, e.ts.getTime, e.value)
+            }
+            val (ready, rest) = pending.partition(_.tsMs <= wm)
+            val out = resolve(user, states, ready)
+            // prune states: future measures all have ts > wm, so they
+            // need at most the newest state <= wm plus everything after
+            val sorted = states.sortBy(_._1)
+            val kept = sorted.filter(_._1 <= wm).lastOption.toList ++
+              sorted.filter(_._1 > wm)
+            state.update(AsofBuf(kept, rest))
+            state.setTimeoutTimestamp(math.max(wm, 0L) + stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Hourly tumbling counts per event type over a streaming frame of
     * (ts TIMESTAMP, event_type STRING, value DOUBLE).
     */

@@ -135,6 +135,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofStream enriches out-of-order measures once the watermark releases them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.{AsofEvent, EnrichedEvent}
+    val input = MemoryStream[AsofEvent]
+    val q = EventStream.asofStream(input.toDS(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // batch 1: a state@10 and measures@5 (pre-state) and @12 — plus a
+      // watermark pusher far ahead so 5/10/12 fall behind the watermark
+      input.addData(
+        AsofEvent(1L, ts(10), 0, 100L, 50.0),
+        AsofEvent(1L, ts(5), 1, 1L, 1.0),
+        AsofEvent(1L, ts(12), 1, 2L, 2.0),
+        AsofEvent(99L, ts(120), 1, 9L, 9.0)) // watermark pusher
+      q.processAllAvailable()
+      // batch 2 advances the watermark past batch 1's events; a LATE but
+      // in-watermark state must NOT rewrite already-emitted rows
+      input.addData(AsofEvent(99L, ts(240), 1, 10L, 9.0))
+      q.processAllAvailable()
+      val out = spark.table("asof").as[EnrichedEvent].collect()
+        .filter(_.user_id == 1L).sortBy(_.event_id)
+      assert(out.length == 2, s"got ${out.mkString(";")}")
+      // measure@5: before any state -> null enrichment
+      assert(out(0).event_id == 1L && out(0).state_ts.isEmpty)
+      // measure@12: enriched with state@10
+      assert(out(1).event_id == 2L && out(1).state_ts.contains(ts(10))
+        && out(1).state_value.contains(50.0))
+    } finally q.stop()
+  }
+
+  test("asofStream matches the batch asofJoin on a replayed event set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.{AsofEvent, EnrichedEvent}
+    // deterministic scrambled replay: states and measures interleaved
+    // out of order within the watermark
+    val evs = (0 until 60).map { i =>
+      val side = if (i % 3 == 0) 0 else 1
+      AsofEvent(i % 4, ts(i * 7 % 50), side, 1000L + i, i.toDouble)
+    }
+    // batch twin expects unique (user, ts) state rows — drop dup states
+    val stateKey = scala.collection.mutable.Set.empty[(Long, Long)]
+    val uniq = evs.filter(e =>
+      e.side == 1 || stateKey.add((e.user_id, e.ts.getTime)))
+    val input = MemoryStream[AsofEvent]
+    // watermark must cover the 50-minute scramble: the replay arrives
+    // wildly out of order ACROSS batches, and anything behind the
+    // watermark is (correctly) dropped as too-late data
+    val q = EventStream.asofStream(input.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("asof_par").outputMode("append").start()
+    try {
+      uniq.grouped(13).foreach { g => input.addData(g); q.processAllAvailable() }
+      // watermark pusher so every real event falls behind it
+      input.addData(AsofEvent(999L, ts(10000), 1, 1L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_par").as[EnrichedEvent].collect()
+        .filter(_.user_id != 999L)
+        .map(e => (e.event_id, e.state_ts.map(_.getTime).getOrElse(-1L),
+          e.state_value.getOrElse(-1.0))).sortBy(_._1)
+      val left = uniq.filter(_.side == 1)
+        .map(e => (e.user_id, e.ts, e.event_id, e.value))
+        .toDF("user_id", "ts", "event_id", "value")
+      val right = uniq.filter(_.side == 0)
+        .map(e => (e.user_id, e.ts, e.value))
+        .toDF("user_id", "state_ts", "state_value")
+      val batch = operators.AsOf.asofJoin(left, right, Seq("user_id"), "ts", "state_ts")
+        .collect().map(r => (r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getTimestamp(4).getTime,
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("batch sessionize on testdata: session bounds ordered, events conserved") {
     val df = operators.Events.sessionize(spark, "/root/testdata/sf0.001").cache()
     assert(df.filter(col("session_start") > col("session_end")).count() == 0)
