@@ -29,15 +29,24 @@ object Sampling {
   private def bucketSql(key: String): String =
     s"${Hashing.hash48Sql(s"($key)::VARCHAR")} % $Buckets"
 
+  /** Integer bucket threshold for a fraction — computed ONCE on the
+    * driver so both engines compare against the same exact literal.
+    * Comparing against `fraction * Buckets` at query time would pit
+    * Spark's double product against DuckDB's DECIMAL arithmetic, which
+    * disagree on boundary buckets for fractions whose product rounds
+    * (e.g. 0.00051 → 510.00000000000006 vs 510.00000). */
+  private[graft] def thresholdFor(fraction: Double): Long =
+    math.round(fraction * Buckets)
+
   /** Keep each row iff hash(key) falls under its stratum's fraction.
     * `fractions` maps stratum value → sampling fraction in [0, 1];
     * unlisted strata get `defaultFraction`. */
   def stratified(df: DataFrame, keyCol: String, strataCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
-    val threshold = fractions.foldLeft(lit(defaultFraction)) {
-      case (acc, (s, f)) => when(col(strataCol) === s, lit(f)).otherwise(acc)
+    val threshold = fractions.foldLeft(lit(thresholdFor(defaultFraction))) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(thresholdFor(f))).otherwise(acc)
     }
-    df.filter(bucket(col(keyCol)) < threshold * Buckets)
+    df.filter(bucket(col(keyCol)) < threshold)
   }
 
   // ---- q38: stratified customer sample by market segment ----
@@ -54,13 +63,15 @@ object Sampling {
       SegmentFractions.toMap, DefaultFraction)
 
   val stratifiedSampleSql: String = {
-    // reverse order mirrors the foldLeft's last-wins when-chain
+    // chain order differs from the when-chain's fold, which is fine
+    // because strata values are distinct; thresholds are the SAME
+    // driver-computed integer literals the Spark plan carries
     val cases = SegmentFractions.map { case (s, f) =>
-      s"WHEN c_mktsegment = '$s' THEN $f"
+      s"WHEN c_mktsegment = '$s' THEN ${thresholdFor(f)}"
     }.mkString(" ")
     s"""SELECT c_custkey, c_mktsegment, c_nationkey
        |FROM customer
        |WHERE ${bucketSql("c_custkey")} <
-       |  (CASE $cases ELSE $DefaultFraction END) * $Buckets""".stripMargin
+       |  (CASE $cases ELSE ${thresholdFor(DefaultFraction)} END)""".stripMargin
   }
 }

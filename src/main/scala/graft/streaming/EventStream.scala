@@ -101,7 +101,11 @@ object EventStream {
   /** Streaming as-of input row: side 0 = state change, side 1 = measure. */
   case class AsofEvent(user_id: Long, ts: Timestamp, side: Int, event_id: Long, value: Double)
   case class AsofPending(event_id: Long, tsMs: Long, value: Double)
-  case class AsofBuf(states: List[(Long, Double)], pending: List[AsofPending])
+  /** `maxTs` = newest event time seen for the user — the timeout base.
+    * The WATERMARK is 0 during the first microbatch, so anchoring the
+    * timeout on it would evict batch-1 users at epoch+TTL (i.e.
+    * immediately); anchoring on event time matches [[nearDupStream]]. */
+  case class AsofBuf(states: List[(Long, Double)], pending: List[AsofPending], maxTs: Long)
   case class EnrichedEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double,
       state_ts: Option[Timestamp], state_value: Option[Double])
 
@@ -131,6 +135,19 @@ object EventStream {
       }
     }
 
+    // The group function only runs on new data or a fired timeout, so
+    // the timeout must double as the RELEASE mechanism for buffered
+    // measures: with pending measures, it fires as soon as the
+    // watermark passes the earliest one (not TTL-later); when drained,
+    // it becomes the idle-TTL cleanup anchored on EVENT time (the
+    // watermark is 0 during the first microbatch — anchoring on it
+    // would evict batch-1 users at epoch+TTL, i.e. instantly).
+    // Spark requires the timestamp to sit beyond the current watermark.
+    def nextTimeout(wm: Long, rest: List[AsofPending], maxTs: Long): Long = {
+      val base = if (rest.nonEmpty) rest.map(_.tsMs).min else maxTs + stateTtlMs
+      math.max(wm + 1, base)
+    }
+
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -138,39 +155,33 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofBuf]) =>
           val wm = state.getCurrentWatermarkMs()
-          if (state.hasTimedOut) {
-            // idle past TTL: flush what the watermark already released,
-            // then forget the user (measures still ahead of the
-            // watermark stay — they could yet be resolved wrongly
-            // otherwise; keep them with the surviving states)
-            val s = state.get
-            val (ready, rest) = s.pending.partition(_.tsMs <= wm)
-            val out = resolve(user, s.states, ready)
-            if (rest.isEmpty) state.remove()
-            else {
-              state.update(AsofBuf(s.states, rest))
-              state.setTimeoutTimestamp(wm + stateTtlMs)
-            }
-            out.iterator
-          } else {
-            val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
-            var states = prev.states
-            var pending = prev.pending
-            rows.foreach { e =>
-              if (e.side == 0) states ::= (e.ts.getTime, e.value)
-              else pending ::= AsofPending(e.event_id, e.ts.getTime, e.value)
-            }
-            val (ready, rest) = pending.partition(_.tsMs <= wm)
-            val out = resolve(user, states, ready)
-            // prune states: future measures all have ts > wm, so they
-            // need at most the newest state <= wm plus everything after
-            val sorted = states.sortBy(_._1)
-            val kept = sorted.filter(_._1 <= wm).lastOption.toList ++
-              sorted.filter(_._1 > wm)
-            state.update(AsofBuf(kept, rest))
-            state.setTimeoutTimestamp(math.max(wm, 0L) + stateTtlMs)
-            out.iterator
+          val prev =
+            if (state.exists) state.get else AsofBuf(Nil, Nil, 0L)
+          var states = prev.states
+          var pending = prev.pending
+          var maxTs = prev.maxTs
+          rows.foreach { e =>
+            if (e.side == 0) states ::= (e.ts.getTime, e.value)
+            else pending ::= AsofPending(e.event_id, e.ts.getTime, e.value)
+            maxTs = math.max(maxTs, e.ts.getTime)
           }
+          // release measures the watermark has passed: every state
+          // at-or-before them has arrived (later ones would be dropped
+          // as too late upstream)
+          val (ready, rest) = pending.partition(_.tsMs <= wm)
+          val out = resolve(user, states, ready)
+          // prune states: future measures all have ts > wm, so they
+          // need at most the newest state <= wm plus everything after
+          val sorted = states.sortBy(_._1)
+          val kept = sorted.filter(_._1 <= wm).lastOption.toList ++
+            sorted.filter(_._1 > wm)
+          val idle = rest.isEmpty && wm >= maxTs + stateTtlMs
+          if (idle || (kept.isEmpty && rest.isEmpty)) state.remove()
+          else {
+            state.update(AsofBuf(kept, rest, maxTs))
+            state.setTimeoutTimestamp(nextTimeout(wm, rest, maxTs))
+          }
+          out.iterator
       }
   }
 

@@ -166,6 +166,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofStream: batch-1 state survives until TTL of EVENT time (not epoch+TTL)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.{AsofEvent, EnrichedEvent}
+    val input = MemoryStream[AsofEvent]
+    // 24h TTL: the watermark is 0 during batch 1, so a timeout anchored
+    // on it would land at epoch+24h — BEHIND these event times — and
+    // evict the user's state as soon as the watermark moves
+    val q = EventStream.asofStream(input.toDS(), watermark = "5 minutes",
+      stateTtlMs = 24 * 3600 * 1000L)
+      .writeStream.format("memory").queryName("asof_ttl").outputMode("append").start()
+    try {
+      input.addData(AsofEvent(1L, ts(10), 0, 100L, 50.0)) // state only, batch 1
+      q.processAllAvailable()
+      input.addData(AsofEvent(99L, ts(240), 1, 9L, 9.0)) // watermark pusher
+      q.processAllAvailable()
+      input.addData(
+        AsofEvent(1L, ts(300), 1, 1L, 1.0), // measure AFTER the idle gap
+        AsofEvent(99L, ts(600), 1, 10L, 9.0)) // releases it
+      q.processAllAvailable()
+      val u1 = spark.table("asof_ttl").as[EnrichedEvent].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.state_ts.contains(ts(10)), s"state lost: ${u1.head}")
+    } finally q.stop()
+  }
+
   test("asofStream matches the batch asofJoin on a replayed event set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
