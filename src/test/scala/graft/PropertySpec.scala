@@ -67,4 +67,66 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(est - trueJ) <= 0.35, s"est $est far from true $trueJ")
     }
   }
+
+  test("asofJoin matches an in-memory reference model on random interleavings") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val gen = for {
+      user <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(0L, 100L)
+      isState <- Gen.oneOf(true, false)
+      v <- Gen.chooseNum(1, 999)
+    } yield (user, t, isState, v.toDouble)
+    val evs = samples(gen, 300)
+    // right side unique per (user, t): keep the max value
+    val states = evs.filter(_._3).groupBy(e => (e._1, e._2))
+      .map { case ((u, t), g) => (u, t, g.map(_._4).max) }.toSeq
+    val measures = evs.filterNot(_._3).zipWithIndex
+      .map { case ((u, t, _, v), i) => (u, t, i.toLong, v) }
+    // reference model: per measure, latest state at-or-before
+    val expect = measures.map { case (u, t, id, _) =>
+      val prior = states.filter(s => s._1 == u && s._2 <= t)
+      id -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2)))
+    }.toMap
+    val left = measures.map { case (u, t, id, v) => (u, new Timestamp(t * 1000), id, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val right = states.map { case (u, t, v) => (u, new Timestamp(t * 1000), v) }
+      .toDF("user_id", "state_ts", "state_value")
+    val got = operators.AsOf.asofJoin(left, right, Seq("user_id"), "ts", "state_ts")
+      .collect().map { r =>
+        r.getLong(2) -> (if (r.isNullAt(4)) None
+          else Some((r.getLong(0), r.getTimestamp(4).getTime / 1000, r.getDouble(5))))
+      }.toMap
+    assert(got.size == measures.size)
+    expect.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"event $id: got ${got(id)}, expected $exp")
+    }
+  }
+
+  test("separate round-trips arbitrary delimiter-joined pieces positionally") {
+    import spark.implicits._
+    val piece = Gen.alphaNumStr.suchThat(s => s.nonEmpty && s.length <= 8)
+    val rowGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, piece))
+    val rows = samples(rowGen, 120)
+    val n = 6
+    val df = rows.map(_.mkString("|")).toDF("s")
+    val out = operators.Relational.separate(df, "s", "|", n).collect()
+    rows.zip(out).foreach { case (pieces, r) =>
+      (1 to n).foreach { i =>
+        val expected = if (i <= pieces.length) pieces(i - 1) else null
+        assert(r.getString(i) == expected,
+          s"row '${pieces.mkString("|")}' part_$i: got ${r.getString(i)}")
+      }
+    }
+  }
+
+  test("stratified sampling rate concentrates near the target fraction") {
+    import spark.implicits._
+    val keys = (1L to 20000L).map(k => (k, "S")).toDF("k", "stratum")
+    for (f <- Seq(0.05, 0.2, 0.5)) {
+      val kept = operators.Sampling.stratified(keys, "k", "stratum", Map("S" -> f)).count()
+      val rate = kept.toDouble / 20000
+      assert(math.abs(rate - f) < 0.02, s"fraction $f sampled at $rate")
+    }
+  }
 }
