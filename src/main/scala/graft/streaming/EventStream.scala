@@ -185,6 +185,27 @@ object EventStream {
       }
   }
 
+  /** Continuous interval join — the stream-stream twin of
+    * [[graft.operators.RangeJoin.rangeJoin]], on Spark's native
+    * watermarked stream-stream join. Both inputs MUST carry watermarks;
+    * `maxInterval` (a SQL interval literal, e.g. "30 minutes") is the
+    * contract that lets Spark bound its join state: the literal upper
+    * bound `pointTs ≤ startTs + maxInterval` tells the state cleanup
+    * how long a buffered interval can still match, while the exact
+    * `pointTs ≤ endTs` condition trims to the real (data-dependent)
+    * interval end. Matches emit as soon as both sides arrive; state on
+    * each side is dropped once the other side's watermark passes the
+    * range bound. */
+  def rangeJoinStream(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointTs: String, startTs: String, endTs: String,
+      maxInterval: String): DataFrame = {
+    val cond = keys.map(k => points(k) === intervals(k)).reduce(_ && _) &&
+      points(pointTs) >= intervals(startTs) &&
+      points(pointTs) <= intervals(startTs) + expr(s"INTERVAL $maxInterval") &&
+      points(pointTs) <= intervals(endTs)
+    keys.foldLeft(points.join(intervals, cond))((d, k) => d.drop(intervals(k)))
+  }
+
   /** Hourly tumbling counts per event type over a streaming frame of
     * (ts TIMESTAMP, event_type STRING, value DOUBLE).
     */

@@ -236,6 +236,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rangeJoinStream: stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mIn = MemoryStream[(Long, Timestamp, Double)]
+    val iIn = MemoryStream[(Long, Timestamp, Timestamp)]
+    val measures = mIn.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val intervals = iIn.toDF().toDF("user_id", "start_ts", "end_ts")
+      .withWatermark("start_ts", "10 minutes")
+    val q = EventStream.rangeJoinStream(measures, intervals,
+      Seq("user_id"), "ts", "start_ts", "end_ts", "30 minutes")
+      .writeStream.format("memory").queryName("rjs").outputMode("append").start()
+    try {
+      // interval arrives AFTER some of its points (stream-stream join
+      // buffers both sides); a short interval (10 < 30 max) exercises
+      // the exact endTs trim vs the coarse literal bound
+      mIn.addData((1L, ts(5), 1.0), (1L, ts(12), 2.0), (1L, ts(25), 3.0), (2L, ts(12), 9.0))
+      iIn.addData((1L, ts(10), ts(20)))
+      q.processAllAvailable()
+      mIn.addData((1L, ts(18), 4.0)) // late-side point for the buffered interval
+      q.processAllAvailable()
+      val got = spark.table("rjs").select("ts", "value").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1))).sortBy(_._1.getTime)
+      // in [10,20] for user 1: ts(12) and ts(18); NOT ts(5)/ts(25)
+      // (outside), NOT user 2, NOT ts(25) via the 30-min coarse bound
+      assert(got.toSeq == Seq((ts(12), 2.0), (ts(18), 4.0)), s"got ${got.mkString(",")}")
+      // batch twin on identical data agrees
+      val bm = Seq((1L, ts(5), 1.0), (1L, ts(12), 2.0), (1L, ts(25), 3.0),
+        (2L, ts(12), 9.0), (1L, ts(18), 4.0)).toDF("user_id", "ts", "value")
+      val bi = Seq((1L, ts(10), ts(20))).toDF("user_id", "start_ts", "end_ts")
+      val batch = operators.RangeJoin.rangeJoin(bm, bi, Seq("user_id"), "ts", "start_ts", "end_ts", 600L)
+        .select("ts", "value").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1))).sortBy(_._1.getTime)
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
   test("batch sessionize on testdata: session bounds ordered, events conserved") {
     val df = operators.Events.sessionize(spark, "/root/testdata/sf0.001").cache()
     assert(df.filter(col("session_start") > col("session_end")).count() == 0)
