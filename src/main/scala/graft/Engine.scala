@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, Hash48}
 
 /** SparkSession factory with the engine's scale-oriented defaults.
   *
@@ -23,7 +23,7 @@ object Engine {
     * Arguments are wrapped in Cast to array<double> so float/int arrays
     * compute correctly (the raw expression reads 8-byte slots) and
     * non-array arguments fail analysis instead of returning garbage. */
-  private def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  private def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -35,6 +35,16 @@ object Engine {
           Cast(c, ArrayType(DoubleType, containsNull = true)))
         CosineSimilarity(a, b)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hash48"),
+      new ExpressionInfo(classOf[Hash48].getName, "hash48"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"hash48 expects 1 argument, got ${children.length}")
+        Hash48(Cast(children.head, org.apache.spark.sql.types.StringType))
+      }))
+  }
 
   def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)

@@ -18,8 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 48-bit hash of a string column (unsigned, carried in a LONG). */
+  /** 48-bit hash of a string column (unsigned, carried in a LONG).
+    * Runs as the fused native [[graft.functions.expressions.Hash48]]
+    * (value-identical to `conv(substring(md5(c),1,12),16,10)` — the
+    * portable recipe [[hash48Sql]] still mirrors — but without the
+    * hex-string materialize/substring/parse per call). Requires an
+    * [[graft.Engine]]-built session (which injects the function). */
   def hash48(c: Column): Column =
+    call_function("hash48", c)
+
+  /** The composable built-in form of [[hash48]] — what the native
+    * expression fuses; kept for parity testing. */
+  private[graft] def hash48Composable(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   /** Seeded 48-bit hash — independent hash family member per seed. */

@@ -36,6 +36,24 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter(col("h1") =!= col("h2")).count() == 0)
   }
 
+  test("native hash48 expression equals the composable md5/conv chain (incl. unicode)") {
+    import spark.implicits._
+    val strs = (samples(Gen.asciiPrintableStr, 300) ++
+      Seq("", "héllo wörld", "日本語テキスト", "emoji 🎉🎊", "a\tb\nc")).distinct
+    val df = strs.toDF("s")
+      .withColumn("native", functions.Hashing.hash48(col("s")))
+      .withColumn("composed", functions.Hashing.hash48Composable(col("s")))
+    val bad = df.filter(col("native") =!= col("composed"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString(";"))
+    // and through the SQL surface inside a lambda (the shingle path)
+    val viaSql = Seq("x y z").toDF("text")
+      .select(transform(split(col("text"), " "), t => call_function("hash48", t)).as("hs"))
+      .head.getSeq[Long](0)
+    val direct = Seq("x", "y", "z").map(s =>
+      functions.expressions.Hash48.compute(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(viaSql == direct)
+  }
+
   test("cleanNumeric inverts comma-grouped formatting for arbitrary longs") {
     import spark.implicits._
     val nums = samples(Gen.chooseNum(0L, 999999999999L), 200).distinct
