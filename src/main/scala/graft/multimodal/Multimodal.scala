@@ -8,13 +8,17 @@ import graft.Tables
 /** Multimodal column plumbing (SURVEY.md §2 #30): media as opaque
   * `binary` payload columns with typed metadata, decoded per-partition.
   *
-  * The container has no image/audio codecs, so [[decodePayload]] is a
-  * DETERMINISTIC FAKE decoder (clearly marked): it derives metadata from
-  * payload bytes instead of parsing a real container format. Everything
-  * around it — the binary column, the case-class schema, the
-  * `mapPartitions` batch shape, partitioning — is the real plumbing a
-  * production decode (JNI codec, ONNX feature extractor) would drop
-  * into.
+  * Two tiers of "real" here. AUDIO is fully real: [[wavPayloads]] emits
+  * valid RIFF/WAV PCM containers and [[decodeWav]] is an actual
+  * chunk-walking parser (magic validation, arbitrary chunk order,
+  * padding, malformed-input rejection) — cross-validated against the
+  * JDK's javax.sound reader in MultimodalSpec. IMAGE/VIDEO decode needs
+  * codec libraries the container doesn't ship, so [[decodePayload]] /
+  * [[extractFeatures]] / [[resize]] / [[sampleFrames]] are
+  * DETERMINISTIC FAKES (clearly marked) around the real plumbing — the
+  * binary column, the case-class schema, the `mapPartitions` batch
+  * shape — that a production decode (JNI codec, ONNX session) would
+  * drop into.
   *
   * Scale: payloads stay in the executors end-to-end (no collect); decode
   * is `mapPartitions` so a real decoder amortizes per-partition init
@@ -128,6 +132,121 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ---- REAL audio decode: RIFF/WAV PCM (no codec library needed) ----
+
+  /** Decoded WAV metadata + content stats. */
+  case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_frames: Int, duration_ms: Double, rms: Double)
+
+  /** Synthesize a VALID RIFF/WAV PCM payload per document: 16-bit mono,
+    * sample rate and frame count derived from doc_id, samples from the
+    * text's md5 bytes — deterministic, and a well-formed container a
+    * real audio tool can open (the spec cross-checks with the JDK's own
+    * javax.sound reader). This is the audio analog of an ingested media
+    * column; unlike the image/video paths above, the WHOLE pipeline is
+    * real here: valid container in, actual parser out. */
+  def wavPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          md.reset()
+          val h = md.digest(text.getBytes("UTF-8"))
+          val sampleRate = 8000 * (1 + (id % 3).toInt) // 8/16/24 kHz
+          val nFrames = 64 + (id % 64).toInt
+          val dataLen = nFrames * 2 // 16-bit mono
+          val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1) // PCM
+            .putShort(1) // mono
+            .putInt(sampleRate)
+            .putInt(sampleRate * 2) // byte rate
+            .putShort(2) // block align
+            .putShort(16) // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < nFrames) {
+            buf.putShort((((h(i % 16) & 0xFF) - 128) * 256).toShort)
+            i += 1
+          }
+          (id, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  def wavPayloads(spark: SparkSession, dir: String): DataFrame =
+    wavPayloads(Tables.documents(spark, dir))
+
+  /** REAL WAV decoder: validates the RIFF/WAVE magics, walks the chunk
+    * list (any order, unknown chunks skipped, word-aligned), reads the
+    * fmt fields little-endian, and computes RMS over the 16-bit PCM
+    * samples. Malformed payloads yield None (a corrupt file must drop
+    * the row, not kill the 100 TB job). Per-partition shape as above. */
+  def decodeWav(payloadDf: DataFrame): Dataset[WavMeta] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseWav(id, bytes) })
+  }
+
+  private[graft] def parseWav(id: Long, bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); buf.get(a); new String(a, "US-ASCII")
+    }
+    if (ascii(4) != "RIFF") return None
+    buf.getInt // declared riff size; tolerated if short (streaming writers)
+    if (ascii(4) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, len)
+    while (buf.remaining() >= 8) {
+      val cid = ascii(4)
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      cid match {
+        case "fmt " =>
+          if (len < 16) return None
+          val p = buf.position()
+          val audioFormat = buf.getShort
+          val channels = buf.getShort.toInt
+          val rate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          val bits = buf.getShort.toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((channels, rate, bits))
+          buf.position(p + len)
+        case "data" =>
+          data = Some((buf.position(), len))
+          buf.position(buf.position() + len)
+        case _ =>
+          buf.position(buf.position() + len)
+      }
+      if (len % 2 == 1 && buf.remaining() > 0) buf.get // chunk padding
+    }
+    for ((channels, rate, bits) <- fmt; (off, len) <- data) yield {
+      val bytesPerFrame = channels * (bits / 8)
+      val nFrames = if (bytesPerFrame > 0) len / bytesPerFrame else 0
+      var sumSq = 0.0
+      if (bits == 16) {
+        val sb = java.nio.ByteBuffer.wrap(bytes, off, len)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        while (sb.hasRemaining) { val s = sb.get.toDouble; sumSq += s * s }
+      }
+      val nSamples = nFrames * channels
+      WavMeta(id, rate, channels, bits, nFrames,
+        nFrames * 1000.0 / rate,
+        if (nSamples > 0 && bits == 16) math.sqrt(sumSq / nSamples) else 0.0)
+    }
   }
 
   /** #30 oracle query: the declarative twin of [[decodePayload]] —

@@ -56,6 +56,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("WAV: synthesized payloads decode to the parameters the builder embedded") {
+    val wavs = Multimodal.wavPayloads(spark, dir).cache()
+    val meta = Multimodal.decodeWav(wavs).toDF().cache()
+    assert(meta.count() == wavs.count()) // every payload well-formed
+    // builder embeds rate = 8000*(1 + id%3) and frames = 64 + id%64
+    val bad = meta.filter(
+      col("sample_rate") =!= (lit(8000) * (col("doc_id") % 3 + 1)).cast("int")
+        || col("n_frames") =!= (col("doc_id") % 64 + 64).cast("int")
+        || col("channels") =!= 1 || col("bits_per_sample") =!= 16)
+    assert(bad.count() == 0)
+    // duration consistent with rate and frames
+    val offDur = meta.filter(
+      abs(col("duration_ms") - col("n_frames") * 1000.0 / col("sample_rate")) > 1e-9)
+    assert(offDur.count() == 0)
+    assert(meta.filter(col("rms") <= 0.0).count() == 0)
+  }
+
+  test("WAV: the JDK's own javax.sound reader agrees with our parser") {
+    val sample = Multimodal.wavPayloads(spark, dir).limit(20).collect()
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val ours = Multimodal.parseWav(id, bytes).get
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      assert(f.getSampleRate.toInt == ours.sample_rate)
+      assert(f.getChannels == ours.channels)
+      assert(f.getSampleSizeInBits == ours.bits_per_sample)
+      assert(aff.getFrameLength == ours.n_frames)
+    }
+  }
+
+  test("WAV: malformed payloads drop, chunk-order and padding variants parse") {
+    val good = Multimodal.wavPayloads(spark, dir).limit(1).collect()(0).getAs[Array[Byte]](1)
+    assert(Multimodal.parseWav(1L, good).isDefined)
+    // truncated, wrong magic, non-PCM → None, never an exception
+    assert(Multimodal.parseWav(1L, good.take(20)).isEmpty)
+    val wrongMagic = good.clone(); wrongMagic(0) = 'X'.toByte
+    assert(Multimodal.parseWav(1L, wrongMagic).isEmpty)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // audio format != 1
+    assert(Multimodal.parseWav(1L, nonPcm).isEmpty)
+    // an unknown odd-length chunk before fmt must be skipped with padding
+    val extra = java.nio.ByteBuffer.allocate(good.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(good, 0, 12) // RIFF....WAVE
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+    extra.put(good, 12, good.length - 12)
+    val withChunk = extra.array()
+    // fix riff size to cover the insertion
+    java.nio.ByteBuffer.wrap(withChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withChunk.length - 8)
+    val parsed = Multimodal.parseWav(1L, withChunk)
+    assert(parsed.isDefined && parsed.get.n_frames == Multimodal.parseWav(1L, good).get.n_frames)
+  }
+
   test("q30: metadata stays in envelope (format known, dims in [64, 319])") {
     val df = Multimodal.multimodalMeta(spark, dir).cache()
     assert(df.filter(!col("format").isin(Multimodal.Formats.map(lit(_)): _*)).count() == 0)
