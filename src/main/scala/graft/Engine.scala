@@ -42,7 +42,9 @@ object Engine {
         if (children.length != 1)
           throw new IllegalArgumentException(
             s"hash48 expects 1 argument, got ${children.length}")
-        Hash48(Cast(children.head, org.apache.spark.sql.types.StringType))
+        // no blanket cast: Hash48.checkInputDataTypes rejects
+        // non-string args at analysis, like the md5 chain it replaces
+        Hash48(children.head)
       }))
   }
 

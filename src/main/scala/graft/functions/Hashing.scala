@@ -22,10 +22,12 @@ object Hashing {
     * Runs as the fused native [[graft.functions.expressions.Hash48]]
     * (value-identical to `conv(substring(md5(c),1,12),16,10)` — the
     * portable recipe [[hash48Sql]] still mirrors — but without the
-    * hex-string materialize/substring/parse per call). Requires an
-    * [[graft.Engine]]-built session (which injects the function). */
+    * hex-string materialize/substring/parse per call). Built directly
+    * from the expression, so it works on ANY SparkSession; the SQL name
+    * `hash48(...)` additionally exists on [[graft.Engine]] sessions. */
   def hash48(c: Column): Column =
-    call_function("hash48", c)
+    org.apache.spark.sql.GraftSql.column(
+      expressions.Hash48(org.apache.spark.sql.GraftSql.expression(c)))
 
   /** The composable built-in form of [[hash48]] — what the native
     * expression fuses; kept for parity testing. */

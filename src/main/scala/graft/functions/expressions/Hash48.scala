@@ -2,9 +2,10 @@ package graft.functions.expressions
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fused 48-bit md5-prefix hash: the same value as
@@ -24,6 +25,15 @@ case class Hash48(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def prettyName: String = "hash48"
+
+  /** Strings only — matching the composable md5 chain's strictness. A
+    * blanket cast-to-string would silently hash the string RENDERING of
+    * arrays/structs/doubles, which the portable SQL recipe cannot
+    * reproduce; better to fail analysis. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash48 requires a STRING argument, got ${child.dataType.catalogString}")
 
   protected override def nullSafeEval(input: Any): Any =
     Hash48.compute(input.asInstanceOf[UTF8String])

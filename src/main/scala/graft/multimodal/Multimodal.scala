@@ -157,8 +157,9 @@ object Multimodal {
         rows.map { case (id, text) =>
           md.reset()
           val h = md.digest(text.getBytes("UTF-8"))
-          val sampleRate = 8000 * (1 + (id % 3).toInt) // 8/16/24 kHz
-          val nFrames = 64 + (id % 64).toInt
+          // floorMod: a negative doc_id must not produce rate 0/-8000
+          val sampleRate = 8000 * (1 + Math.floorMod(id, 3).toInt) // 8/16/24 kHz
+          val nFrames = 64 + Math.floorMod(id, 64).toInt
           val dataLen = nFrames * 2 // 16-bit mono
           val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -209,29 +210,39 @@ object Multimodal {
     if (ascii(4) != "WAVE") return None
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var data: Option[(Int, Int)] = None // (offset, len)
-    while (buf.remaining() >= 8) {
+    var halted = false
+    while (!halted && (fmt.isEmpty || data.isEmpty) && buf.remaining() >= 8) {
       val cid = ascii(4)
       val len = buf.getInt
-      if (len < 0 || len > buf.remaining()) return None
-      cid match {
+      if (len < 0 || len > buf.remaining()) {
+        // garbage where a chunk header should be: stop the walk — fatal
+        // only if the needed chunks were never found (trailing fill
+        // bytes after fmt+data must not reject a decodable file)
+        halted = true
+      } else cid match {
         case "fmt " =>
-          if (len < 16) return None
-          val p = buf.position()
-          val audioFormat = buf.getShort
-          val channels = buf.getShort.toInt
-          val rate = buf.getInt
-          buf.getInt; buf.getShort // byte rate, block align
-          val bits = buf.getShort.toInt
-          if (audioFormat != 1) return None // PCM only
-          fmt = Some((channels, rate, bits))
-          buf.position(p + len)
+          if (len < 16) halted = true
+          else {
+            val p = buf.position()
+            val audioFormat = buf.getShort
+            val channels = buf.getShort.toInt
+            val rate = buf.getInt
+            buf.getInt; buf.getShort // byte rate, block align
+            val bits = buf.getShort.toInt
+            // PCM only, and fields must be sane — a zero rate would
+            // otherwise emit Infinity durations downstream
+            if (audioFormat != 1 || rate <= 0 || channels <= 0
+              || !Set(8, 16, 24, 32).contains(bits)) return None
+            fmt = Some((channels, rate, bits))
+            buf.position(p + len)
+          }
         case "data" =>
           data = Some((buf.position(), len))
           buf.position(buf.position() + len)
         case _ =>
           buf.position(buf.position() + len)
       }
-      if (len % 2 == 1 && buf.remaining() > 0) buf.get // chunk padding
+      if (!halted && len % 2 == 1 && buf.remaining() > 0) buf.get // chunk padding
     }
     for ((channels, rate, bits) <- fmt; (off, len) <- data) yield {
       val bytesPerFrame = channels * (bits / 8)

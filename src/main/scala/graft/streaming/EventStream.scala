@@ -199,11 +199,19 @@ object EventStream {
   def rangeJoinStream(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       pointTs: String, startTs: String, endTs: String,
       maxInterval: String): DataFrame = {
-    val cond = keys.map(k => points(k) === intervals(k)).reduce(_ && _) &&
-      points(pointTs) >= intervals(startTs) &&
-      points(pointTs) <= intervals(startTs) + expr(s"INTERVAL $maxInterval") &&
-      points(pointTs) <= intervals(endTs)
-    keys.foldLeft(points.join(intervals, cond))((d, k) => d.drop(intervals(k)))
+    // maxInterval is a hard CONTRACT, not a hint: an interval longer
+    // than it would silently lose its tail matches (the coarse bound
+    // excludes them before the exact endTs test ever runs). Fail the
+    // violating row loudly instead — assert_true throws at evaluation,
+    // isNull keeps every passing row.
+    val checked = intervals.filter(
+      assert_true(intervals(endTs) <= intervals(startTs) + expr(s"INTERVAL $maxInterval"),
+        lit(s"rangeJoinStream: interval exceeds maxInterval=$maxInterval")).isNull)
+    val cond = keys.map(k => points(k) === checked(k)).reduce(_ && _) &&
+      points(pointTs) >= checked(startTs) &&
+      points(pointTs) <= checked(startTs) + expr(s"INTERVAL $maxInterval") &&
+      points(pointTs) <= checked(endTs)
+    keys.foldLeft(points.join(checked, cond))((d, k) => d.drop(checked(k)))
   }
 
   /** Hourly tumbling counts per event type over a streaming frame of

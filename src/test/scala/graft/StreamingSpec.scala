@@ -259,8 +259,9 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("rjs").select("ts", "value").collect()
         .map(r => (r.getTimestamp(0), r.getDouble(1))).sortBy(_._1.getTime)
-      // in [10,20] for user 1: ts(12) and ts(18); NOT ts(5)/ts(25)
-      // (outside), NOT user 2, NOT ts(25) via the 30-min coarse bound
+      // in [10,20] for user 1: ts(12) and ts(18); NOT ts(5) (before),
+      // NOT ts(25) (the exact endTs trim — it IS inside the 30-min
+      // coarse bound), NOT user 2
       assert(got.toSeq == Seq((ts(12), 2.0), (ts(18), 4.0)), s"got ${got.mkString(",")}")
       // batch twin on identical data agrees
       val bm = Seq((1L, ts(5), 1.0), (1L, ts(12), 2.0), (1L, ts(25), 3.0),
@@ -270,6 +271,30 @@ class StreamingSpec extends AnyFunSuite {
         .select("ts", "value").collect()
         .map(r => (r.getTimestamp(0), r.getDouble(1))).sortBy(_._1.getTime)
       assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
+  test("rangeJoinStream: an interval longer than maxInterval fails loudly, never silently loses matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mIn = MemoryStream[(Long, Timestamp, Double)]
+    val iIn = MemoryStream[(Long, Timestamp, Timestamp)]
+    val measures = mIn.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val intervals = iIn.toDF().toDF("user_id", "start_ts", "end_ts")
+      .withWatermark("start_ts", "10 minutes")
+    val q = EventStream.rangeJoinStream(measures, intervals,
+      Seq("user_id"), "ts", "start_ts", "end_ts", "30 minutes")
+      .writeStream.format("memory").queryName("rjs_guard").outputMode("append").start()
+    try {
+      mIn.addData((1L, ts(45), 1.0)) // would be a silently-lost tail match
+      iIn.addData((1L, ts(10), ts(70))) // 60-min interval > 30-min contract
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("maxInterval")
+        || Option(e.getCause).exists(_.getMessage != null)
+        , s"unexpected failure: ${e.getMessage}")
     } finally q.stop()
   }
 
