@@ -29,7 +29,15 @@ import graft.Tables
 object PrefixJaccard {
   import Dedup.{JaccardThreshold => T}
 
-  /** Distinct (doc_id, shk) pairs: the shared working set. */
+  /** Distinct (doc_id, shk) pairs: the shared working set.
+    *
+    * NOTE (measured, do not "simplify"): deriving this from a per-doc
+    * `array_distinct` PROJECTION instead looks cheaper (no distinct
+    * shuffle) but is the SURVEY §5 inlining trap — without an aggregate
+    * barrier Catalyst pushes the array projection past the candidate
+    * joins and recomputes the whole shingle pipeline per candidate PAIR
+    * (measured 50s vs 2.2s at sf0.1). The distinct/groupBy shuffles ARE
+    * the materialization barriers. */
   private def distinctShingles(docs: DataFrame): DataFrame =
     Dedup.docShingles(docs).distinct()
 
