@@ -42,11 +42,18 @@ object AsOf {
     require(lPayload.contains(leftTs) && rPayload.contains(rightTs),
       "ts columns must be non-key columns of their sides")
     val rStructType = StructType(right.schema.fields.filter(f => rPayload.contains(f.name)))
+    // NULL join keys: Window.partitionBy groups nulls TOGETHER, which
+    // would hand null-key left rows the null-key state — but a SQL
+    // equality predicate (the DuckDB ASOF twin's l.key = r.key) never
+    // matches NULL. Dropping null-key RIGHT rows restores left-join
+    // semantics exactly: null-key left rows survive with a null right
+    // payload, and no state ever attaches across a null key.
+    val rightNonNull = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
     val lTagged = left.select(
       keys.map(col) ++ lPayload.map(col) ++ Seq(
         col(leftTs).as("__t"), lit(1).as("__side"),
         lit(null).cast(rStructType).as("__r")): _*)
-    val rTagged = right.select(
+    val rTagged = rightNonNull.select(
       keys.map(col) ++ lPayload.map(c =>
         lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightTs).as("__t"), lit(0).as("__side"),

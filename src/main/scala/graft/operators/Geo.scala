@@ -45,7 +45,10 @@ object Geo {
 
   // ---- WKT parsers (codegen'd regexp/array expressions) ----
 
-  private val PointRe = "POINT \\(([-0-9.]+) ([-0-9.]+)\\)"
+  // Anchored like ValidPolygonRe: garbage around a valid POINT must
+  // yield null, not a successful parse (rlike and regexp_extract share
+  // the one constant so the gate and the extract cannot drift).
+  private val PointRe = "^POINT \\(([-0-9.]+) ([-0-9.]+)\\)$"
   private val PolygonRe = "POLYGON \\(\\((.*)\\)\\)"
   /** Structure guard: POLYGON ((x y, x y, ...)) with castable numbers. */
   private val ValidPolygonRe =

@@ -165,9 +165,14 @@ object EventStream {
             else pending ::= AsofPending(e.event_id, e.ts.getTime, e.value)
             maxTs = math.max(maxTs, e.ts.getTime)
           }
-          // release measures the watermark has passed: every state
-          // at-or-before them has arrived (later ones would be dropped
-          // as too late upstream)
+          // release measures at-or-before the watermark: Spark's
+          // late-data drop predicate is ts <= watermark (INCLUSIVE —
+          // WatermarkSupport.watermarkExpression builds LessThanOrEqual,
+          // verified against the 4.1.2 bytecode), so once the watermark
+          // reaches a measure's timestamp, no state at-or-before it can
+          // ever arrive again — releasing with <= misses nothing, and a
+          // strict < would only delay the boundary measure one extra
+          // watermark advance for no correctness gain
           val (ready, rest) = pending.partition(_.tsMs <= wm)
           val out = resolve(user, states, ready)
           // prune states: future measures all have ts > wm, so they
@@ -203,9 +208,15 @@ object EventStream {
     // than it would silently lose its tail matches (the coarse bound
     // excludes them before the exact endTs test ever runs). Fail the
     // violating row loudly instead — assert_true throws at evaluation,
-    // isNull keeps every passing row.
+    // isNull keeps every passing row. NULL bounds are NOT a contract
+    // violation (assert_true would also throw on a null condition):
+    // coalesce lets them through the guard, and the join condition
+    // below then yields no match for them — the same no-match row a
+    // null key produces in any join.
     val checked = intervals.filter(
-      assert_true(intervals(endTs) <= intervals(startTs) + expr(s"INTERVAL $maxInterval"),
+      assert_true(
+        coalesce(intervals(endTs) <= intervals(startTs) + expr(s"INTERVAL $maxInterval"),
+          lit(true)),
         lit(s"rangeJoinStream: interval exceeds maxInterval=$maxInterval")).isNull)
     val cond = keys.map(k => points(k) === checked(k)).reduce(_ && _) &&
       points(pointTs) >= checked(startTs) &&

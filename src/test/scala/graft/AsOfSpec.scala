@@ -57,6 +57,26 @@ class AsOfSpec extends AnyFunSuite {
     assert(r.isNullAt(4))
   }
 
+  test("asofJoin: NULL keys never match (SQL equality), null-key left rows survive unenriched") {
+    import spark.implicits._
+    // Window.partitionBy groups NULL keys together — without the
+    // null-key right filter, e1 would pick up the null-key state@5,
+    // which the SQL twin's l.user_id = r.user_id can never produce.
+    val left = Seq(
+      (Option.empty[Long], t(10), "e1"), // null key -> no state, row kept
+      (Some(1L), t(10), "e2"), // real key -> state@5
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (Option.empty[Long], t(5), 9.0), // null-key state: attaches to nothing
+      (Some(1L), t(5), 1.0),
+    ).toDF("user_id", "state_ts", "sv")
+    val out = AsOf.asofJoin(left, right, Seq("user_id"), "ts", "state_ts")
+      .orderBy("tag").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(3) && out(0).isNullAt(4), s"null-key row enriched: ${out(0)}")
+    assert(out(1).getTimestamp(3) == t(5) && out(1).getDouble(4) == 1.0)
+  }
+
   test("q35 matches an independent max-rts aggregate formulation on real events") {
     val ev = Tables.events(spark, dir).cache()
     // exceptAll is positional: align column order with the naive frame

@@ -26,6 +26,15 @@ class GeoSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(3)).toSeq == Seq(12.0, 16.0))
   }
 
+  test("point parse is anchored: garbage around a valid POINT yields null") {
+    val df = Seq("xxPOINT (1 2)yy", "POINT (1 2) ", "POINT (1 2)").toDF("wkt")
+      .select(Geo.pointX(col("wkt")).as("x"), Geo.pointY(col("wkt")).as("y"))
+      .collect()
+    assert(df(0).isNullAt(0) && df(0).isNullAt(1), s"unanchored parse: ${df(0)}")
+    assert(df(1).isNullAt(0) && df(1).isNullAt(1), s"trailing junk parsed: ${df(1)}")
+    assert(df(2).getDouble(0) == 1.0 && df(2).getDouble(1) == 2.0)
+  }
+
   test("centroid of a box is its center; validity rejects malformed rings") {
     val df = Seq("POLYGON ((0 0, 10 0, 10 4, 0 4, 0 0))").toDF("wkt")
     val c = df.select(Geo.centroid(col("wkt"))).head.getStruct(0)

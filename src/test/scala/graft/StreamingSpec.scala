@@ -193,6 +193,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofStream: watermark-boundary semantics — ts <= watermark is LATE, release loses nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.{AsofEvent, EnrichedEvent}
+    val input = MemoryStream[AsofEvent]
+    val q = EventStream.asofStream(input.toDS(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof_eq").outputMode("append").start()
+    try {
+      // batch 1: measure@10; pusher@15 lands the watermark EXACTLY at 10.
+      input.addData(
+        AsofEvent(1L, ts(10), 1, 1L, 1.0),
+        AsofEvent(99L, ts(15), 1, 9L, 9.0))
+      q.processAllAvailable()
+      // batch 2: a state with event time EQUAL to the watermark. Spark's
+      // late-data drop predicate is ts <= watermark (LessThanOrEqual in
+      // WatermarkSupport, verified against 4.1.2), so this row is LATE —
+      // it must be dropped, never half-applied: the measure emits exactly
+      // once, unenriched, matching the at-or-before release in asofStream.
+      input.addData(
+        AsofEvent(1L, ts(10), 0, 100L, 50.0),
+        AsofEvent(99L, ts(60), 1, 10L, 9.0))
+      q.processAllAvailable()
+      val u1 = spark.table("asof_eq").as[EnrichedEvent].collect().filter(_.user_id == 1L)
+      assert(u1.length == 1, s"boundary measure must emit exactly once: ${u1.mkString(";")}")
+      assert(u1.head.state_ts.isEmpty,
+        s"a late (ts == watermark) state must not attach: ${u1.head}")
+    } finally q.stop()
+  }
+
+  test("rangeJoinStream: NULL interval bounds produce no matches, not a query abort") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mIn = MemoryStream[(Long, Timestamp, Double)]
+    val iIn = MemoryStream[(Long, Timestamp, Option[Timestamp])]
+    val measures = mIn.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val intervals = iIn.toDF().toDF("user_id", "start_ts", "end_ts")
+      .withWatermark("start_ts", "10 minutes")
+    val q = EventStream.rangeJoinStream(measures, intervals,
+      Seq("user_id"), "ts", "start_ts", "end_ts", "30 minutes")
+      .writeStream.format("memory").queryName("rjs_null").outputMode("append").start()
+    try {
+      // null end_ts: the guard's assert_true must not throw on the null
+      // comparison; the join condition then yields no match for the row
+      mIn.addData((1L, ts(12), 1.0), (2L, ts(12), 2.0))
+      iIn.addData((1L, ts(10), None), (2L, ts(10), Some(ts(20))))
+      q.processAllAvailable()
+      val got = spark.table("rjs_null").select("user_id").collect().map(_.getLong(0))
+      assert(got.toSeq == Seq(2L), s"got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("asofStream matches the batch asofJoin on a replayed event set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
