@@ -49,6 +49,7 @@ object SparkEntry {
     "q36_range_join" -> operators.RangeJoin.rangeEventWindows,
     "q37_tfidf" -> textstats.TextStats.tfidf,
     "q38_stratified_sample" -> operators.Sampling.stratifiedSample,
+    "q39_dedup_cluster" -> dedup.Components.dedupCluster,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -216,5 +217,6 @@ object SparkEntry {
     "q36_range_join" -> operators.RangeJoin.rangeEventWindowsSql,
     "q37_tfidf" -> textstats.TextStats.tfidfSql,
     "q38_stratified_sample" -> operators.Sampling.stratifiedSampleSql,
+    "q39_dedup_cluster" -> dedup.Components.dedupClusterSql,
   )
 }

@@ -1,0 +1,120 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Connected components over near-duplicate candidate pairs — the step
+  * a dedup pipeline needs AFTER pair generation: q20/q22/q23 emit
+  * PAIRS, but the keep/drop decision is per GROUP (keep one canonical
+  * doc per duplicate cluster). Reference provenance: the reference's
+  * dedup is pandas `validate='1:1'` merges (school_outcomes_etl.py) —
+  * pair-level; grouping transitive near-dups is the scale
+  * generalization every LLM-corpus pipeline ships.
+  *
+  * Algorithm: distributed min-label propagation with pointer jumping.
+  * Each node starts labeled with its own id; every iteration each node
+  * takes the min of (its label, its neighbors' labels) and then jumps
+  * `L(v) := L(L(v))`. Neighbor propagation alone converges in
+  * O(diameter) rounds — fine for near-dup clusters, which are
+  * quasi-cliques of diameter ~2 — and the pointer-jump step contracts
+  * label chains geometrically, so path-shaped worst cases converge in
+  * O(log n) rounds instead (the classic Shiloach–Vishkin / "hash-to-min"
+  * trick, cf. Kiveris et al., "Connected Components in MapReduce and
+  * Beyond").
+  *
+  * Scale shape: per round, two hash joins + one min-aggregate, all
+  * keyed on node id — O(|E|) shuffle per round, never materializing
+  * anything per-component. `localCheckpoint` truncates the growing
+  * lineage each round (iterative plans otherwise re-execute the whole
+  * prefix); the convergence check is a count on the already-checkpointed
+  * frame, so each round costs exactly one pass.
+  */
+object Components {
+
+  /** Min-id connected components.
+    *
+    * @param edges undirected candidate pairs, columns (`doc_a`,`doc_b`)
+    * @param nodes node universe, column `doc_id` — nodes with no edge
+    *              come out as singleton clusters of themselves
+    * @return (doc_id, cluster_id, cluster_size); cluster_id = min
+    *         doc_id of the component
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(edges.columns.toSeq.contains("doc_a") && edges.columns.toSeq.contains("doc_b"),
+      s"edges needs (doc_a, doc_b), got ${edges.columns.mkString(",")}")
+    // symmetrize once; both directions are needed because min labels
+    // flow "downhill" along every edge
+    val sym = edges.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .unionByName(edges.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .distinct()
+      .persist()
+    sym.count() // materialize before the loop so each round reuses it
+
+    var labels = nodes.select(col("doc_id").as("node"))
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var delta = 1L
+    var it = 0
+    while (delta > 0 && it < maxIter) {
+      // 1) neighbor step: candidate label = min over incident edges
+      val fromNbrs = sym
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .select(col("node"), col("label"))
+      val stepped = labels.select(col("node"), col("label"))
+        .unionByName(fromNbrs)
+        .groupBy("node").agg(min("label").as("label"))
+      // 2) pointer jump: L(v) := L(L(v)). Every label IS a node id (the
+      // invariant: labels only ever hold ids of same-component nodes),
+      // so the inner join keeps all rows.
+      val jumped = stepped
+        .join(labels.select(col("node").as("label"), col("label").as("jl")), "label")
+        .select(col("node"), least(col("label"), col("jl")).as("label"))
+        .localCheckpoint(true)
+      delta = jumped.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels = jumped
+      it += 1
+    }
+    sym.unpersist()
+    if (delta > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    val w = Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  /** Registered q39: cluster the MinHash LSH candidate pairs of the
+    * `documents` table into duplicate groups; every document gets a row
+    * (singletons cluster to themselves). */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    connectedComponents(Dedup.dedupMinhash(docs), docs)
+  }
+
+  /** DuckDB twin: min reachable id per node via a recursive CTE over the
+    * same MinHash pairs ([[Dedup.dedupMinhashSql]] verbatim as the edge
+    * source, so the two engines cluster the identical pair set). */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT * FROM (${Dedup.dedupMinhashSql.replace("\n", " ")})
+       |),
+       |edges AS (
+       |  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+       |),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+       |),
+       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab""".stripMargin
+}

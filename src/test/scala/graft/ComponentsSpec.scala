@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import dedup.{Components, Dedup}
+
+/** Connected-components invariants. Value-level equivalence vs DuckDB's
+  * recursive CTE runs through graft.Verify + tools/verify_local.py. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  test("path graph: a 64-node chain collapses to one cluster (pointer jumping)") {
+    // worst case for plain neighbor propagation (diameter 63); pointer
+    // jumping must converge well inside the 50-round cap
+    import spark.implicits._
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L until 64L).toDF("doc_id")
+    val out = Components.connectedComponents(edges, nodes).cache()
+    assert(out.count() == 64)
+    assert(out.select("cluster_id").distinct().count() == 1)
+    assert(out.agg(min("cluster_id")).head.getLong(0) == 0L)
+    assert(out.agg(max("cluster_size")).head.getLong(0) == 64L)
+  }
+
+  test("disjoint components and singletons keep separate min-id labels") {
+    import spark.implicits._
+    // {1,2,3} triangle, {10,11} pair, {99} isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = Components.connectedComponents(edges, nodes)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L), (99L, 99L, 1L)))
+  }
+
+  test("q39 on sf0.001 matches a driver-side transitive closure of the same pairs") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.dedupMinhash(docs)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+    val ids = docs.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    // brute union-find on the driver as the oracle for the distributed run
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Components.dedupCluster(spark, dir)
+      .select("doc_id", "cluster_id")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    assert(got == expected)
+  }
+}
