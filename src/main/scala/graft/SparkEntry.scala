@@ -50,6 +50,7 @@ object SparkEntry {
     "q37_tfidf" -> textstats.TextStats.tfidf,
     "q38_stratified_sample" -> operators.Sampling.stratifiedSample,
     "q39_dedup_cluster" -> dedup.Components.dedupCluster,
+    "q40_gopher_repetition" -> textstats.TextStats.gopherRepetition,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -218,5 +219,6 @@ object SparkEntry {
     "q37_tfidf" -> textstats.TextStats.tfidfSql,
     "q38_stratified_sample" -> operators.Sampling.stratifiedSampleSql,
     "q39_dedup_cluster" -> dedup.Components.dedupClusterSql,
+    "q40_gopher_repetition" -> textstats.TextStats.gopherRepetitionSql,
   )
 }

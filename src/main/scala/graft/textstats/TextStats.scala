@@ -238,4 +238,110 @@ object TextStats {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
        |  FROM scored)
        |WHERE rk <= $TfidfTopK""".stripMargin
+
+  // ---- #43 (q40) Gopher-style repetition filters ----
+
+  /** Thresholds tuned so testdata exercises BOTH outcomes; the shape
+    * (not the constants) is the public Gopher repetition-filter recipe
+    * (Rae et al. 2021 §A1.1: duplicate-content and top-n-gram character
+    * fractions gate a document out of the training corpus). */
+  val MaxDupWordFrac = 0.55
+  val MaxTopBigramCharFrac = 0.10
+  val MaxTopTrigramCharFrac = 0.10
+
+  /** Word-n-gram occurrence rows for n-gram order `n` (1-based
+    * element_at; docs shorter than n words emit nothing). */
+  private def gramRows(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j)): _*)))
+          .as("g"))
+
+  /** Characters covered by the single most frequent n-gram per doc
+    * (ties broken by the gram string — identical order in the oracle).
+    * Shuffle is one map-side-combined count per (doc, gram) plus a
+    * per-doc top-1 window — O(total words) rows, no pairwise work. */
+  private def topGramChars(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("g"))
+    gramRows(docs, n)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"),
+        (col("c") * length(translate(col("g"), " ", ""))).as(s"chars$n"))
+  }
+
+  /** Gopher-style repetition metrics per document: duplicate-word
+    * fraction and the character fraction covered by the most frequent
+    * word 2-gram / 3-gram, plus the keep/drop flag. Character fractions
+    * are against non-space characters so the gram-internal separator
+    * doesn't skew them. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        length(translate(col("text"), " ", "")).as("nsc"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"), col("nsc"),
+        (round(lit(1.0) - size(array_distinct(col("ws"))).cast("double")
+          / size(col("ws")).cast("double"), 4) + 0.0).as("dup_word_frac"))
+    val frac2 = (round(coalesce(col("chars2"), lit(0L)).cast("double")
+      / col("nsc").cast("double"), 4) + 0.0)
+    val frac3 = (round(coalesce(col("chars3"), lit(0L)).cast("double")
+      / col("nsc").cast("double"), 4) + 0.0)
+    base
+      .join(topGramChars(docs, 2), Seq("doc_id"), "left")
+      .join(topGramChars(docs, 3), Seq("doc_id"), "left")
+      .withColumn("top2_char_frac", frac2)
+      .withColumn("top3_char_frac", frac3)
+      .withColumn("repetition_pass",
+        (col("dup_word_frac") <= MaxDupWordFrac &&
+          col("top2_char_frac") <= MaxTopBigramCharFrac &&
+          col("top3_char_frac") <= MaxTopTrigramCharFrac).cast("int"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("dup_word_frac"), col("top2_char_frac"), col("top3_char_frac"),
+        col("repetition_pass"))
+  }
+
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetition(Tables.documents(spark, dir))
+
+  private def topGramSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""g$n AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}), i -> $parts)) AS g
+       |  FROM w WHERE len(ws) >= $n),
+       |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2),
+       |top$n AS (
+       |  SELECT doc_id, c * length(replace(g, ' ', '')) AS chars$n
+       |  FROM (SELECT doc_id, g, c,
+       |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+       |        FROM c$n)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  val gopherRepetitionSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    length(replace(text, ' ', '')) AS nsc
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(ws) AS n_words, nsc,
+       |    round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 4) + 0.0 AS dup_word_frac
+       |  FROM w),
+       |${topGramSql(2).replace("\n", " ")},
+       |${topGramSql(3).replace("\n", " ")}
+       |SELECT base.doc_id, CAST(n_words AS BIGINT) AS n_words, dup_word_frac,
+       |  round(coalesce(chars2, 0) * 1.0 / nsc, 4) + 0.0 AS top2_char_frac,
+       |  round(coalesce(chars3, 0) * 1.0 / nsc, 4) + 0.0 AS top3_char_frac,
+       |  CAST(dup_word_frac <= $MaxDupWordFrac
+       |    AND round(coalesce(chars2, 0) * 1.0 / nsc, 4) + 0.0 <= $MaxTopBigramCharFrac
+       |    AND round(coalesce(chars3, 0) * 1.0 / nsc, 4) + 0.0 <= $MaxTopTrigramCharFrac
+       |    AS INT) AS repetition_pass
+       |FROM base
+       |LEFT JOIN top2 ON base.doc_id = top2.doc_id
+       |LEFT JOIN top3 ON base.doc_id = top3.doc_id""".stripMargin
 }

@@ -78,4 +78,35 @@ class TextStatsSpec extends AnyFunSuite {
     // subset property
     assert(s1.join(base, Seq("c_custkey"), "left_anti").count() == 0)
   }
+
+  test("q40 gopher repetition: hand-computed fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      // "ab ab ab ab": 4 words, 1 distinct -> dup 0.75; top bigram
+      // "ab ab" occurs 3x covering 3*4=12 of 8 non-space chars -> 1.5;
+      // top trigram 2x covering 2*6=12/8 -> 1.5; fails everything
+      (1L, "ab ab ab ab"),
+      // 40 distinct 3-char words: dup 0, top bigram covers 6/120=0.05,
+      // top trigram 9/120=0.075 -> passes all thresholds
+      (2L, (1 to 40).map(i => f"w$i%02d").mkString(" ")),
+      // single word: no bigrams/trigrams at all -> fracs 0
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = textstats.TextStats.gopherRepetition(docs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(got(0) == ((1L, 4L, 0.75, 1.5, 1.5, 0)))
+    assert(got(1) == ((2L, 40L, 0.0, 0.05, 0.075, 1)))
+    assert(got(2) == ((3L, 1L, 0.0, 0.0, 0.0, 1)))
+  }
+
+  test("q40 on sf0.001: both pass and fail outcomes occur, fracs non-negative") {
+    val df = textstats.TextStats.gopherRepetition(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).count())
+    assert(df.filter(col("dup_word_frac") < 0.0 || col("top2_char_frac") < 0.0).count() == 0)
+    val outcomes = df.select("repetition_pass").distinct().count()
+    assert(outcomes == 2, "thresholds should discriminate on testdata")
+  }
 }
