@@ -51,6 +51,7 @@ object SparkEntry {
     "q38_stratified_sample" -> operators.Sampling.stratifiedSample,
     "q39_dedup_cluster" -> dedup.Components.dedupCluster,
     "q40_gopher_repetition" -> textstats.TextStats.gopherRepetition,
+    "q41_pii_redact" -> textstats.Redact.piiRedact,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -220,5 +221,6 @@ object SparkEntry {
     "q38_stratified_sample" -> operators.Sampling.stratifiedSampleSql,
     "q39_dedup_cluster" -> dedup.Components.dedupClusterSql,
     "q40_gopher_repetition" -> textstats.TextStats.gopherRepetitionSql,
+    "q41_pii_redact" -> textstats.Redact.piiRedactSql,
   )
 }

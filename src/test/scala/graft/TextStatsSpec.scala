@@ -102,6 +102,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 1L, 0.0, 0.0, 0.0, 1)))
   }
 
+  test("q41 pii redact: scrubs planted emails/phones/ips, counts match, clean text is PII-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hello world"),   // %3,%5,%6,%7 = 0 -> 2 emails + phone + ip
+      (1L, "nothing here"),  // no injection
+      (3L, "one email"),     // %3 only
+      (35L, "phone and ip")) // %5 and %7
+      .toDF("doc_id", "text")
+    val got = textstats.Redact.piiRedact(docs).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0)._3 == 2 && got(0)._4 == 1 && got(0)._5 == 1)
+    assert(got(0)._2 == "hello world contact <EMAIL> cc <EMAIL> call <PHONE> from <IP>")
+    assert(got(1) == ((1L, "nothing here", 0L, 0L, 0L)))
+    assert(got(2)._3 == 1 && got(2)._4 == 0 && got(2)._5 == 0)
+    assert(got(3) == ((35L, "phone and ip call <PHONE> from <IP>", 0L, 1L, 1L)))
+    // nothing PII-shaped survives in any clean_text
+    val df = textstats.Redact.piiRedact(spark, dir)
+    assert(df.filter(col("clean_text").rlike(textstats.Redact.EmailRe)
+      || col("clean_text").rlike(textstats.Redact.PhoneRe)
+      || col("clean_text").rlike(textstats.Redact.Ipv4Re)).count() == 0)
+  }
+
   test("q40 on sf0.001: both pass and fail outcomes occur, fracs non-negative") {
     val df = textstats.TextStats.gopherRepetition(spark, dir).cache()
     assert(df.count() == Tables.documents(spark, dir).count())
