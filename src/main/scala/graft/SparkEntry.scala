@@ -52,6 +52,7 @@ object SparkEntry {
     "q39_dedup_cluster" -> dedup.Components.dedupCluster,
     "q40_gopher_repetition" -> textstats.TextStats.gopherRepetition,
     "q41_pii_redact" -> textstats.Redact.piiRedact,
+    "q42_contamination" -> dedup.Contamination.contamination,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -222,5 +223,6 @@ object SparkEntry {
     "q39_dedup_cluster" -> dedup.Components.dedupClusterSql,
     "q40_gopher_repetition" -> textstats.TextStats.gopherRepetitionSql,
     "q41_pii_redact" -> textstats.Redact.piiRedactSql,
+    "q42_contamination" -> dedup.Contamination.contaminationSql,
   )
 }

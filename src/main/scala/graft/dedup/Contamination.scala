@@ -1,0 +1,69 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Benchmark-contamination detection: flag training documents whose
+  * n-gram shingles overlap a held-out benchmark/eval set — the standard
+  * decontamination step before an LLM training run (exact n-gram
+  * collision against the eval suites, cf. the public GPT-3/PaLM
+  * appendix methodology).
+  *
+  * Scale shape: the benchmark side is an eval suite — tiny relative to
+  * a 100 TB corpus — so its distinct shingle set is BROADCAST and the
+  * probe is a shuffle-free broadcast semi-join over the corpus scan,
+  * followed by one map-side-combined per-doc aggregate. The corpus side
+  * never shuffles its text, only (doc_id, shingle-key) longs.
+  *
+  * Here the "benchmark" is the deterministic slice doc_id % 20 == 0 of
+  * the `documents` table; everything else is the corpus under test.
+  */
+object Contamination {
+
+  val BenchmarkMod = 20
+  /** Flag a doc when this fraction of its distinct shingles collides
+    * with the benchmark set. */
+  val ContaminationFrac = 0.5
+
+  def contamination(docs: DataFrame): DataFrame = {
+    // distinct (doc_id, shk) — Jaccard-style working set per side
+    val shingles = Dedup.docShingles(docs).distinct()
+    val bench = shingles
+      .filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("shk")).distinct()
+    val corpus = shingles.filter(col("doc_id") % BenchmarkMod =!= 0)
+    val hits = corpus
+      .join(broadcast(bench), Seq("shk"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 4) + 0.0)
+      .withColumn("contaminated",
+        (col("contam_frac") >= ContaminationFrac).cast("int"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        col("contam_frac"), col("contaminated"))
+  }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(spark, dir))
+
+  /** DuckDB twin over the same shingle CTEs ([[Dedup.docShingleHashesSql]]). */
+  val contaminationSql: String =
+    s"""WITH ${Dedup.docShingleHashesSql.replace("\n", " ")},
+       |bench AS (SELECT DISTINCT shk FROM shk WHERE doc_id % $BenchmarkMod = 0),
+       |corpus AS (SELECT doc_id, shk FROM shk WHERE doc_id % $BenchmarkMod <> 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM corpus
+       |  WHERE shk IN (SELECT shk FROM bench) GROUP BY 1),
+       |totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) * 1.0 / t.n_shingles, 4) + 0.0 AS contam_frac,
+       |  CAST(round(coalesce(h.n_hit, 0) * 1.0 / t.n_shingles, 4) + 0.0 >= $ContaminationFrac AS INT)
+       |    AS contaminated
+       |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
+}

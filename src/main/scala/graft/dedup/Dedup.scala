@@ -79,14 +79,14 @@ object Dedup {
       .select(col("doc_id"),
         explode(shingleKeysFromHashes(col("th"), col("text"))).as("shk"))
 
-  private val docShinglesSql: String =
+  private[graft] val docShinglesSql: String =
     s"""th AS (SELECT doc_id, text,
        |  list_transform(string_split(text, ' '), t -> ${Hashing.hash48Sql("t")} % $ShingleP) AS th
        |FROM documents),
        |sh AS (SELECT doc_id, unnest(${shingleKeysSql("th", "text").replace("\n", " ")}) AS shk FROM th)""".stripMargin
 
   /** Distinct (doc_id, shingle-key) pairs: the Jaccard working set. */
-  private val docShingleHashesSql: String =
+  private[graft] val docShingleHashesSql: String =
     s"""$docShinglesSql,
        |shk AS (SELECT DISTINCT doc_id, shk FROM sh)""".stripMargin
 

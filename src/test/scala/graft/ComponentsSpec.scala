@@ -37,6 +37,23 @@ class ComponentsSpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L), (99L, 99L, 1L)))
   }
 
+  test("q42 contamination: planted benchmark copy is flagged, disjoint doc is not") {
+    import spark.implicits._
+    val docs = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // benchmark (id%20==0)
+      (1L, "the quick brown fox jumps over the lazy dog"),  // exact copy -> frac 1.0
+      (2L, "completely different words nothing shared here at all"), // 0 overlap
+      (3L, "the quick brown fox and then something else entirely"))  // partial
+      .toDF("doc_id", "text")
+    val got = dedup.Contamination.contamination(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getInt(4)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L)) // benchmark doc excluded
+    assert(got(0) == ((1L, 1.0, 1)))
+    assert(got(1) == ((2L, 0.0, 0)))
+    assert(got(2)._2 > 0.0 && got(2)._2 < 1.0)
+  }
+
   test("q39 on sf0.001 matches a driver-side transitive closure of the same pairs") {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.dedupMinhash(docs)
