@@ -51,4 +51,23 @@ object Events {
         count(lit(1)).as("n_events"),
         (round(sum(col("value")), 4) + 0.0).as("sum_value"))
   }
+
+  /** #45 (q44) Rolling/cumulative window aggregates per user timeline:
+    * 5-row moving average, running total, and running peak of `value`,
+    * ordered by (ts, event_id). One shuffle on user_id; the frame
+    * aggregates evaluate locally per partition — the canonical
+    * distributed rolling-metric shape (no self-join, no explode). */
+  def rollingStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val last5 = byUser.rowsBetween(-4, Window.currentRow)
+    val sofar = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        (round(avg(col("value")).over(last5), 4) + 0.0).as("avg_5"),
+        (round(sum(col("value")).over(sofar), 4) + 0.0).as("cum_value"),
+        (round(max(col("value")).over(sofar), 4) + 0.0).as("peak_value"),
+        row_number().over(byUser).cast("long").as("seq"))
+      .withColumn("value", round(col("value"), 4) + 0.0)
+  }
 }

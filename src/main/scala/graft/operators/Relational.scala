@@ -381,4 +381,27 @@ object Relational {
         r4(approx_percentile(col("c_acctbal"), lit(0.75), lit(accuracy))).as("bal_q3"),
         r4(max(col("c_acctbal"))).as("bal_max"),
         r4(avg(col("c_acctbal"))).as("bal_mean"))
+
+  /** #44 (q43) Rollup with grouping id: subtotal lattice over
+    * (status, priority) — detail rows, per-status subtotals, and the
+    * grand total in ONE aggregation pass (Spark plans a single Expand +
+    * hash aggregate, map-side combined; no union of three groupBys, no
+    * extra scans). `grouping_id` disambiguates real NULL keys from
+    * rollup-generated ones. */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        r4(sum(col("o_totalprice"))).as("total_price"),
+        r4(avg(col("o_totalprice"))).as("avg_price"))
+
+  val rollupStatsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 4) + 0.0 AS total_price,
+      |  round(avg(o_totalprice), 4) + 0.0 AS avg_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 }

@@ -155,4 +155,42 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("word_1") =!= col("w"))
     assert(joined.count() == 0)
   }
+
+  test("q43 rollup: lattice levels are consistent — details sum to subtotals sum to grand total") {
+    val df = operators.Relational.rollupStats(spark, dir).cache()
+    val detail = df.filter(col("gid") === 0)
+    val sub = df.filter(col("gid") === 1)
+    val grand = df.filter(col("gid") === 3)
+    assert(grand.count() == 1)
+    assert(grand.head.getAs[Long]("n_orders") ==
+      detail.agg(sum("n_orders")).head.getLong(0))
+    assert(sub.agg(sum("n_orders")).head.getLong(0) ==
+      detail.agg(sum("n_orders")).head.getLong(0))
+    // one subtotal row per status, keyed with NULL priority
+    assert(sub.filter(col("o_orderpriority").isNotNull).count() == 0)
+    assert(sub.count() == detail.select("o_orderstatus").distinct().count())
+  }
+
+  test("q44 rolling: cumulative and 5-row frames obey their recurrences") {
+    val df = operators.Events.rollingStats(spark, dir)
+    // check per-user recurrence on a sample user's full timeline
+    val u = df.select("user_id").head.getLong(0)
+    val rows = df.filter(col("user_id") === u).orderBy("seq")
+      .select("value", "avg_5", "cum_value", "peak_value", "seq").collect()
+    var running = 0.0
+    var peak = Double.MinValue
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val v = r.getDouble(0)
+      running += v; peak = math.max(peak, v); vals += v
+      assert(r.getLong(4) == i + 1)
+      // value column is rounded to 4dp, so the reconstruction drifts by
+      // up to 5e-5 per accumulated row
+      assert(math.abs(r.getDouble(2) - running) < 1e-4 * (i + 2), s"cum at $i")
+      assert(math.abs(r.getDouble(3) - peak) < 1e-9, s"peak at $i")
+      val window = vals.takeRight(5)
+      assert(math.abs(r.getDouble(1) - window.sum / window.size) < 1e-3, s"avg5 at $i")
+    }
+    assert(rows.length > 5)
+  }
 }
