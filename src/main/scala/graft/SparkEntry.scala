@@ -55,6 +55,7 @@ object SparkEntry {
     "q42_contamination" -> dedup.Contamination.contamination,
     "q43_rollup" -> operators.Relational.rollupStats,
     "q44_rolling" -> operators.Events.rollingStats,
+    "q45_kmeans" -> ann.Kmeans.kmeansClusters,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -241,5 +242,6 @@ object SparkEntry {
         |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
         |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "q45_kmeans" -> ann.Kmeans.kmeansClustersSql,
   )
 }

@@ -1,0 +1,122 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorMath
+
+/** Lloyd's k-means over the `embeddings` table — the real fit behind
+  * the IVF coarse quantizer ([[Ann.fitCentroids]] is the cheap
+  * stand-in; this runs actual assign/update rounds). Deterministic by
+  * construction so it carries an exact DuckDB oracle: init is the
+  * first k vectors by vec_id, a fixed number of Lloyd rounds, cosine
+  * assignment with a fixed tie order, and centroid components snapped
+  * to 6 decimals INSIDE each engine's SQL layer after every update
+  * (`round(avg(..), 6)` on both sides) so cross-engine float-sum
+  * ordering cannot drift into the next round's assignment.
+  *
+  * Scale shape: assignment is a pure projection against k·dim literal
+  * centroids (no join, no shuffle — identical to [[Ann.annIvf]]'s cell
+  * assignment); each update is ONE map-side-combined aggregate of
+  * k·dim running sums; only k·dim doubles ever reach the driver per
+  * round. At 100 TB you run the fit on a sample and the final
+  * assignment over the full corpus — both paths are the ones here.
+  */
+object Kmeans {
+
+  val K = 8
+  val Iters = 2
+
+  private def embCast(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Best-cosine cluster per vector against literal centroids; ties
+    * break toward the HIGHER cell id (the `reverse(array_sort)` order,
+    * mirrored as `ORDER BY cos DESC, cell DESC` in the oracle). */
+  private def assign(emb: DataFrame, cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = reverse(array_sort(array(cent.map { case (cid, cv) =>
+      struct(VectorMath.cosineFast(col("v"), typedLit(cv)).as("cos"),
+        lit(cid).as("cell"))
+    }.toIndexedSeq: _*)))
+    emb
+      .withColumn("best", element_at(scored, 1))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("cell").as("cluster"),
+        col("best").getField("cos").as("cos"))
+  }
+
+  /** Lloyd rounds; empty clusters keep their previous centroid. */
+  def fit(embeddings: DataFrame, k: Int = K, iters: Int = Iters,
+      dim: Int = Ann.Dim): Seq[(Int, Seq[Double])] = {
+    val emb = embCast(embeddings).persist()
+    var cent: Seq[(Int, Seq[Double])] =
+      emb.orderBy(col("vec_id")).limit(k).collect()
+        .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 0 until iters) {
+      val avgCols = (0 until dim).map(i =>
+        round(avg(element_at(col("v"), i + 1)), 6).as(s"d$i"))
+      val upd = assign(emb, cent)
+        .groupBy(col("cluster"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)))
+        .toMap
+      cent = cent.map { case (cid, prev) => (cid, upd.getOrElse(cid, prev)) }
+    }
+    emb.unpersist()
+    cent
+  }
+
+  /** Registered q45: fit (the eager driver step, k·dim doubles) then
+    * assign the whole corpus with the final centroids. */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = fit(emb)
+    val w = Window.partitionBy(col("cluster"))
+    assign(embCast(emb), cent)
+      .select(col("vec_id"), col("cluster"),
+        (round(col("cos"), 4) + 0.0).as("cos"),
+        count(lit(1)).over(w).as("cluster_size"))
+  }
+
+  /** DuckDB twin: same init, `Iters` unrolled assign/update rounds
+    * (per-dim `round(avg, 6)` snapping, empty cells coalesce to the
+    * previous centroid), then the final assignment. */
+  val kmeansClustersSql: String = {
+    val dim = Ann.Dim
+    def asgCte(name: String, cent: String): String = {
+      val cos = s"(${VectorMath.dotSql("e.v", "c.v", dim)} / (${VectorMath.normSql("e.v", dim)} * ${VectorMath.normSql("c.v", dim)}))"
+      s"""$name AS (
+         |  SELECT vec_id, cell, cos FROM (
+         |    SELECT e.vec_id, c.cell, $cos AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell DESC) AS rk
+         |    FROM emb e CROSS JOIN $cent c)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    def updCte(asg: String, prev: String, next: String): String =
+      s"""${next}_u AS (
+         |  SELECT cluster AS cell, pos, round(avg(val), 6) AS a
+         |  FROM (SELECT $asg.cell AS cluster, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+         |        FROM $asg JOIN emb e ON $asg.vec_id = e.vec_id)
+         |  GROUP BY 1, 2),
+         |$next AS (
+         |  SELECT p.cell, coalesce(u.vlist, p.v) AS v FROM $prev p
+         |  LEFT JOIN (SELECT cell, list(a ORDER BY pos) AS vlist FROM ${next}_u GROUP BY cell) u
+         |    ON u.cell = p.cell)""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+       |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT $K)),
+       |${asgCte("asg1", "cent0").replace("\n", " ")},
+       |${updCte("asg1", "cent0", "cent1").replace("\n", " ")},
+       |${asgCte("asg2", "cent1").replace("\n", " ")},
+       |${updCte("asg2", "cent1", "cent2").replace("\n", " ")},
+       |${asgCte("fin", "cent2").replace("\n", " ")}
+       |SELECT vec_id, cell AS cluster, round(cos, 4) + 0.0 AS cos,
+       |  count(*) OVER (PARTITION BY cell) AS cluster_size
+       |FROM fin""".stripMargin
+  }
+}

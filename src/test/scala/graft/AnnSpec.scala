@@ -75,4 +75,32 @@ class AnnSpec extends AnyFunSuite {
     assert(df.filter(col("cos") < Ann.NearDupCos).count() == 0)
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
+
+  test("q45 kmeans: every vector sits in its best-cosine cluster (Lloyd optimality)") {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = ann.Kmeans.fit(emb)
+    assert(cent.size == ann.Kmeans.K)
+    val out = ann.Kmeans.kmeansClusters(spark, dir).cache()
+    assert(out.count() == emb.count())
+    // cluster_size column agrees with the actual group cardinality
+    assert(out.groupBy("cluster", "cluster_size").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("cluster_size")).count() == 0)
+    // recompute all 8 cosines per vector and confirm the assigned
+    // cluster is the argmax (ties toward higher cell, as registered)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cosCols = cent.map { case (cid, cv) =>
+      graft.functions.VectorMath.cosine(col("v"), typedLit(cv)).as(s"c$cid")
+    }
+    val joined = v.select(col("vec_id") +: cosCols: _*)
+      .join(out.select("vec_id", "cluster"), "vec_id")
+    val bad = joined.filter {
+      val assigned = coalesce((0 until ann.Kmeans.K)
+        .map(c => when(col("cluster") === c, col(s"c$c"))): _*)
+      (0 until ann.Kmeans.K).map(c =>
+        col(s"c$c") > assigned + lit(1e-9)).reduce(_ || _)
+    }
+    assert(bad.count() == 0, "some vector has a strictly better cluster")
+    // clusters are non-trivial: more than one cluster in use
+    assert(out.select("cluster").distinct().count() > 1)
+  }
 }
