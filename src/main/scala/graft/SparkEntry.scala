@@ -56,6 +56,7 @@ object SparkEntry {
     "q43_rollup" -> operators.Relational.rollupStats,
     "q44_rolling" -> operators.Events.rollingStats,
     "q45_kmeans" -> ann.Kmeans.kmeansClusters,
+    "q46_incr_dedup" -> dedup.Incremental.incrementalDedup,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -243,5 +244,6 @@ object SparkEntry {
         |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "q45_kmeans" -> ann.Kmeans.kmeansClustersSql,
+    "q46_incr_dedup" -> dedup.Incremental.incrementalDedupSql,
   )
 }

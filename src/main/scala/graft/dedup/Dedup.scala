@@ -167,7 +167,10 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     dedupMinhash(Tables.documents(spark, dir))
 
-  val dedupMinhashSql: String = {
+  /** CTE chain ending in `buckets(doc_id, band, band_key)` — the DuckDB
+    * twin of [[bandedSignatures]] over the whole `documents` table.
+    * Shared by the minhash-pair oracle and the incremental-dedup oracle. */
+  private[graft] val bucketsCtesSql: String = {
     val mins = (0 until MinhashK).map { i =>
       val (a, b) = MinhashCoefs(i)
       s"list_min(list_transform(sk, k -> ((k % $MinhashP) * $a + $b) % $MinhashP))::VARCHAR AS mh$i"
@@ -180,7 +183,7 @@ object Dedup {
     val unions = (0 until MinhashBands)
       .map(b => s"SELECT doc_id, $b AS band, band$b AS band_key FROM banded")
       .mkString("\nUNION ALL\n")
-    s"""WITH th AS (SELECT doc_id, text,
+    s"""th AS (SELECT doc_id, text,
        |  list_transform(string_split(text, ' '), t -> ${Hashing.hash48Sql("t")} % $ShingleP) AS th
        |FROM documents),
        |sk AS (SELECT doc_id, ${shingleKeysSql("th", "text").replace("\n", " ")} AS sk FROM th),
@@ -192,11 +195,14 @@ object Dedup {
        |FROM mh),
        |buckets AS (
        |$unions
-       |)
+       |)""".stripMargin
+  }
+
+  val dedupMinhashSql: String =
+    s"""WITH $bucketsCtesSql
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM buckets a JOIN buckets b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
-  }
 
   // ---- #21 SimHash ----
 

@@ -54,6 +54,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(2)._2 > 0.0 && got(2)._2 < 1.0)
   }
 
+  test("q46 incremental dedup: exact beats near, disjoint batch doc is new") {
+    import spark.implicits._
+    val docs = Seq(
+      // corpus
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated corpus content sits right here now"),
+      // batch (%10==0): 10 = exact copy of 1; 20 = near-dup of 1
+      // (one word changed); 30 = brand new
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (30L, "nothing in common with anything stored so far truly"))
+      .toDF("doc_id", "text")
+    val got = dedup.Incremental.incrementalDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((10L, "exact", 1L), (20L, "near", 1L), (30L, "new", -1L)))
+  }
+
   test("q39 on sf0.001 matches a driver-side transitive closure of the same pairs") {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.dedupMinhash(docs)
