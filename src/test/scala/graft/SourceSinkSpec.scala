@@ -122,4 +122,38 @@ class SourceSinkSpec extends AnyFunSuite {
     val keys = spark.read.parquet(aFile).select("o_custkey").as[Long].collect()
     assert(keys.sameElements(keys.sorted))
   }
+
+  test("JsonLines: rescue column quarantines malformed lines, strict drops them") {
+    import org.apache.spark.sql.types._
+    val path = tmp()
+    Files.writeString(java.nio.file.Path.of(path, "docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "score": 0.5}
+        |{"doc_id": 2, "text": "second doc", "score": 1.25}
+        |{not json at all
+        |{"doc_id": 4, "text": "fourth", "score": null}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("score", DoubleType)))
+    val rescued = sources.JsonLines.readWithRescue(spark, path, schema).cache()
+    assert(rescued.count() == 4)
+    val bad = rescued.filter(col(sources.JsonLines.RescueCol).isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head.getString(3).startsWith("{not json"))
+    assert(rescued.filter(col(sources.JsonLines.RescueCol).isNull).count() == 3)
+    val strict = sources.JsonLines.readStrict(spark, path, schema)
+    assert(strict.count() == 3)
+    assert(strict.filter(col("doc_id") === 4).head.isNullAt(2)) // real null survives
+  }
+
+  test("JsonLines: write -> readStrict round-trips the documents table") {
+    val path = tmp() + "/out"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    sources.JsonLines.write(docs, path)
+    val back = sources.JsonLines.readStrict(spark, path,
+      docs.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back).count() == 0)
+  }
 }
