@@ -229,20 +229,7 @@ object SparkEntry {
     "q41_pii_redact" -> textstats.Redact.piiRedactSql,
     "q42_contamination" -> dedup.Contamination.contaminationSql,
     "q43_rollup" -> operators.Relational.rollupStatsSql,
-    "q44_rolling" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL)
-        |SELECT user_id, ts, event_id, round(value, 4) + 0.0 AS value,
-        |  round(avg(value) OVER w5, 4) + 0.0 AS avg_5,
-        |  round(sum(value) OVER wc, 4) + 0.0 AS cum_value,
-        |  round(max(value) OVER wc, 4) + 0.0 AS peak_value,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
-        |FROM ev
-        |WINDOW
-        |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-        |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "q44_rolling" -> operators.Events.rollingStatsSql,
     "q45_kmeans" -> ann.Kmeans.kmeansClustersSql,
     "q46_incr_dedup" -> dedup.Incremental.incrementalDedupSql,
   )

@@ -11,11 +11,15 @@ import graft.functions.VectorMath
   * the IVF coarse quantizer ([[Ann.fitCentroids]] is the cheap
   * stand-in; this runs actual assign/update rounds). Deterministic by
   * construction so it carries an exact DuckDB oracle: init is the
-  * first k vectors by vec_id, a fixed number of Lloyd rounds, cosine
-  * assignment with a fixed tie order, and centroid components snapped
-  * to 6 decimals INSIDE each engine's SQL layer after every update
-  * (`round(avg(..), 6)` on both sides) so cross-engine float-sum
-  * ordering cannot drift into the next round's assignment.
+  * first k vectors by vec_id, a fixed number of Lloyd rounds, and
+  * cosine assignment with a fixed tie order.
+  *
+  * The update's sufficient statistics are FIXED-POINT: per-dimension
+  * sums of `round(x·1e9)` as integers (the q32 regression technique),
+  * so the sum is order-independent — partition count, merge order, and
+  * engine cannot change it — and the centroid `round(sum/1e9/n, 6)`
+  * divides identical exact integers on both engines. The oracle is
+  * exact by construction, not probabilistically ("snapping") safe.
   *
   * Scale shape: assignment is a pure projection against k·dim literal
   * centroids (no join, no shuffle — identical to [[Ann.annIvf]]'s cell
@@ -55,11 +59,15 @@ object Kmeans {
       emb.orderBy(col("vec_id")).limit(k).collect()
         .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 0 until iters) {
-      val avgCols = (0 until dim).map(i =>
-        round(avg(element_at(col("v"), i + 1)), 6).as(s"d$i"))
+      // fixed-point mean: exact integer sum of round(x*1e9), then one
+      // deterministic double division chain — no float-accumulation
+      // order anywhere
+      val meanCols = (0 until dim).map(i =>
+        round(sum(round(element_at(col("v"), i + 1) * 1e9).cast("long"))
+          .cast("double") / 1e9 / count(lit(1)), 6).as(s"d$i"))
       val upd = assign(emb, cent)
         .groupBy(col("cluster"))
-        .agg(avgCols.head, avgCols.tail: _*)
+        .agg(meanCols.head, meanCols.tail: _*)
         .collect()
         .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)))
         .toMap
@@ -82,12 +90,12 @@ object Kmeans {
   }
 
   /** DuckDB twin: same init, `Iters` unrolled assign/update rounds
-    * (per-dim `round(avg, 6)` snapping, empty cells coalesce to the
-    * previous centroid), then the final assignment. */
+    * (per-dim fixed-point mean over exact integer sums, empty cells
+    * coalesce to the previous centroid), then the final assignment. */
   val kmeansClustersSql: String = {
     val dim = Ann.Dim
     def asgCte(name: String, cent: String): String = {
-      val cos = s"(${VectorMath.dotSql("e.v", "c.v", dim)} / (${VectorMath.normSql("e.v", dim)} * ${VectorMath.normSql("c.v", dim)}))"
+      val cos = VectorMath.cosineSql("e.v", "c.v", dim)
       s"""$name AS (
          |  SELECT vec_id, cell, cos FROM (
          |    SELECT e.vec_id, c.cell, $cos AS cos,
@@ -97,9 +105,11 @@ object Kmeans {
     }
     def updCte(asg: String, prev: String, next: String): String =
       s"""${next}_u AS (
-         |  SELECT cluster AS cell, pos, round(avg(val), 6) AS a
-         |  FROM (SELECT $asg.cell AS cluster, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
-         |        FROM $asg JOIN emb e ON $asg.vec_id = e.vec_id)
+         |  SELECT cluster AS cell, pos,
+         |    round((sum(fix) / 1.0E9) / count(*), 6) AS a
+         |  FROM (SELECT cluster, pos, CAST(round(val * 1.0E9) AS BIGINT) AS fix
+         |        FROM (SELECT $asg.cell AS cluster, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+         |              FROM $asg JOIN emb e ON $asg.vec_id = e.vec_id))
          |  GROUP BY 1, 2),
          |$next AS (
          |  SELECT p.cell, coalesce(u.vlist, p.v) AS v FROM $prev p

@@ -70,4 +70,21 @@ object Events {
         row_number().over(byUser).cast("long").as("seq"))
       .withColumn("value", round(col("value"), 4) + 0.0)
   }
+
+  /** DuckDB twin of [[rollingStats]] — same frames, same (ts, event_id)
+    * order, same 4dp rounding. */
+  val rollingStatsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL)
+      |SELECT user_id, ts, event_id, round(value, 4) + 0.0 AS value,
+      |  round(avg(value) OVER w5, 4) + 0.0 AS avg_5,
+      |  round(sum(value) OVER wc, 4) + 0.0 AS cum_value,
+      |  round(max(value) OVER wc, 4) + 0.0 AS peak_value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      |FROM ev
+      |WINDOW
+      |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS UNBOUNDED PRECEDING)""".stripMargin
 }

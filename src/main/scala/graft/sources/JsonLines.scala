@@ -30,7 +30,14 @@ object JsonLines {
 
   /** Schema-enforced JSONL read; malformed lines arrive as all-null
     * rows with the raw text in the `_malformed` rescue column (null for
-    * good rows — filter on it to quarantine). */
+    * good rows — filter on it to quarantine).
+    *
+    * CAVEAT (Spark restriction, SPARK-21610): a query that references
+    * ONLY the rescue column over the raw source is rejected by the
+    * analyzer — `df.filter(col("_malformed").isNotNull).count()` throws
+    * unless the frame is cached first or the projection also touches a
+    * data column. Quarantine flows should `.cache()` the read (they
+    * consume both halves anyway) or select data columns alongside. */
   def readWithRescue(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .schema(schema.add(RescueCol, "string"))

@@ -249,52 +249,53 @@ object TextStats {
   val MaxTopBigramCharFrac = 0.10
   val MaxTopTrigramCharFrac = 0.10
 
-  /** Word-n-gram occurrence rows for n-gram order `n` (1-based
-    * element_at; docs shorter than n words emit nothing). */
-  private def gramRows(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j)): _*)))
-          .as("g"))
-
-  /** Characters covered by the single most frequent n-gram per doc
-    * (ties broken by the gram string — identical order in the oracle).
-    * Shuffle is one map-side-combined count per (doc, gram) plus a
-    * per-doc top-1 window — O(total words) rows, no pairwise work. */
-  private def topGramChars(docs: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("c").desc, col("g"))
-    gramRows(docs, n)
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"),
-        (col("c") * length(translate(col("g"), " ", ""))).as(s"chars$n"))
-  }
-
   /** Gopher-style repetition metrics per document: duplicate-word
     * fraction and the character fraction covered by the most frequent
     * word 2-gram / 3-gram, plus the keep/drop flag. Character fractions
     * are against non-space characters so the gram-internal separator
-    * doesn't skew them. */
+    * doesn't skew them.
+    *
+    * Plan shape: ONE scan + tokenization, one explode emitting all
+    * three gram orders tagged with `n`, one map-side-combined
+    * (doc, n, gram) count whose exchange both consumers reuse — the
+    * base metrics derive from the unigram counts (n_words = Σc,
+    * distinct = rows, non-space chars = Σ c·len) and the top-gram
+    * branch is a per-(doc, order) top-1 window. O(total words) rows,
+    * no pairwise work, no re-reading the corpus per metric. */
   def gopherRepetition(docs: DataFrame): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"),
-        length(translate(col("text"), " ", "")).as("nsc"))
-      .select(col("doc_id"), size(col("ws")).as("n_words"), col("nsc"),
-        (round(lit(1.0) - size(array_distinct(col("ws"))).cast("double")
-          / size(col("ws")).cast("double"), 4) + 0.0).as("dup_word_frac"))
+    import org.apache.spark.sql.expressions.Window
+    val emptyGrams = array().cast("array<struct<n:int,g:string>>")
+    def gramsOf(nn: Int): Column =
+      when(size(col("ws")) >= nn,
+        transform(sequence(lit(1), size(col("ws")) - (nn - 1)), i =>
+          struct(lit(nn).as("n"),
+            concat_ws(" ", (0 until nn).map(j => element_at(col("ws"), i + j)): _*).as("g"))))
+        .otherwise(emptyGrams)
+    val counts = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(concat(gramsOf(1), gramsOf(2), gramsOf(3))).as("t"))
+      .select(col("doc_id"), col("t").getField("n").as("n"), col("t").getField("g").as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+    val base = counts.filter(col("n") === 1)
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * length(col("g"))).as("nsc"))
+      .select(col("doc_id"), col("n_words"), col("nsc"),
+        (round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_words").cast("double"), 4) + 0.0).as("dup_word_frac"))
+    val w = Window.partitionBy(col("doc_id"), col("n")).orderBy(col("c").desc, col("g"))
+    val tops = counts.filter(col("n") > 1)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("doc_id")).agg(
+        max(when(col("n") === 2, col("c") * length(translate(col("g"), " ", "")))).as("chars2"),
+        max(when(col("n") === 3, col("c") * length(translate(col("g"), " ", "")))).as("chars3"))
     val frac2 = (round(coalesce(col("chars2"), lit(0L)).cast("double")
       / col("nsc").cast("double"), 4) + 0.0)
     val frac3 = (round(coalesce(col("chars3"), lit(0L)).cast("double")
       / col("nsc").cast("double"), 4) + 0.0)
     base
-      .join(topGramChars(docs, 2), Seq("doc_id"), "left")
-      .join(topGramChars(docs, 3), Seq("doc_id"), "left")
+      .join(tops, Seq("doc_id"), "left")
       .withColumn("top2_char_frac", frac2)
       .withColumn("top3_char_frac", frac3)
       .withColumn("repetition_pass",
