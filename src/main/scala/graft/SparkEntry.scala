@@ -57,6 +57,9 @@ object SparkEntry {
     "q44_rolling" -> operators.Events.rollingStats,
     "q45_kmeans" -> ann.Kmeans.kmeansClusters,
     "q46_incr_dedup" -> dedup.Incremental.incrementalDedup,
+    "q47_ntile_bin" -> operators.Binning.ntileBin,
+    "q48_histogram" -> operators.Binning.histogram,
+    "q49_heavy_hitters" -> textstats.TextStats.heavyHitters,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -232,5 +235,8 @@ object SparkEntry {
     "q44_rolling" -> operators.Events.rollingStatsSql,
     "q45_kmeans" -> ann.Kmeans.kmeansClustersSql,
     "q46_incr_dedup" -> dedup.Incremental.incrementalDedupSql,
+    "q47_ntile_bin" -> operators.Binning.ntileBinSql,
+    "q48_histogram" -> operators.Binning.histogramSql,
+    "q49_heavy_hitters" -> textstats.TextStats.heavyHittersSql,
   )
 }

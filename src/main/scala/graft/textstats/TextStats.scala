@@ -239,6 +239,40 @@ object TextStats {
        |  FROM scored)
        |WHERE rk <= $TfidfTopK""".stripMargin
 
+  // ---- #54 (q49) corpus heavy hitters ----
+
+  val HeavyHittersK = 20
+
+  /** Top-K corpus vocabulary: term frequency + document frequency for
+    * the K most frequent tokens, deterministic (tf DESC, term) order.
+    * One map-side-combined (term) aggregate — df via count(distinct
+    * doc) per term, partially aggregated — then a global top-K that
+    * Spark plans as TakeOrdered (per-partition heaps, no full sort
+    * shuffle). The vocabulary profile every corpus-QA pass starts with. */
+  def heavyHitters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("tf").desc, col("term"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(HeavyHittersK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir))
+
+  val heavyHittersSql: String =
+    s"""SELECT term, tf, df, row_number() OVER (ORDER BY tf DESC, term) AS rank
+       |FROM (
+       |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term
+       |  ORDER BY tf DESC, term
+       |  LIMIT $HeavyHittersK)""".stripMargin
+
   // ---- #43 (q40) Gopher-style repetition filters ----
 
   /** Thresholds tuned so testdata exercises BOTH outcomes; the shape
