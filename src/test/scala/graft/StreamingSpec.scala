@@ -356,4 +356,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.select(sum("n_events")).head.getLong(0) ==
       Tables.events(spark, "/root/testdata/sf0.001").count())
   }
+
+  test("streaming heavy hitters: planted hot term survives with honest bounds, state stays capped") {
+    import graft.streaming.HeavyHittersStream
+    import graft.streaming.HeavyHittersStream.{MgCounter, TokRow}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val cap = 8
+    val q = HeavyHittersStream.heavyHitters(
+        HeavyHittersStream.tokenStream(docs), capacity = cap)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      // "hot" appears 120x; 300 distinct rare terms churn the tables
+      val batch1 = (0 until 60).map(i => (i.toLong, s"hot rare${i}a rare${i}b"))
+      val batch2 = (60 until 120).map(i => (i.toLong, s"hot rare${i}a rare${i}b rare${i}c"))
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val out = spark.table("hh").as[MgCounter].collect()
+      val hot = out.filter(_.term == "hot")
+      assert(hot.nonEmpty, "hot term must survive in its home group")
+      assert(hot.map(_.part).distinct.length == 1, "hot lives in exactly one group")
+      // every snapshot's lower bound is ≤ the true final count, and the
+      // final snapshot's upper bound covers it (order-insensitive form:
+      // max over snapshots)
+      assert(hot.map(_.lower).max <= 120L)
+      assert(hot.map(_.upper).max >= 120L,
+        s"true count 120 above every upper bound ${hot.map(_.upper).max}")
+      // frequency guarantee: hot's group saw <= 420 tokens, 120 > N/(cap+1)
+      // state cap: no group ever emits more than `cap` live counters
+      val perGroup = out.groupBy(_.part).values
+      assert(perGroup.forall(_.groupBy(_.term).size <= 3 * cap),
+        "emitted vocabulary per group should stay near the cap")
+      val tok = HeavyHittersStream.tokenStream(
+        Seq((1L, "a b c")).toDF("doc_id", "text"))
+      assert(tok.isStreaming == false && tok.count() == 3) // front end is batch-agnostic
+    } finally q.stop()
+  }
+
+  test("sketch distinct: HLL estimate within 3*rsd of exact per event_type") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val est = operators.Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
+    val exact = operators.Sketches.exactDistinct(ev, Seq("event_type"), "user_id")
+    val joined = est.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, x) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(e - x) <= math.max(3 * 0.05 * x, 2.0),
+        s"${r.getString(0)}: est $e vs exact $x")
+    }
+  }
 }
