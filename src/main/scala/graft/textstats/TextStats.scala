@@ -291,11 +291,14 @@ object TextStats {
     *
     * Plan shape: ONE scan + tokenization, one explode emitting all
     * three gram orders tagged with `n`, one map-side-combined
-    * (doc, n, gram) count whose exchange both consumers reuse — the
-    * base metrics derive from the unigram counts (n_words = Σc,
-    * distinct = rows, non-space chars = Σ c·len) and the top-gram
-    * branch is a per-(doc, order) top-1 window. O(total words) rows,
-    * no pairwise work, no re-reading the corpus per metric. */
+    * (doc, n, gram) count, one (doc, order) top-1 window, and ONE
+    * final per-doc aggregate deriving every metric with conditional
+    * expressions — base metrics from the unigram counts (n_words = Σc,
+    * distinct = rows, non-space chars = Σ c·len), top-gram coverage
+    * from the rk=1 rows of orders 2/3. No self-join, no second scan
+    * (a two-branch formulation was measured to push the n=1 / n>1
+    * filters through the aggregate into two separate full scans —
+    * explain-audited back to this single-pass shape). */
   def gopherRepetition(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emptyGrams = array().cast("array<struct<n:int,g:string>>")
@@ -310,26 +313,25 @@ object TextStats {
       .select(col("doc_id"), explode(concat(gramsOf(1), gramsOf(2), gramsOf(3))).as("t"))
       .select(col("doc_id"), col("t").getField("n").as("n"), col("t").getField("g").as("g"))
       .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
-    val base = counts.filter(col("n") === 1)
+    val w = Window.partitionBy(col("doc_id"), col("n")).orderBy(col("c").desc, col("g"))
+    val topChars = col("c") * length(translate(col("g"), " ", ""))
+    val perDoc = counts
+      .withColumn("rk", row_number().over(w))
       .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("c") * length(col("g"))).as("nsc"))
-      .select(col("doc_id"), col("n_words"), col("nsc"),
+        sum(when(col("n") === 1, col("c"))).as("n_words"),
+        sum(when(col("n") === 1, 1L)).as("n_distinct"),
+        sum(when(col("n") === 1, col("c") * length(col("g")))).as("nsc"),
+        max(when(col("n") === 2 && col("rk") === 1, topChars)).as("chars2"),
+        max(when(col("n") === 3 && col("rk") === 1, topChars)).as("chars3"))
+    val base = perDoc
+      .select(col("doc_id"), col("n_words"), col("nsc"), col("chars2"), col("chars3"),
         (round(lit(1.0) - col("n_distinct").cast("double")
           / col("n_words").cast("double"), 4) + 0.0).as("dup_word_frac"))
-    val w = Window.partitionBy(col("doc_id"), col("n")).orderBy(col("c").desc, col("g"))
-    val tops = counts.filter(col("n") > 1)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .groupBy(col("doc_id")).agg(
-        max(when(col("n") === 2, col("c") * length(translate(col("g"), " ", "")))).as("chars2"),
-        max(when(col("n") === 3, col("c") * length(translate(col("g"), " ", "")))).as("chars3"))
     val frac2 = (round(coalesce(col("chars2"), lit(0L)).cast("double")
       / col("nsc").cast("double"), 4) + 0.0)
     val frac3 = (round(coalesce(col("chars3"), lit(0L)).cast("double")
       / col("nsc").cast("double"), 4) + 0.0)
     base
-      .join(tops, Seq("doc_id"), "left")
       .withColumn("top2_char_frac", frac2)
       .withColumn("top3_char_frac", frac3)
       .withColumn("repetition_pass",
