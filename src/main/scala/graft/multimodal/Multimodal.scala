@@ -8,13 +8,16 @@ import graft.Tables
 /** Multimodal column plumbing (SURVEY.md §2 #30): media as opaque
   * `binary` payload columns with typed metadata, decoded per-partition.
   *
-  * Two tiers of "real" here. AUDIO is fully real: [[wavPayloads]] emits
-  * valid RIFF/WAV PCM containers and [[decodeWav]] is an actual
-  * chunk-walking parser (magic validation, arbitrary chunk order,
-  * padding, malformed-input rejection) — cross-validated against the
-  * JDK's javax.sound reader in MultimodalSpec. IMAGE/VIDEO decode needs
-  * codec libraries the container doesn't ship, so [[decodePayload]] /
-  * [[extractFeatures]] / [[resize]] / [[sampleFrames]] are
+  * Two tiers of "real" here. AUDIO and IMAGE are fully real:
+  * [[wavPayloads]]/[[decodeWav]] emit and parse valid RIFF/WAV PCM
+  * containers (magic validation, arbitrary chunk order, padding,
+  * malformed-input rejection — cross-validated against the JDK's
+  * javax.sound reader), and [[bmpPayloads]]/[[decodeBmp]] do the same
+  * for uncompressed 24-bit BMP images (header walk, padded bottom-up /
+  * top-down pixel rows, per-channel stats — cross-validated against
+  * javax.imageio). Compressed formats (JPEG/PNG/video) need codec
+  * libraries the container doesn't ship, so [[decodePayload]] /
+  * [[extractFeatures]] / [[resize]] / [[sampleFrames]] remain
   * DETERMINISTIC FAKES (clearly marked) around the real plumbing — the
   * binary column, the case-class schema, the `mapPartitions` batch
   * shape — that a production decode (JNI codec, ONNX session) would
@@ -258,6 +261,110 @@ object Multimodal {
         nFrames * 1000.0 / rate,
         if (nSamples > 0 && bits == 16) math.sqrt(sumSq / nSamples) else 0.0)
     }
+  }
+
+  // ---- REAL image decode: uncompressed 24-bit BMP (no codec lib) ----
+
+  /** Decoded BMP metadata + content stats. */
+  case class BmpMeta(doc_id: Long, width: Int, height: Int, bpp: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Synthesize a VALID uncompressed 24-bit BMP per document: dims from
+    * doc_id, pixels cycled from the text's md5 bytes — deterministic,
+    * and a well-formed file any image tool opens (the spec cross-checks
+    * with the JDK's own javax.imageio BMP reader). The image analog of
+    * [[wavPayloads]]: container in, actual parser out, nothing faked. */
+  def bmpPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          md.reset()
+          val h = md.digest(text.getBytes("UTF-8"))
+          val w = 4 + Math.floorMod(id, 13).toInt
+          val ht = 3 + Math.floorMod(id, 7).toInt
+          val rowSize = ((24 * w + 31) / 32) * 4 // rows pad to 4 bytes
+          val dataLen = rowSize * ht
+          val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put('B'.toByte).put('M'.toByte)
+            .putInt(54 + dataLen).putInt(0).putInt(54) // size, reserved, data offset
+            .putInt(40).putInt(w).putInt(ht)           // BITMAPINFOHEADER
+            .putShort(1).putShort(24)                  // planes, bpp
+            .putInt(0).putInt(dataLen)                 // BI_RGB, image size
+            .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+          var y = 0
+          var k = 0
+          while (y < ht) {
+            var x = 0
+            while (x < w) { // pixel order B, G, R
+              buf.put(h(k % 16)).put(h((k + 5) % 16)).put(h((k + 11) % 16))
+              k += 1; x += 1
+            }
+            var p = 3 * w
+            while (p < rowSize) { buf.put(0.toByte); p += 1 }
+            y += 1
+          }
+          (id, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  def bmpPayloads(spark: SparkSession, dir: String): DataFrame =
+    bmpPayloads(Tables.documents(spark, dir))
+
+  /** REAL BMP decoder: validates the BM magic, reads the
+    * BITMAPINFOHEADER little-endian (any DIB header ≥ 40 bytes),
+    * accepts uncompressed 24-bit data in either row order (positive
+    * height = bottom-up, negative = top-down — irrelevant to channel
+    * means but parsed correctly), walks the padded pixel rows from the
+    * declared data offset, and computes per-channel means. Malformed
+    * payloads yield None — a corrupt file drops the row, never the job.
+    */
+  def decodeBmp(payloadDf: DataFrame): Dataset[BmpMeta] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseBmp(id, bytes) })
+  }
+
+  private[graft] def parseBmp(id: Long, bytes: Array[Byte]): Option[BmpMeta] = {
+    if (bytes.length < 54) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (buf.get() != 'B'.toByte || buf.get() != 'M'.toByte) return None
+    buf.getInt // declared file size; tolerated if inconsistent
+    buf.getInt // reserved
+    val dataOffset = buf.getInt
+    val dibSize = buf.getInt
+    if (dibSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = buf.getInt
+    val rawH = buf.getInt
+    val ht = math.abs(rawH)
+    buf.getShort // planes
+    val bpp = buf.getShort.toInt
+    val compression = buf.getInt
+    if (compression != 0 || bpp != 24 || w <= 0 || ht == 0) return None
+    val rowSize = ((bpp.toLong * w + 31) / 32 * 4).toInt
+    if (dataOffset < 54 || rowSize.toLong * ht > bytes.length - dataOffset) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < ht) {
+      var p = dataOffset + y * rowSize
+      var x = 0
+      while (x < w) {
+        sb += bytes(p) & 0xFF
+        sg += bytes(p + 1) & 0xFF
+        sr += bytes(p + 2) & 0xFF
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * ht
+    Some(BmpMeta(id, w, ht, bpp, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
   /** #30 oracle query: the declarative twin of [[decodePayload]] —

@@ -118,4 +118,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("width") < 64 || col("width") > 319
       || col("height") < 64 || col("height") > 319).count() == 0)
   }
+
+  test("BMP: decoder agrees with the JDK's own javax.imageio reader byte-for-byte") {
+    val payloads = Multimodal.bmpPayloads(spark, dir)
+    val decoded = Multimodal.decodeBmp(payloads).collect()
+      .map(m => m.doc_id -> m).toMap
+    val raw = payloads.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(raw.nonEmpty && decoded.size == raw.length, "every payload must decode")
+    raw.foreach { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader rejected doc $id's BMP")
+      val m = decoded(id)
+      assert(img.getWidth == m.width && img.getHeight == m.height)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      assert(m.mean_r == sr.toDouble / n && m.mean_g == sg.toDouble / n
+        && m.mean_b == sb.toDouble / n, s"channel means differ for doc $id")
+    }
+  }
+
+  test("BMP: malformed payloads drop the row, never the job") {
+    import spark.implicits._
+    assert(Multimodal.parseBmp(1L, Array.fill[Byte](10)(0x42)).isEmpty) // too short
+    assert(Multimodal.parseBmp(1L, Array.fill[Byte](100)(0x42)).isEmpty) // wrong magic
+    val good = Multimodal.bmpPayloads(Seq((5L, "hello world")).toDF("doc_id", "text"))
+      .head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.parseBmp(5L, good).isDefined)
+    assert(Multimodal.parseBmp(5L, good.take(53)).isEmpty) // truncated header
+    val rle = good.clone(); rle(30) = 1 // compression = BI_RLE8
+    assert(Multimodal.parseBmp(5L, rle).isEmpty)
+    val trunc = good.clone().take(60) // header intact, pixel data missing
+    assert(Multimodal.parseBmp(5L, trunc).isEmpty)
+    // a frame with one poison row still decodes the rest
+    val mixed = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val withBad = Multimodal.bmpPayloads(mixed)
+      .union(Seq((99L, Array.fill[Byte](80)(0x00))).toDF("doc_id", "payload"))
+    assert(Multimodal.decodeBmp(withBad).count() == 2)
+  }
 }
