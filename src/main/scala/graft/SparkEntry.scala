@@ -60,6 +60,8 @@ object SparkEntry {
     "q47_ntile_bin" -> operators.Binning.ntileBin,
     "q48_histogram" -> operators.Binning.histogram,
     "q49_heavy_hitters" -> textstats.TextStats.heavyHitters,
+    "q50_transitions" -> operators.Events.transitions,
+    "q51_cohort" -> operators.Events.cohortRetention,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -238,5 +240,7 @@ object SparkEntry {
     "q47_ntile_bin" -> operators.Binning.ntileBinSql,
     "q48_histogram" -> operators.Binning.histogramSql,
     "q49_heavy_hitters" -> textstats.TextStats.heavyHittersSql,
+    "q50_transitions" -> operators.Events.transitionsSql,
+    "q51_cohort" -> operators.Events.cohortRetentionSql,
   )
 }

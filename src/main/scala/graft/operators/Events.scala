@@ -71,6 +71,64 @@ object Events {
       .withColumn("value", round(col("value"), 4) + 0.0)
   }
 
+  /** #55 (q50) Event-type transition matrix: counts of consecutive
+    * (prev → next) event-type pairs per user timeline — the Markov /
+    * funnel view of the event stream. One lag window (shuffle on
+    * user_id) + one map-side-combined pair aggregate; transition
+    * probability denominated per source state. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        (round(col("n").cast("double") / sum(col("n")).over(w), 4) + 0.0))
+  }
+
+  val transitionsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n
+      |  FROM lagged WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) + 0.0 AS p
+      |FROM pairs""".stripMargin
+
+  /** #56 (q51) Cohort retention: users grouped by first-activity day,
+    * counted by how many days after that first day they were active —
+    * the standard retention triangle. Two keyed aggregates (per-user
+    * min, then cohort × offset distinct users), both map-side
+    * partials; no self-join of the fact against itself. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, "user_id")
+      .groupBy(
+        // string-typed day: parquet DATE and DuckDB DATE round-trip to
+        // different pandas dtypes in the comparer; ISO text is stable
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(day - cohort_day AS BIGINT) AS day_offset,
+      |  count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN first ON ev.user_id = first.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** DuckDB twin of [[rollingStats]] — same frames, same (ts, event_id)
     * order, same 4dp rounding. */
   val rollingStatsSql: String =

@@ -171,6 +171,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(sub.count() == detail.select("o_orderstatus").distinct().count())
   }
 
+  test("q50 transitions: probabilities sum to 1 per source, pair counts conserve events") {
+    val df = operators.Events.transitions(spark, dir).cache()
+    // per from_type, p sums to ~1
+    val sums = df.groupBy("from_type").agg(sum("p").as("sp")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-2, r.toString))
+    // total transitions = total events - distinct users (each user's
+    // first event has no predecessor)
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(df.agg(sum("n")).head.getLong(0) == expected)
+  }
+
+  test("q51 cohort: offsets non-negative, day-0 cohort counts equal cohort sizes") {
+    val df = operators.Events.cohortRetention(spark, dir).cache()
+    assert(df.filter(col("day_offset") < 0).count() == 0)
+    // day 0 of each cohort contains every user of that cohort exactly
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohortSizes = ev.groupBy("user_id").agg(min("day").as("d"))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("cohort_day"))
+      .agg(count(lit(1)).as("size"))
+    val day0 = df.filter(col("day_offset") === 0)
+    val bad = day0.join(cohortSizes, "cohort_day")
+      .filter(col("n_users") =!= col("size"))
+    assert(bad.count() == 0)
+    assert(day0.count() == cohortSizes.count())
+  }
+
   test("q44 rolling: cumulative and 5-row frames obey their recurrences") {
     val df = operators.Events.rollingStats(spark, dir)
     // check per-user recurrence on a sample user's full timeline
