@@ -343,13 +343,20 @@ object Multimodal {
     if (dibSize < 40) return None // BITMAPCOREHEADER not supported
     val w = buf.getInt
     val rawH = buf.getInt
+    // abs(Int.MinValue) is still negative — reject it explicitly or the
+    // sign checks below all mis-fire on a crafted height
+    if (rawH == Int.MinValue) return None
     val ht = math.abs(rawH)
     buf.getShort // planes
     val bpp = buf.getShort.toInt
     val compression = buf.getInt
-    if (compression != 0 || bpp != 24 || w <= 0 || ht == 0) return None
-    val rowSize = ((bpp.toLong * w + 31) / 32 * 4).toInt
-    if (dataOffset < 54 || rowSize.toLong * ht > bytes.length - dataOffset) return None
+    if (compression != 0 || bpp != 24 || w <= 0 || ht <= 0) return None
+    // all size math in Long: a ~2^29 width overflows an Int rowSize to
+    // negative, which would slip past the fit check and crash the pixel
+    // walk on a 54-byte payload
+    val rowSizeL = (bpp.toLong * w + 31) / 32 * 4
+    if (dataOffset < 54 || rowSizeL * ht > bytes.length.toLong - dataOffset) return None
+    val rowSize = rowSizeL.toInt // fits: bounded by bytes.length above
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < ht) {

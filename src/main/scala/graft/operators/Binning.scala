@@ -45,13 +45,19 @@ object Binning {
   def quantileCutBins(df: DataFrame, valueCol: String, nBins: Int,
       accuracy: Int = 10000): DataFrame = {
     val probs = (1 until nBins).map(_.toDouble / nBins)
-    val cuts = df.agg(approx_percentile(col(valueCol),
+    // approx_percentile over zero non-null rows returns SQL NULL —
+    // an empty or all-null input must yield null bins, not a driver NPE
+    val row = df.agg(approx_percentile(col(valueCol),
         typedLit(probs), lit(accuracy)).as("cuts"))
-      .head.getSeq[Double](0)
+      .head
+    val cuts: Seq[Double] =
+      if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
     val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(valueCol) > c, 1).otherwise(0)
     }
-    df.withColumn("bin", bin.cast("long"))
+    // null values get a null bin (not silently bin 0)
+    df.withColumn("bin",
+      when(col(valueCol).isNotNull, bin.cast("long")))
   }
 
   val HistBins = 20

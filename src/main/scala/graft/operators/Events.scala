@@ -110,8 +110,11 @@ object Events {
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val firstDay = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    ev.join(firstDay, "user_id")
+    // cohort day as a whole-partition window min: ONE fact scan and one
+    // shuffle — an aggregate+self-join form reads the fact twice and
+    // sort-merges two full-size sides (the q40 double-scan trap)
+    val wUser = Window.partitionBy(col("user_id"))
+    ev.withColumn("cohort_day", min(col("day")).over(wUser))
       .groupBy(
         // string-typed day: parquet DATE and DuckDB DATE round-trip to
         // different pandas dtypes in the comparer; ISO text is stable

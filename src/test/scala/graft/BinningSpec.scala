@@ -47,6 +47,22 @@ class BinningSpec extends AnyFunSuite {
     sizes.foreach(s => assert(math.abs(s - n / 4) < n * 0.1, s"unbalanced bin: $s of $n"))
   }
 
+  test("quantileCutBins: empty and all-null inputs yield null bins, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.lang.Double)].toDF("k", "v")
+    assert(Binning.quantileCutBins(empty, "v", 4).count() == 0)
+    val allNull = Seq((1L, null: java.lang.Double), (2L, null: java.lang.Double))
+      .toDF("k", "v")
+    val out = Binning.quantileCutBins(allNull, "v", 4)
+    assert(out.count() == 2 && out.filter(col("bin").isNotNull).count() == 0)
+    // mixed: null values get null bins, non-null rows still bin
+    val mixed = Seq((1L, java.lang.Double.valueOf(1.0)), (2L, null: java.lang.Double),
+      (3L, java.lang.Double.valueOf(9.0))).toDF("k", "v")
+    val m = Binning.quantileCutBins(mixed, "v", 2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(m(2L) == -1L && m(1L) >= 0L && m(3L) >= 0L)
+  }
+
   test("q48 histogram: bins cover the range, counts sum to filtered rows") {
     val df = Binning.histogram(spark, dir).cache()
     val events = Tables.events(spark, dir)

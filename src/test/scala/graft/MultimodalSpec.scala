@@ -153,6 +153,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseBmp(5L, rle).isEmpty)
     val trunc = good.clone().take(60) // header intact, pixel data missing
     assert(Multimodal.parseBmp(5L, trunc).isEmpty)
+    // crafted huge width: rowSize would wrap negative as an Int and
+    // bypass the fit check — must reject, not crash the pixel walk
+    val wide = good.clone()
+    java.nio.ByteBuffer.wrap(wide).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 800000000)
+    assert(Multimodal.parseBmp(5L, wide).isEmpty)
+    // height = Int.MinValue: abs() is still negative — must reject, not
+    // emit a garbage "decoded" row
+    val minH = good.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(Multimodal.parseBmp(5L, minH).isEmpty)
     // a frame with one poison row still decodes the rest
     val mixed = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val withBad = Multimodal.bmpPayloads(mixed)
