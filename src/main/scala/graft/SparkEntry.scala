@@ -62,6 +62,7 @@ object SparkEntry {
     "q49_heavy_hitters" -> textstats.TextStats.heavyHitters,
     "q50_transitions" -> operators.Events.transitions,
     "q51_cohort" -> operators.Events.cohortRetention,
+    "q52_curation" -> textstats.Curation.curate,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -242,5 +243,6 @@ object SparkEntry {
     "q49_heavy_hitters" -> textstats.TextStats.heavyHittersSql,
     "q50_transitions" -> operators.Events.transitionsSql,
     "q51_cohort" -> operators.Events.cohortRetentionSql,
+    "q52_curation" -> textstats.Curation.curateSql,
   )
 }

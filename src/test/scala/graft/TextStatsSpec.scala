@@ -125,6 +125,25 @@ class TextStatsSpec extends AnyFunSuite {
       || col("clean_text").rlike(textstats.Redact.Ipv4Re)).count() == 0)
   }
 
+  test("q52 curation: verdicts consistent with components, reasons in priority order") {
+    val df = textstats.Curation.curate(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).count())
+    // keep <=> no reason
+    assert(df.filter(col("keep") === 1 && col("drop_reason").isNotNull).count() == 0)
+    assert(df.filter(col("keep") === 0 && col("drop_reason").isNull).count() == 0)
+    // every 'dup' row really has a smaller canonical twin
+    assert(df.filter(col("drop_reason") === "dup"
+      && col("canonical_id") >= col("doc_id")).count() == 0)
+    // reason priority: a doc failing repetition AND quality reports repetition
+    val rep = textstats.TextStats.gopherRepetition(spark, dir)
+      .select(col("doc_id"), col("repetition_pass"))
+    val both = df.join(rep, "doc_id")
+      .filter(col("repetition_pass") === 0 && col("drop_reason") === "quality")
+    assert(both.count() == 0)
+    // the pipeline actually curates: some kept, some dropped
+    assert(df.select("keep").distinct().count() == 2)
+  }
+
   test("q40 on sf0.001: both pass and fail outcomes occur, fracs non-negative") {
     val df = textstats.TextStats.gopherRepetition(spark, dir).cache()
     assert(df.count() == Tables.documents(spark, dir).count())
