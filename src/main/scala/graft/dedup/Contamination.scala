@@ -56,6 +56,42 @@ object Contamination {
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contamination(Tables.documents(spark, dir))
 
+  /** Streaming twin: incoming docs checked against a STATIC benchmark
+    * shingle set (eval suites change rarely — they are a static frame a
+    * stream-static broadcast join probes). Per-doc distinct shingles
+    * come from `array_distinct` BEFORE the explode — a pure projection,
+    * so the only state is the windowed per-doc aggregate, bounded by
+    * the watermark. Emits the same n_shingles/n_hit/contam_frac as the
+    * batch operator for every doc inside a window.
+    *
+    * @param docs streaming (ts TIMESTAMP, doc_id LONG, text STRING)
+    * @param benchShingles static frame with a distinct `shk` column
+    *   (e.g. `Dedup.docShingles(benchDocs).select("shk").distinct()`)
+    */
+  def contaminationStream(docs: org.apache.spark.sql.DataFrame,
+      benchShingles: org.apache.spark.sql.DataFrame,
+      watermark: String = "1 hour", windowLen: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    val sk = docs
+      // th materialized as its own projection first — the SURVEY §5
+      // inlining trap (same reason Dedup.docShingles is two selects)
+      .select(col("ts"), col("doc_id"), col("text"),
+        Dedup.tokenHashes(col("text")).as("th"))
+      .select(col("ts"), col("doc_id"),
+        array_distinct(Dedup.shingleKeysFromHashes(col("th"), col("text"))).as("sks"))
+      .select(col("ts"), col("doc_id"),
+        size(col("sks")).as("n_shingles"), explode(col("sks")).as("shk"))
+    sk.withWatermark("ts", watermark)
+      .join(broadcast(benchShingles.withColumn("hit", lit(1))), Seq("shk"), "left")
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(first(col("n_shingles")).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 4) + 0.0)
+      .withColumn("contaminated",
+        (col("contam_frac") >= ContaminationFrac).cast("int"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        col("contam_frac"), col("contaminated"))
+  }
+
   /** DuckDB twin over the same shingle CTEs ([[Dedup.docShingleHashesSql]]). */
   val contaminationSql: String =
     s"""WITH ${Dedup.docShingleHashesSql.replace("\n", " ")},

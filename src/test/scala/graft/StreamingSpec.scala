@@ -397,6 +397,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination: stream-static probe matches the batch operator's math") {
+    import graft.dedup.{Contamination, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchDocs = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val bench = Dedup.docShingles(benchDocs).select("shk").distinct()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Contamination.contaminationStream(stream, bench)
+      .writeStream.format("memory").queryName("cstream").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "the quick brown fox jumps over the lazy dog"), // exact copy
+        (ts(2), 2L, "completely different words nothing shared here at all"),
+        (ts(3), 3L, "the quick brown fox and then something else entirely"))
+      q.processAllAvailable()
+      val got = spark.table("cstream")
+        .select("doc_id", "contam_frac", "contaminated")
+        .as[(Long, Double, Int)].collect().groupBy(_._1).map(_._2.last).toSeq
+      assert(got.size == 3)
+      val byId = got.map(r => r._1 -> r).toMap
+      assert(byId(1L) == ((1L, 1.0, 1)))
+      assert(byId(2L) == ((2L, 0.0, 0)))
+      assert(byId(3L)._2 > 0.0 && byId(3L)._2 < 1.0)
+    } finally q.stop()
+  }
+
   test("sketch distinct: HLL estimate within 3*rsd of exact per event_type") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val est = operators.Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
