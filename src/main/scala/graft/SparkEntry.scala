@@ -63,6 +63,7 @@ object SparkEntry {
     "q50_transitions" -> operators.Events.transitions,
     "q51_cohort" -> operators.Events.cohortRetention,
     "q52_curation" -> textstats.Curation.curate,
+    "q53_expectations" -> operators.Expectations.orderExpectations,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -244,5 +245,6 @@ object SparkEntry {
     "q50_transitions" -> operators.Events.transitionsSql,
     "q51_cohort" -> operators.Events.cohortRetentionSql,
     "q52_curation" -> textstats.Curation.curateSql,
+    "q53_expectations" -> operators.Expectations.orderExpectationsSql,
   )
 }

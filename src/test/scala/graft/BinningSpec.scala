@@ -77,6 +77,31 @@ class BinningSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q53 expectations: clean checks pass, planted violations are counted exactly") {
+    import spark.implicits._
+    import operators.Expectations
+    val df = Expectations.orderExpectations(spark, dir).cache()
+    assert(df.count() == 7)
+    // the deliberately tight check carries real violations; contract checks pass
+    val m = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(m("key_not_null") == ((0L, 1)) && m("key_unique") == ((0L, 1)))
+    assert(m("status_domain")._2 == 1 && m("date_range")._2 == 1)
+    assert(m("price_under_400k")._1 > 0 && m("price_under_400k")._2 == 0)
+    // synthetic frame with known violations, including a null in the set check
+    val t = Seq((1L, "A", 5.0), (2L, null: String, 50.0), (2L, "B", -1.0))
+      .toDF("k", "s", "v")
+    val rep = Expectations.report(t, Seq(
+      Expectations.notNull("s_not_null", col("s")),
+      Expectations.inSet("s_domain", col("s"), Seq("A", "B")),
+      Expectations.inRange("v_range", col("v"), lit(0.0), lit(10.0))),
+      uniqueKey = Some("k_unique" -> col("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("s_not_null") == 1L)
+    assert(rep("s_domain") == 0L) // NULL is not a domain violation (SQL semantics)
+    assert(rep("v_range") == 2L)  // 50.0 out of range + -1.0
+    assert(rep("k_unique") == 1L)
+  }
+
   test("q49 heavy hitters: exactly K rows, ranked by tf, df <= tf and df <= corpus size") {
     val df = textstats.TextStats.heavyHitters(spark, dir).cache()
     assert(df.count() == textstats.TextStats.HeavyHittersK)
