@@ -14,33 +14,41 @@ import graft.dedup.Dedup
   * the first failing stage as the drop reason (dup > repetition >
   * quality — the conventional order: cheap exact checks first).
   *
-  * This is deliberately a COMPOSITION of the already-verified
-  * operators, not a re-implementation — the oracle nests the same
-  * component SQL the individual queries hash-match, so q52 also guards
-  * against the components drifting apart.
-  *
-  * Scale shape: three already-scale-audited subplans joined on doc_id
-  * (each shuffle-partitioned on the same key), plus one md5 equi-join
-  * for canonical resolution. No new shuffle classes beyond what the
-  * components already pay.
+  * The oracle still nests the component SQL the individual queries
+  * hash-match (so q52 guards against the components drifting apart),
+  * but the Spark plan is FUSED into a single corpus scan: md5 and the
+  * quality score are computed in the scan projection and threaded
+  * through the Gopher gram explode on a sentinel n=0 row per document
+  * ([[TextStats.repetitionCore]]'s `carry`), and canonical resolution
+  * is a window `min(doc_id) over (partition by text_hash)` on the
+  * already-tiny per-doc result instead of an md5 equi-join against a
+  * second dedupExact scan. The earlier 3-subplan join-on-doc_id shape
+  * read `documents` 4× (~400 TB of scan for one verdict at target
+  * scale); this plan reads it once and pays the same shuffle classes
+  * the repetition component already paid, plus one window shuffle of
+  * per-doc rows.
   */
 object Curation {
 
   val MinQuality = 0.55
 
   def curate(docs: DataFrame): DataFrame = {
-    val canon = docs
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .join(Dedup.dedupExact(docs).select(col("text_hash"), col("canonical_id")),
-        "text_hash")
-      .select(col("doc_id"), col("canonical_id"))
-    val rep = TextStats.gopherRepetition(docs)
-      .select(col("doc_id"), col("repetition_pass"))
-    val qual = TextStats.quality(docs)
-      .select(col("doc_id"), col("quality_score"))
-    canon
-      .join(rep, "doc_id")
-      .join(qual, "doc_id")
+    import org.apache.spark.sql.expressions.Window
+    // md5 carried as two 60-bit long halves (120 bits — same collision
+    // class as the full digest for grouping purposes): a string carry
+    // would force the big (doc,n,g) gram count into SortAggregate
+    // (string agg buffers aren't hash-aggregable); longs keep it a
+    // map-side-combined HashAggregate.
+    val h = md5(col("text"))
+    val base = docs.select(
+      col("doc_id"),
+      split(col("text"), " ").as("ws"),
+      conv(substring(h, 1, 15), 16, 10).cast("long").as("th1"),
+      conv(substring(h, 16, 15), 16, 10).cast("long").as("th2"),
+      TextStats.qualityScoreExpr(col("text")).as("quality_score"))
+    TextStats.repetitionCore(base, carry = Seq("th1", "th2", "quality_score"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("th1"), col("th2"))))
       .withColumn("drop_reason",
         when(col("doc_id") =!= col("canonical_id"), "dup")
           .when(col("repetition_pass") === 0, "repetition")

@@ -108,6 +108,26 @@ object TextStats {
   def quality(spark: SparkSession, dir: String): DataFrame =
     quality(Tables.documents(spark, dir))
 
+  /** The quality_score formula of [[quality]] as a standalone Column
+    * (rounded to 4 like the query output) — lets [[Curation]]'s fused
+    * single-scan plan compute it in the scan projection. Arithmetic
+    * order matches [[quality]] exactly; any drift between the two shows
+    * up as a q52 hash mismatch because the q52 oracle nests
+    * [[qualitySql]]. */
+  private[graft] def qualityScoreExpr(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTokens = size(toks)
+    val set = Stopwords.toMap.apply("en")
+    val nStop = size(filter(toks, t => t.isin(set.map(lit(_)): _*)))
+    val stopRatio = nStop.cast("double") / nTokens
+    val punctRatio = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1))
+    round(
+      least(nTokens.cast("double") / 50.0, lit(1.0)) * 0.4 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2, 4)
+  }
+
   val qualitySql: String =
     s"""WITH base AS (
        |  SELECT doc_id, length(text) AS nc, len(string_split(text, ' ')) AS n_tokens,
@@ -299,7 +319,21 @@ object TextStats {
     * (a two-branch formulation was measured to push the n=1 / n>1
     * filters through the aggregate into two separate full scans —
     * explain-audited back to this single-pass shape). */
-  def gopherRepetition(docs: DataFrame): DataFrame = {
+  def gopherRepetition(docs: DataFrame): DataFrame =
+    repetitionCore(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("dup_word_frac"), col("top2_char_frac"), col("top3_char_frac"),
+        col("repetition_pass"))
+
+  /** The gram-metric core shared by [[gopherRepetition]] and
+    * [[Curation]]'s fused single-scan plan. `base` provides `doc_id` and
+    * the token array `ws`; `carry` names doc-level columns of `base`
+    * threaded through the explode on ONE sentinel (n=0) row per document
+    * — so the gram-count shuffle pays their bytes once per doc (gram
+    * rows carry nulls), not once per gram — and recovered in the per-doc
+    * aggregate via `max` (null-ignoring). Output: per-doc repetition
+    * metrics + repetition_pass + the carried columns. */
+  private[graft] def repetitionCore(base: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emptyGrams = array().cast("array<struct<n:int,g:string>>")
     def gramsOf(nn: Int): Column =
@@ -308,39 +342,46 @@ object TextStats {
           struct(lit(nn).as("n"),
             concat_ws(" ", (0 until nn).map(j => element_at(col("ws"), i + j)): _*).as("g"))))
         .otherwise(emptyGrams)
-    val counts = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(concat(gramsOf(1), gramsOf(2), gramsOf(3))).as("t"))
-      .select(col("doc_id"), col("t").getField("n").as("n"), col("t").getField("g").as("g"))
-      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+    val gramArr =
+      if (carry.isEmpty) concat(gramsOf(1), gramsOf(2), gramsOf(3))
+      else concat(array(struct(lit(0).as("n"), lit("").as("g"))),
+        gramsOf(1), gramsOf(2), gramsOf(3))
+    val counts = base
+      .select(col("doc_id") +: carry.map(col) :+ explode(gramArr).as("t"): _*)
+      .select(col("doc_id") +: col("t").getField("n").as("n") +:
+        col("t").getField("g").as("g") +:
+        carry.map(c => when(col("t").getField("n") === 0, col(c)).as(c)): _*)
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"), carry.map(c => max(col(c)).as(c)): _*)
     val w = Window.partitionBy(col("doc_id"), col("n")).orderBy(col("c").desc, col("g"))
     val topChars = col("c") * length(translate(col("g"), " ", ""))
+    val aggs = Seq(
+      sum(when(col("n") === 1, col("c"))).as("n_words"),
+      sum(when(col("n") === 1, 1L)).as("n_distinct"),
+      sum(when(col("n") === 1, col("c") * length(col("g")))).as("nsc"),
+      max(when(col("n") === 2 && col("rk") === 1, topChars)).as("chars2"),
+      max(when(col("n") === 3 && col("rk") === 1, topChars)).as("chars3")) ++
+      carry.map(c => max(col(c)).as(c))
     val perDoc = counts
       .withColumn("rk", row_number().over(w))
-      .groupBy(col("doc_id")).agg(
-        sum(when(col("n") === 1, col("c"))).as("n_words"),
-        sum(when(col("n") === 1, 1L)).as("n_distinct"),
-        sum(when(col("n") === 1, col("c") * length(col("g")))).as("nsc"),
-        max(when(col("n") === 2 && col("rk") === 1, topChars)).as("chars2"),
-        max(when(col("n") === 3 && col("rk") === 1, topChars)).as("chars3"))
-    val base = perDoc
-      .select(col("doc_id"), col("n_words"), col("nsc"), col("chars2"), col("chars3"),
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withDup = perDoc
+      .select(col("doc_id") +: col("n_words") +: col("nsc") +: col("chars2") +:
+        col("chars3") +:
         (round(lit(1.0) - col("n_distinct").cast("double")
-          / col("n_words").cast("double"), 4) + 0.0).as("dup_word_frac"))
+          / col("n_words").cast("double"), 4) + 0.0).as("dup_word_frac") +:
+        carry.map(col): _*)
     val frac2 = (round(coalesce(col("chars2"), lit(0L)).cast("double")
       / col("nsc").cast("double"), 4) + 0.0)
     val frac3 = (round(coalesce(col("chars3"), lit(0L)).cast("double")
       / col("nsc").cast("double"), 4) + 0.0)
-    base
+    withDup
       .withColumn("top2_char_frac", frac2)
       .withColumn("top3_char_frac", frac3)
       .withColumn("repetition_pass",
         (col("dup_word_frac") <= MaxDupWordFrac &&
           col("top2_char_frac") <= MaxTopBigramCharFrac &&
           col("top3_char_frac") <= MaxTopTrigramCharFrac).cast("int"))
-      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
-        col("dup_word_frac"), col("top2_char_frac"), col("top3_char_frac"),
-        col("repetition_pass"))
   }
 
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
