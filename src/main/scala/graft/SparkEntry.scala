@@ -64,6 +64,7 @@ object SparkEntry {
     "q51_cohort" -> operators.Events.cohortRetention,
     "q52_curation" -> textstats.Curation.curate,
     "q53_expectations" -> operators.Expectations.orderExpectations,
+    "q54_crs_reproject" -> operators.Crs.reproject,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -246,5 +247,6 @@ object SparkEntry {
     "q51_cohort" -> operators.Events.cohortRetentionSql,
     "q52_curation" -> textstats.Curation.curateSql,
     "q53_expectations" -> operators.Expectations.orderExpectationsSql,
+    "q54_crs_reproject" -> operators.Crs.reprojectSql,
   )
 }
