@@ -65,6 +65,7 @@ object SparkEntry {
     "q52_curation" -> textstats.Curation.curate,
     "q53_expectations" -> operators.Expectations.orderExpectations,
     "q54_crs_reproject" -> operators.Crs.reproject,
+    "q55_point_in_polygon" -> operators.Geo.pointInPolygon,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -248,5 +249,6 @@ object SparkEntry {
     "q52_curation" -> textstats.Curation.curateSql,
     "q53_expectations" -> operators.Expectations.orderExpectationsSql,
     "q54_crs_reproject" -> operators.Crs.reprojectSql,
+    "q55_point_in_polygon" -> operators.Geo.pointInPolygonSql,
   )
 }

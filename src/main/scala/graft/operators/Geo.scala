@@ -141,6 +141,54 @@ object Geo {
       col("px") >= col("xmin") && col("px") <= col("xmax")
         && col("py") >= col("ymin") && col("py") <= col("ymax"))
 
+  // ---- multipolygon WKT + exact point-in-polygon (ray cast) ----
+
+  /** Innermost paren groups of a (MULTI)POLYGON WKT — one string per
+    * ring, outer rings and holes alike. Works for POLYGON, POLYGON with
+    * holes, and MULTIPOLYGON (the shapes the reference's shapefiles
+    * actually contain, district_gis_etl.py:42). */
+  def ringStrings(wkt: Column): Column =
+    regexp_extract_all(wkt, lit("\\(([^()]+)\\)"), lit(1))
+
+  /** Rings parsed to array<struct<xs,ys>>. Materialize this ONCE per
+    * geometry — before any join — so the per-candidate ray cast reads
+    * ready arrays instead of re-parsing WKT per (point, polygon) pair. */
+  def parsedRings(wkt: Column): Column =
+    transform(ringStrings(wkt), r => struct(
+      transform(split(r, ", "), p => element_at(split(p, " "), 1).cast("double")).as("xs"),
+      transform(split(r, ", "), p => element_at(split(p, " "), 2).cast("double")).as("ys")))
+
+  /** Bbox over every ring of a [[parsedRings]] array (multipart-aware). */
+  def ringsBbox(rings: Column): Column = {
+    val xs = flatten(transform(rings, r => r.getField("xs")))
+    val ys = flatten(transform(rings, r => r.getField("ys")))
+    struct(array_min(xs).as("xmin"), array_min(ys).as("ymin"),
+      array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+  }
+
+  /** Exact even-odd ray cast over a [[parsedRings]] array: a horizontal
+    * ray from (px,py) crossing the union of all rings an odd number of
+    * times means inside — which handles holes and disjoint multiparts by
+    * the even-odd fill rule with no per-ring classification. The edge
+    * test is DIVISION-FREE (cross-product sign instead of slope), so
+    * with integer vertex coordinates every comparison is exact and the
+    * DuckDB twin cannot disagree by an ulp. Boundary semantics: points
+    * exactly on an edge follow the standard half-open convention. */
+  def pointInRings(rings: Column, px: Column, py: Column): Column = {
+    val total = aggregate(rings, lit(0), (acc, r) => {
+      val xs = r.getField("xs")
+      val ys = r.getField("ys")
+      acc + when(size(xs) >= 2,
+        size(filter(sequence(lit(1), size(xs) - 1), i => {
+          val x1 = element_at(xs, i); val y1 = element_at(ys, i)
+          val x2 = element_at(xs, i + 1); val y2 = element_at(ys, i + 1)
+          ((y1 > py) =!= (y2 > py)) &&
+            (((x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0) === (y2 > y1))
+        }))).otherwise(lit(0))
+    })
+    total % 2 === 1
+  }
+
   // ---- q33: shapes ↔ analysis spatial join on the testdata schema ----
 
   /** Districts derived deterministically from `nation`: a 5×5 grid of
@@ -234,4 +282,125 @@ object Geo {
       |FROM valid v JOIN ppt p
       |  ON p.px >= v.xmin AND p.px <= v.xmax AND p.py >= v.ymin AND p.py <= v.ymax
       |GROUP BY v.district_id, v.cx, v.cy""".stripMargin
+
+  // ---- q55: exact point-in-polygon join over non-rectangular shapes ----
+
+  /** Shape catalog for q55, as ring vertex offsets from the district
+    * anchor (x1,y1) — every shape is misclassified by a bbox-only test:
+    * a right triangle (bbox's other half is outside), an L-shape, two
+    * disjoint squares (bbox covers the gap), and a square with a hole.
+    * The one catalog feeds BOTH the Spark WKT builder and the oracle
+    * SQL builder, so the geometries cannot drift. */
+  private val ShapeRings: Seq[Seq[Seq[(Int, Int)]]] = Seq(
+    Seq(Seq((0, 0), (12, 0), (0, 12), (0, 0))),
+    Seq(Seq((0, 0), (12, 0), (12, 6), (6, 6), (6, 12), (0, 12), (0, 0))),
+    Seq(Seq((0, 0), (5, 0), (5, 5), (0, 5), (0, 0)),
+      Seq((8, 8), (12, 8), (12, 12), (8, 12), (8, 8))),
+    Seq(Seq((0, 0), (12, 0), (12, 12), (0, 12), (0, 0)),
+      Seq((4, 4), (8, 4), (8, 8), (4, 8), (4, 4))))
+
+  private def shapeWktCol(k: Int): Column = {
+    def ringC(ring: Seq[(Int, Int)]): Column =
+      concat_ws(", ", ring.map { case (dx, dy) =>
+        concat((col("x1") + dx).cast("string"), lit(" "), (col("y1") + dy).cast("string"))
+      }: _*)
+    val rs = ShapeRings(k)
+    k match {
+      case 2 => concat(lit("MULTIPOLYGON ((("), ringC(rs(0)), lit(")), (("),
+        ringC(rs(1)), lit(")))"))
+      case 3 => concat(lit("POLYGON (("), ringC(rs(0)), lit("), ("),
+        ringC(rs(1)), lit("))"))
+      case _ => concat(lit("POLYGON (("), ringC(rs(0)), lit("))"))
+    }
+  }
+
+  private def shapeWktSql(k: Int): String = {
+    def ringS(ring: Seq[(Int, Int)]): String =
+      ring.map { case (dx, dy) => s"(x1 + $dx) || ' ' || (y1 + $dy)" }
+        .mkString(" || ', ' || ")
+    val rs = ShapeRings(k)
+    k match {
+      case 2 => s"'MULTIPOLYGON (((' || ${ringS(rs(0))} || ')), ((' || ${ringS(rs(1))} || ')))'"
+      case 3 => s"'POLYGON ((' || ${ringS(rs(0))} || '), (' || ${ringS(rs(1))} || '))'"
+      case _ => s"'POLYGON ((' || ${ringS(rs(0))} || '))'"
+    }
+  }
+
+  /** q55: grid-bucketed spatial join with the EXACT ray-cast test —
+    * the upgrade of q33's point-in-bbox to true point-in-polygon over
+    * triangles, L-shapes, disjoint multiparts, and a holed polygon
+    * (reference behavior: district_gis_etl.py:62-70 joins points into
+    * real multipolygon district shapes). Output keeps the bbox
+    * candidate count next to the exact count, so the query itself
+    * proves bbox ≠ exact on these shapes. Plan: same O(polys·cells +
+    * points) grid equi-join as q33 — rings are parsed ONCE on the
+    * polygon side before the join; the per-candidate work is the
+    * ray cast over materialized arrays. */
+  def pointInPolygon(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("int").as("district_id"),
+      ((col("n_nationkey") % 5) * 10).cast("int").as("x1"),
+      expr("CAST((n_nationkey - (n_nationkey % 5)) / 5 AS INT) * 10").as("y1"))
+    val districts = d0.select(col("district_id"),
+      (0 until 4).foldRight(lit(null).cast("string")) { (k, elseC) =>
+        when(col("district_id") % 4 === k, shapeWktCol(k)).otherwise(elseC)
+      }.as("wkt"))
+    val polys = districts
+      .withColumn("rings", parsedRings(col("wkt")))
+      .withColumn("bb", ringsBbox(col("rings")))
+      .select(col("district_id"), col("rings"),
+        col("bb.xmin"), col("bb.ymin"), col("bb.xmax"), col("bb.ymax"))
+    val points = Tables.customer(spark, dir)
+      .select(((col("c_custkey") * 7) % 50).cast("double").as("px"),
+        ((col("c_custkey") * 13) % 50).cast("double").as("py"))
+    gridJoin(points, polys)
+      .withColumn("inside", pointInRings(col("rings"), col("px"), col("py")).cast("int"))
+      .groupBy(col("district_id"))
+      .agg(count(lit(1)).as("n_bbox_candidates"), sum(col("inside")).as("n_points"))
+  }
+
+  /** DuckDB twin: identical WKT construction (same catalog), naive
+    * bbox join, same division-free even-odd ray cast as nested list
+    * lambdas — integer vertices keep every comparison exact on both
+    * engines. */
+  val pointInPolygonSql: String = {
+    val cases = (0 until 4)
+      .map(k => s"WHEN $k THEN ${shapeWktSql(k)}").mkString("\n    ")
+    s"""WITH d0 AS (
+       |  SELECT CAST(n_nationkey AS INT) AS district_id,
+       |    CAST((n_nationkey % 5) * 10 AS INT) AS x1,
+       |    CAST((n_nationkey - (n_nationkey % 5)) / 5 AS INT) * 10 AS y1
+       |  FROM nation),
+       |districts AS (
+       |  SELECT district_id,
+       |    CASE district_id % 4
+       |    $cases
+       |    END AS wkt
+       |  FROM d0),
+       |parsed AS (
+       |  SELECT district_id,
+       |    list_transform(regexp_extract_all(wkt, '\\(([^()]+)\\)', 1), r -> struct_pack(
+       |      xs := list_transform(string_split(r, ', '), p -> CAST(string_split(p, ' ')[1] AS DOUBLE)),
+       |      ys := list_transform(string_split(r, ', '), p -> CAST(string_split(p, ' ')[2] AS DOUBLE)))) AS rr
+       |  FROM districts),
+       |bb AS (
+       |  SELECT district_id, rr,
+       |    list_min(flatten(list_transform(rr, r -> r.xs))) AS xmin,
+       |    list_min(flatten(list_transform(rr, r -> r.ys))) AS ymin,
+       |    list_max(flatten(list_transform(rr, r -> r.xs))) AS xmax,
+       |    list_max(flatten(list_transform(rr, r -> r.ys))) AS ymax
+       |  FROM parsed),
+       |pts AS (
+       |  SELECT CAST((c_custkey * 7) % 50 AS DOUBLE) AS px,
+       |    CAST((c_custkey * 13) % 50 AS DOUBLE) AS py
+       |  FROM customer),
+       |cand AS (
+       |  SELECT district_id, rr, px, py FROM bb JOIN pts
+       |    ON px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax)
+       |SELECT district_id, count(*) AS n_bbox_candidates,
+       |  CAST(sum(CAST((list_sum(list_transform(rr, r -> len(list_filter(range(1, len(r.xs)), i ->
+       |    ((r.ys[i] > py) <> (r.ys[i+1] > py)) AND
+       |    (((r.xs[i+1]-r.xs[i])*(py-r.ys[i]) - (px-r.xs[i])*(r.ys[i+1]-r.ys[i]) > 0) = (r.ys[i+1] > r.ys[i])))))) % 2 = 1) AS INT)) AS BIGINT) AS n_points
+       |FROM cand GROUP BY district_id""".stripMargin
+  }
 }

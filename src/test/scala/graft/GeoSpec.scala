@@ -65,6 +65,44 @@ class GeoSpec extends AnyFunSuite {
     assert(naive.count() > 0)
   }
 
+  test("ray cast: triangle, multipart, and holed polygon beat the bbox test") {
+    val tri = "POLYGON ((0 0, 10 0, 0 10, 0 0))"
+    val multi = "MULTIPOLYGON (((0 0, 10 0, 0 10, 0 0)), ((20 20, 24 20, 24 24, 20 24, 20 20)))"
+    val holed = "POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), (4 4, 8 4, 8 8, 4 8, 4 4))"
+    val cases = Seq(
+      (tri, 1.0, 1.0, true),    // lower-left half
+      (tri, 8.0, 8.0, false),   // inside bbox, above hypotenuse
+      (multi, 21.0, 21.0, true),  // second part
+      (multi, 15.0, 15.0, false), // bbox gap between parts
+      (holed, 2.0, 2.0, true),    // ring area
+      (holed, 6.0, 6.0, false),   // inside the hole
+      (holed, 6.0, 2.0, true),    // below the hole
+      (tri, -1.0, 5.0, false),    // left of everything
+    ).toDF("wkt", "px", "py", "expected")
+    val bad = cases.filter(
+      Geo.pointInRings(Geo.parsedRings(col("wkt")), col("px"), col("py"))
+        =!= col("expected"))
+    assert(bad.count() == 0, bad.collect().mkString(", "))
+  }
+
+  test("ringsBbox spans all parts of a multipolygon") {
+    val multi = "MULTIPOLYGON (((0 0, 10 0, 0 10, 0 0)), ((20 20, 24 20, 24 24, 20 24, 20 20)))"
+    val bb = Seq(multi).toDF("wkt")
+      .select(Geo.ringsBbox(Geo.parsedRings(col("wkt")))).head.getStruct(0)
+    assert(bb.getDouble(0) == 0.0 && bb.getDouble(1) == 0.0)
+    assert(bb.getDouble(2) == 24.0 && bb.getDouble(3) == 24.0)
+  }
+
+  test("q55: exact counts are strictly below bbox candidates on non-rectangular shapes") {
+    val df = Geo.pointInPolygon(spark, dir).cache()
+    assert(df.count() == 25)
+    // triangles (id%4==0) cover half their bbox: exact must be well below
+    val strict = df.filter(col("n_points") < col("n_bbox_candidates"))
+    assert(strict.count() >= 12, "bbox==exact on most shapes — ray cast not discriminating")
+    assert(df.filter(col("n_points") > col("n_bbox_candidates")).count() == 0)
+    assert(df.agg(sum("n_points")).head.getLong(0) > 0)
+  }
+
   test("q33: one row per valid district (invalid ring filtered), overlaps counted") {
     val df = Geo.spatialJoin(spark, dir).cache()
     assert(df.count() == 24) // 25 nations minus the planted invalid ring
