@@ -66,6 +66,7 @@ object SparkEntry {
     "q53_expectations" -> operators.Expectations.orderExpectations,
     "q54_crs_reproject" -> operators.Crs.reproject,
     "q55_point_in_polygon" -> operators.Geo.pointInPolygon,
+    "q56_semdedup" -> ann.Kmeans.semDedup,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -250,5 +251,6 @@ object SparkEntry {
     "q53_expectations" -> operators.Expectations.orderExpectationsSql,
     "q54_crs_reproject" -> operators.Crs.reprojectSql,
     "q55_point_in_polygon" -> operators.Geo.pointInPolygonSql,
+    "q56_semdedup" -> ann.Kmeans.semDedupSql,
   )
 }

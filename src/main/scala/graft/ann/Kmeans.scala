@@ -89,10 +89,10 @@ object Kmeans {
         count(lit(1)).over(w).as("cluster_size"))
   }
 
-  /** DuckDB twin: same init, `Iters` unrolled assign/update rounds
-    * (per-dim fixed-point mean over exact integer sums, empty cells
-    * coalesce to the previous centroid), then the final assignment. */
-  val kmeansClustersSql: String = {
+  /** The full fit-then-assign CTE chain (emb → cent0 → Iters unrolled
+    * assign/update rounds → final assignment `fin(vec_id, cell, cos)`)
+    * — shared by the q45 oracle and the q56 SemDeDup oracle. */
+  private[graft] val fitCtesSql: String = {
     val dim = Ann.Dim
     def asgCte(name: String, cent: String): String = {
       val cos = VectorMath.cosineSql("e.v", "c.v", dim)
@@ -115,7 +115,7 @@ object Kmeans {
          |  SELECT p.cell, coalesce(u.vlist, p.v) AS v FROM $prev p
          |  LEFT JOIN (SELECT cell, list(a ORDER BY pos) AS vlist FROM ${next}_u GROUP BY cell) u
          |    ON u.cell = p.cell)""".stripMargin
-    s"""WITH emb AS (
+    s"""emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
@@ -124,9 +124,69 @@ object Kmeans {
        |${updCte("asg1", "cent0", "cent1").replace("\n", " ")},
        |${asgCte("asg2", "cent1").replace("\n", " ")},
        |${updCte("asg2", "cent1", "cent2").replace("\n", " ")},
-       |${asgCte("fin", "cent2").replace("\n", " ")}
+       |${asgCte("fin", "cent2").replace("\n", " ")}""".stripMargin
+  }
+
+  /** DuckDB twin: same init, `Iters` unrolled assign/update rounds
+    * (per-dim fixed-point mean over exact integer sums, empty cells
+    * coalesce to the previous centroid), then the final assignment. */
+  val kmeansClustersSql: String =
+    s"""WITH $fitCtesSql
        |SELECT vec_id, cell AS cluster, round(cos, 4) + 0.0 AS cos,
        |  count(*) OVER (PARTITION BY cell) AS cluster_size
        |FROM fin""".stripMargin
+
+  // ---- q56: SemDeDup (cluster-then-prune semantic dedup) ----
+
+  /** Within-cluster cosine threshold above which two vectors are
+    * semantic duplicates (SemDeDup, Abbas et al. 2023 — public
+    * arXiv:2303.09540 recipe: k-means the embeddings, then prune
+    * near-identical pairs inside each cluster only). */
+  val SemDedupCos = 0.3
+
+  /** q56: the exact→near→semantic dedup ladder's top rung. Clusters
+    * from the SAME fit as q45, then a within-cluster pair join keeps a
+    * vector only if it has NO smaller-id neighbor at cosine ≥
+    * [[SemDedupCos]]; `dup_of` names the smallest such neighbor (the
+    * deterministic "one canonical per duplicate set" rule — greedy by
+    * vec_id, the order SemDeDup applies with random ranking fixed).
+    *
+    * Scale shape: this is the published algorithm's own bound — the
+    * pair join is an equi-join on cluster id, so pair work is
+    * Σ cluster², controlled by k (pick k ≈ n/targetCluster at corpus
+    * scale; the fit cost is q45's, assignment is a projection). Cosine
+    * is the fused single-pass native expression; the threshold
+    * comparison is exact on both engines (left-fold dot product), so
+    * the oracle reproduces the keep/drop decision bit-for-bit. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = fit(emb)
+    val asg = assign(embCast(emb), cent).select(col("vec_id"), col("cluster"), col("v"))
+    val dup = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorMath.cosineFast(col("a.v"), col("b.v")) >= SemDedupCos)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    asg.select(col("vec_id"), col("cluster"))
+      .join(dup, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull.cast("int"))
+      .select(col("vec_id"), col("cluster"), col("keep"), col("dup_of"))
+  }
+
+  /** DuckDB twin: shared fit CTEs, same pair predicate, same greedy
+    * min-id canonical rule. */
+  val semDedupSql: String = {
+    val cos = VectorMath.cosineSql("a.v", "b.v", Ann.Dim)
+    s"""WITH $fitCtesSql,
+       |asgv AS (SELECT f.vec_id, f.cell, e.v FROM fin f JOIN emb e USING (vec_id)),
+       |dup AS (
+       |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+       |  FROM asgv a JOIN asgv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $cos >= $SemDedupCos
+       |  GROUP BY b.vec_id)
+       |SELECT f.vec_id, f.cell AS cluster,
+       |  CAST(d.dup_of IS NULL AS INT) AS keep, d.dup_of
+       |FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id""".stripMargin
   }
 }

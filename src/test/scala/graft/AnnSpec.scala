@@ -103,4 +103,34 @@ class AnnSpec extends AnyFunSuite {
     // clusters are non-trivial: more than one cluster in use
     assert(out.select("cluster").distinct().count() > 1)
   }
+
+  test("q56 semdedup: greedy-by-id pruning invariants") {
+    val out = ann.Kmeans.semDedup(spark, dir).cache()
+    val emb = Tables.embeddings(spark, dir)
+    assert(out.count() == emb.count())
+    // both classes exercised
+    assert(out.filter(col("keep") === 1).count() > 0)
+    assert(out.filter(col("keep") === 0).count() > 0)
+    // keep <-> no dup_of; canonical precedes the duplicate
+    assert(out.filter((col("keep") === 1) =!= col("dup_of").isNull).count() == 0)
+    assert(out.filter(col("dup_of") >= col("vec_id")).count() == 0)
+    // dup_of stays within the duplicate's own cluster
+    val byId = out.select(col("vec_id").as("o_id"), col("cluster").as("o_cluster"))
+    assert(out.filter(col("dup_of").isNotNull)
+      .join(byId, col("dup_of") === col("o_id"))
+      .filter(col("cluster") =!= col("o_cluster")).count() == 0)
+    // the min vec_id of every cluster has no smaller neighbor: kept
+    assert(out.groupBy("cluster").agg(min("vec_id").as("m"))
+      .join(out, col("m") === col("vec_id"))
+      .filter(col("keep") === 0).count() == 0)
+    // every duplicate's cosine to its canonical clears the threshold
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = out.filter(col("dup_of").isNotNull)
+      .join(v.select(col("vec_id"), col("v").as("va")), "vec_id")
+      .join(v.select(col("vec_id").as("dup_of"), col("v").as("vb")), "dup_of")
+    assert(pairs.filter(
+      graft.functions.VectorMath.cosine(col("va"), col("vb")) < ann.Kmeans.SemDedupCos)
+      .count() == 0)
+    out.unpersist()
+  }
 }
