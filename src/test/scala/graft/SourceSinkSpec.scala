@@ -146,6 +146,65 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(strict.filter(col("doc_id") === 4).head.isNullAt(2)) // real null survives
   }
 
+  test("GeoJson: lines layout parses mixed geometries, quarantines malformed features") {
+    import org.apache.spark.sql.types.StructType
+    val path = tmp()
+    val lines = Seq(
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},"properties":{"name":"pt","pop":7}}""",
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[10,0],[0,10],[0,0]]]},"properties":{"name":"tri","pop":1}}""",
+      """{"type":"Feature","geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[5,0],[5,5],[0,5],[0,0]]],[[[8,8],[12,8],[12,12],[8,12],[8,8]]]]},"properties":{"name":"two","pop":2}}""",
+      "this is not json at all",
+      """{"type":"NotAFeature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"name":"x"}}""",
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[3,4]},"properties":{"name":"badcoords"}}""",
+      """{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]},"properties":{"name":"unsupported"}}""",
+    )
+    Files.writeString(java.nio.file.Path.of(path, "f.geojsonl"), lines.mkString("\n"))
+    val schema = StructType.fromDDL("name string, pop int")
+    val df = sources.GeoJson.readLines(spark, path, schema).cache()
+    assert(df.count() == 7)
+    val bad = df.filter(col(sources.GeoJson.RescueCol).isNotNull)
+    assert(bad.count() == 4)
+    assert(bad.filter(col("name").isNotNull || col("rings").isNotNull).count() == 0)
+    val good = df.filter(col(sources.GeoJson.RescueCol).isNull)
+    assert(good.count() == 3)
+    // point columns
+    val pt = good.filter(col("geometry_type") === "Point").head
+    assert(pt.getDouble(pt.fieldIndex("px")) == 3.0 && pt.getDouble(pt.fieldIndex("py")) == 4.0)
+    assert(pt.getString(pt.fieldIndex("name")) == "pt" && pt.getInt(pt.fieldIndex("pop")) == 7)
+    // rings feed the exact ray cast directly
+    val tri = good.filter(col("name") === "tri")
+    assert(tri.filter(operators.Geo.pointInRings(col("rings"), lit(1.0), lit(1.0))).count() == 1)
+    assert(tri.filter(operators.Geo.pointInRings(col("rings"), lit(8.0), lit(8.0))).count() == 0)
+    val two = good.filter(col("name") === "two")
+    assert(two.filter(operators.Geo.pointInRings(col("rings"), lit(9.0), lit(9.0))).count() == 1)
+    assert(two.filter(operators.Geo.pointInRings(col("rings"), lit(6.5), lit(6.5))).count() == 0)
+    // multipart bbox spans both squares
+    val bb = two.select(operators.Geo.ringsBbox(col("rings"))).head.getStruct(0)
+    assert(bb.getDouble(0) == 0.0 && bb.getDouble(2) == 12.0)
+    df.unpersist()
+  }
+
+  test("GeoJson: FeatureCollection file explodes to features; junk file quarantined") {
+    import org.apache.spark.sql.types.StructType
+    val path = tmp()
+    Files.writeString(java.nio.file.Path.of(path, "shapes.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[10,0],[0,10],[0,0]]]},"properties":{"name":"tri"}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"name":"pt"}}]}""".stripMargin)
+    val schema = StructType.fromDDL("name string")
+    val df = sources.GeoJson.readCollection(spark, path, schema).cache()
+    assert(df.count() == 2)
+    assert(df.filter(col(sources.GeoJson.RescueCol).isNotNull).count() == 0)
+    assert(df.select("name").collect().map(_.getString(0)).toSet == Set("tri", "pt"))
+    // a file with no features array -> one quarantined row
+    val path2 = tmp()
+    Files.writeString(java.nio.file.Path.of(path2, "junk.geojson"), """{"hello":"world"}""")
+    val df2 = sources.GeoJson.readCollection(spark, path2, schema).cache()
+    assert(df2.count() == 1)
+    assert(df2.filter(col(sources.GeoJson.RescueCol).isNotNull).count() == 1)
+    df.unpersist(); df2.unpersist()
+  }
+
   test("JsonLines: write -> readStrict round-trips the documents table") {
     val path = tmp() + "/out"
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
