@@ -27,24 +27,61 @@ import graft.Tables
   *
   * Scale shape: per round, two hash joins + one min-aggregate, all
   * keyed on node id — O(|E|) shuffle per round, never materializing
-  * anything per-component. `localCheckpoint` truncates the growing
-  * lineage each round (iterative plans otherwise re-execute the whole
-  * prefix); the convergence check is a count on the already-checkpointed
+  * anything per-component. Each round's labels are checkpointed to
+  * truncate the growing lineage (iterative plans otherwise re-execute
+  * the whole prefix) — executor-local by default, or against a
+  * reliable store via `checkpointDir` for cluster runs (see the param
+  * doc); the convergence check is a count on the already-checkpointed
   * frame, so each round costs exactly one pass.
   */
 object Components {
 
   /** Min-id connected components.
     *
-    * @param edges undirected candidate pairs, columns (`doc_a`,`doc_b`)
+    * @param edges undirected candidate pairs, columns (`doc_a`,`doc_b`).
+    *              Endpoints are expected to be ⊆ the `nodes` universe:
+    *              an out-of-universe endpoint is ADOPTED into the output
+    *              from round 1 (it enters the label frame through the
+    *              neighbor step), and if its id is smaller than the real
+    *              members' it becomes the cluster_id. Pass
+    *              `validateEdges = true` to fail fast instead (one extra
+    *              anti-join pass over the edge set).
     * @param nodes node universe, column `doc_id` — nodes with no edge
     *              come out as singleton clusters of themselves
+    * @param checkpointDir lineage-truncation mode for the iterative
+    *              loop. None (default) uses `localCheckpoint`: blocks
+    *              live on executors — fastest, the right call on
+    *              local[32]/small clusters, but an executor loss
+    *              mid-iteration kills the query. Some(dir) uses
+    *              reliable `checkpoint()` against that directory (set
+    *              as the context's checkpoint dir if none is set):
+    *              rounds survive executor loss — the right call for a
+    *              1000-executor run, at the cost of writing each
+    *              round's labels to the reliable store.
     * @return (doc_id, cluster_id, cluster_size); cluster_id = min
     *         doc_id of the component
     */
-  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None,
+      validateEdges: Boolean = false): DataFrame = {
     require(edges.columns.toSeq.contains("doc_a") && edges.columns.toSeq.contains("doc_b"),
       s"edges needs (doc_a, doc_b), got ${edges.columns.mkString(",")}")
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        val sc = nodes.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    if (validateEdges) {
+      val ids = nodes.select(col("doc_id"))
+      val stray = edges.select(col("doc_a").as("doc_id"))
+        .unionByName(edges.select(col("doc_b").as("doc_id")))
+        .join(ids, Seq("doc_id"), "left_anti")
+      val n = stray.count()
+      require(n == 0, s"$n edge endpoint(s) outside the node universe " +
+        s"(e.g. ${stray.limit(3).collect().map(_.get(0)).mkString(", ")})")
+    }
     // symmetrize once; both directions are needed because min labels
     // flow "downhill" along every edge
     val sym = edges.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
@@ -53,9 +90,8 @@ object Components {
       .persist()
     sym.count() // materialize before the loop so each round reuses it
 
-    var labels = nodes.select(col("doc_id").as("node"))
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = ckpt(nodes.select(col("doc_id").as("node"))
+      .withColumn("label", col("node")))
     var delta = 1L
     var it = 0
     while (delta > 0 && it < maxIter) {
@@ -72,10 +108,10 @@ object Components {
       val jumped = stepped
         .join(labels.select(col("node").as("label"), col("label").as("jl")), "label")
         .select(col("node"), least(col("label"), col("jl")).as("label"))
-        .localCheckpoint(true)
-      delta = jumped.join(labels.withColumnRenamed("label", "old"), "node")
+      val jumpedCk = ckpt(jumped)
+      delta = jumpedCk.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
-      labels = jumped
+      labels = jumpedCk
       it += 1
     }
     sym.unpersist()

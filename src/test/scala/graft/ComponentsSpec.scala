@@ -72,6 +72,36 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Set((10L, "exact", 1L), (20L, "near", 1L), (30L, "new", -1L)))
   }
 
+  test("reliable checkpoint mode is result-identical to localCheckpoint") {
+    import spark.implicits._
+    // 64-node chain + a disjoint triangle + singletons: exercises
+    // multi-round convergence under both lineage-truncation modes
+    val edges = ((0L until 63L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("doc_a", "doc_b")
+    val nodes = ((0L to 63L) ++ (100L to 102L) ++ Seq(200L)).toDF("doc_id")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val local = Components.connectedComponents(edges, nodes)
+      .select("doc_id", "cluster_id", "cluster_size").collect().map(_.toSeq).toSet
+    val reliable = Components.connectedComponents(edges, nodes,
+      checkpointDir = Some(ckDir))
+      .select("doc_id", "cluster_id", "cluster_size").collect().map(_.toSeq).toSet
+    assert(local == reliable)
+    assert(reliable.exists(_(1) == 0L) && reliable.exists(_(1) == 100L))
+  }
+
+  test("validateEdges rejects endpoints outside the node universe") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 999L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      Components.connectedComponents(edges, nodes, validateEdges = true)
+    }
+    assert(ex.getMessage.contains("999"))
+    // without validation the stray id is adopted (documented semantics)
+    val adopted = Components.connectedComponents(edges, nodes)
+    assert(adopted.filter(col("doc_id") === 999L).count() == 1)
+  }
+
   test("q39 on sf0.001 matches a driver-side transitive closure of the same pairs") {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.dedupMinhash(docs)
