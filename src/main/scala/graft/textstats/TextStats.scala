@@ -269,17 +269,22 @@ object TextStats {
     * doc) per term, partially aggregated — then a global top-K that
     * Spark plans as TakeOrdered (per-partition heaps, no full sort
     * shuffle). The vocabulary profile every corpus-QA pass starts with. */
-  def heavyHitters(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("tf").desc, col("term"))
+  def heavyHitters(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("term"))
       .limit(HeavyHittersK)
-      .withColumn("rank", row_number().over(w).cast("long"))
-  }
+      // rank = position in the TakeOrdered output: the plan's
+      // TakeOrderedAndProject emits ONE partition in (tf DESC, term)
+      // order — coalesce(1) pins that invariant — so the per-partition
+      // row index IS the rank. A Window.orderBy here would be correct
+      // too (only K rows reach it) but fires WindowExec's "No Partition
+      // Defined" warning on every run, drowning real unpartitioned-
+      // window mistakes elsewhere.
+      .coalesce(1)
+      .withColumn("rank", monotonically_increasing_id() + 1)
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHitters(Tables.documents(spark, dir))
