@@ -20,6 +20,13 @@ import graft.functions.VectorMath
   * engine cannot change it — and the centroid `round(sum/1e9/n, 6)`
   * divides identical exact integers on both engines. The oracle is
   * exact by construction, not probabilistically ("snapping") safe.
+  * BOUND: the long sum is cast to double before the division, so
+  * exactness holds while a per-(cluster,dim) |Σ round(x·1e9)| stays
+  * below 2^53 ≈ 9e15 — i.e. up to ~9e6 unit-scale vectors per cluster.
+  * Beyond that (full-corpus clusters at 1e9+ docs), either fit on a
+  * sample (the standard practice, and what the scaladoc below
+  * recommends at 100 TB) or divide in two exact steps before the
+  * double conversion.
   *
   * Scale shape: assignment is a pure projection against k·dim literal
   * centroids (no join, no shuffle — identical to [[Ann.annIvf]]'s cell

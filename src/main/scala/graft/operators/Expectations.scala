@@ -30,6 +30,9 @@ object Expectations {
     * aggregate; report (check_name, n_violations, pass) per check. */
   def report(df: DataFrame, checks: Seq[Check],
       uniqueKey: Option[(String, Column)] = None): DataFrame = {
+    require(checks.nonEmpty || uniqueKey.nonEmpty,
+      "report() needs at least one Check or a uniqueKey — an empty " +
+        "expectation suite has nothing to aggregate")
     val aggCols = checks.map(c => sum(c.violation).as(s"c_${c.name}")) ++
       uniqueKey.map { case (n, k) =>
         (count(lit(1)) - countDistinct(k)).as(s"c_$n")
