@@ -205,6 +205,42 @@ class SourceSinkSpec extends AnyFunSuite {
     df.unpersist(); df2.unpersist()
   }
 
+  test("HtmlTables: header-matched extraction across files with different column orders") {
+    import org.apache.spark.sql.types.StructType
+    val path = tmp()
+    Files.writeString(java.nio.file.Path.of(path, "a.html"),
+      """<html><body><h1>Results</h1>
+        |<table class="wikitable">
+        |<tr><th>Town</th><th> Yes&nbsp;Votes </th><th>No Votes</th></tr>
+        |<tr><td><b>N.&#39;Adams</b></td><td>1,234</td><td>567</td></tr>
+        |<tr><td>Boston &amp; suburbs</td><td>45</td><td>67</td></tr>
+        |<tr><td>ShortRow</td><td>1</td></tr>
+        |</table>
+        |<table><tr><th>other</th></tr><tr><td>x</td></tr></table>
+        |</body></html>""".stripMargin)
+    // second file: same columns, DIFFERENT order
+    Files.writeString(java.nio.file.Path.of(path, "b.html"),
+      """<table>
+        |<tr><th>No votes</th><th>Town</th><th>yes votes</th></tr>
+        |<tr><td>9</td><td>Salem</td><td>8</td></tr>
+        |</table>""".stripMargin)
+    val schema = StructType.fromDDL("`town` string, `yes votes` string, `no votes` string")
+    val df = sources.HtmlTables.readTable(spark, path, schema).cache()
+    val good = df.filter(col(sources.HtmlTables.RescueCol).isNull)
+      .select("town", "yes votes", "no votes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(good == Set(
+      ("N.'Adams", "1,234", "567"),
+      ("Boston & suburbs", "45", "67"),
+      ("Salem", "8", "9")))
+    // quarantined: the short row, and the second table lacking the columns
+    val bad = df.filter(col(sources.HtmlTables.RescueCol).isNotNull)
+    assert(bad.count() == 2)
+    assert(bad.filter(col("town").isNotNull).count() == 0)
+    assert(bad.filter(col(sources.HtmlTables.RescueCol).contains("ShortRow")).count() == 1)
+    df.unpersist()
+  }
+
   test("JsonLines: write -> readStrict round-trips the documents table") {
     val path = tmp() + "/out"
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
