@@ -119,6 +119,53 @@ class MultimodalSpec extends AnyFunSuite {
       || col("height") < 64 || col("height") > 319).count() == 0)
   }
 
+  test("PNG: decoder agrees with the JDK's own javax.imageio reader byte-for-byte") {
+    val payloads = Multimodal.pngPayloads(spark, dir)
+    val decoded = Multimodal.decodePng(payloads).collect()
+      .map(m => m.doc_id -> m).toMap
+    val raw = payloads.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(raw.nonEmpty && decoded.size == raw.length, "every payload must decode")
+    raw.foreach { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK reader rejected doc $id's PNG")
+      val m = decoded(id)
+      assert(img.getWidth == m.width && img.getHeight == m.height)
+      assert(m.bit_depth == 8 && m.color_type == 2)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      assert(m.mean_r == sr.toDouble / n && m.mean_g == sg.toDouble / n
+        && m.mean_b == sb.toDouble / n, s"channel means differ for doc $id")
+    }
+  }
+
+  test("PNG: corrupt, truncated, and unsupported payloads drop the row, not the job") {
+    import spark.implicits._
+    val good = Multimodal.buildPng(9L,
+      java.security.MessageDigest.getInstance("MD5").digest("x".getBytes("UTF-8")))
+    assert(Multimodal.parsePng(9L, good).isDefined)
+    assert(Multimodal.parsePng(9L, Array.fill[Byte](40)(0x11)).isEmpty) // bad magic
+    assert(Multimodal.parsePng(9L, good.take(30)).isEmpty) // truncated mid-IHDR
+    // flip one byte inside the first IDAT payload: CRC must catch it
+    val corrupt = good.clone()
+    corrupt(8 + 25 + 12) = (corrupt(8 + 25 + 12) ^ 0x7F).toByte
+    assert(Multimodal.parsePng(9L, corrupt).isEmpty)
+    // interlaced flag set (with CRC fixed up): unsupported layout
+    val inter = good.clone()
+    inter(8 + 8 + 12) = 1 // IHDR interlace byte
+    val crc = new java.util.zip.CRC32()
+    crc.update(inter, 8 + 4, 4 + 13)
+    java.nio.ByteBuffer.wrap(inter).putInt(8 + 8 + 13, crc.getValue.toInt)
+    assert(Multimodal.parsePng(9L, inter).isEmpty)
+    // a frame with one poison row still decodes the rest
+    val withBad = Multimodal.pngPayloads(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+      .union(Seq((99L, Array.fill[Byte](80)(0x00))).toDF("doc_id", "payload"))
+    assert(Multimodal.decodePng(withBad).count() == 2)
+  }
+
   test("BMP: decoder agrees with the JDK's own javax.imageio reader byte-for-byte") {
     val payloads = Multimodal.bmpPayloads(spark, dir)
     val decoded = Multimodal.decodeBmp(payloads).collect()
