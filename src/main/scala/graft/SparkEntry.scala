@@ -67,6 +67,8 @@ object SparkEntry {
     "q54_crs_reproject" -> operators.Crs.reproject,
     "q55_point_in_polygon" -> operators.Geo.pointInPolygon,
     "q56_semdedup" -> ann.Kmeans.semDedup,
+    "q57_chunking" -> operators.Chunking.chunk,
+    "q58_packing" -> operators.Chunking.pack,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -252,5 +254,7 @@ object SparkEntry {
     "q54_crs_reproject" -> operators.Crs.reprojectSql,
     "q55_point_in_polygon" -> operators.Geo.pointInPolygonSql,
     "q56_semdedup" -> ann.Kmeans.semDedupSql,
+    "q57_chunking" -> operators.Chunking.chunkSql,
+    "q58_packing" -> operators.Chunking.packSql,
   )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Context-window preparation operators — the step between a curated
+  * corpus and a training run: documents become fixed-size token chunks
+  * (retrieval/embedding ingestion) or get packed into fixed-capacity
+  * training sequences (LM pre-training). Both are pure window/explode
+  * plans over the `documents` table; "token" here is the whitespace
+  * token (the house `split(text, ' ')` convention shared by q27/q28/
+  * q40), so every boundary is integer-exact on both engines.
+  */
+object Chunking {
+
+  // ---- q57: fixed-size overlapping token chunks ----
+
+  val ChunkTokens = 32
+  val ChunkStride = 24 // 8-token overlap between consecutive chunks
+
+  /** q57: split each document into [[ChunkTokens]]-token chunks every
+    * [[ChunkStride] tokens (trailing chunk keeps the remainder; a
+    * document shorter than one chunk yields exactly one). The
+    * retrieval-ingestion shape: chunk_text is the materialized slice,
+    * (start_tok, end_tok) the 1-based provenance span. Plan: one scan,
+    * one `sequence` explode, projection-only math — no shuffle at any
+    * scale. nChunks = 1 + ceil(max(n − chunk, 0) / stride), so chunks
+    * tile the document and the last window reaches the final token. */
+  def chunk(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tok", size(col("ws")))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        expr(s"CAST((greatest(n_tok - $ChunkTokens, 0) + ${ChunkStride - 1}) div $ChunkStride AS INT)"))))
+      .withColumn("start_tok", col("chunk_id") * ChunkStride + 1)
+      .withColumn("end_tok", least(col("start_tok") + (ChunkTokens - 1), col("n_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).cast("long").as("chunk_tokens"),
+        array_join(slice(col("ws"), col("start_tok"),
+          col("end_tok") - col("start_tok") + 1), " ").as("chunk_text"))
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunk(Tables.documents(spark, dir))
+
+  val chunkSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws, n_tok,
+       |    unnest(range(0, 1 + (greatest(n_tok - $ChunkTokens, 0) + ${ChunkStride - 1}) // $ChunkStride)) AS chunk_id
+       |  FROM w),
+       |s AS (
+       |  SELECT doc_id, ws, n_tok, chunk_id,
+       |    chunk_id * $ChunkStride + 1 AS start_tok,
+       |    least(chunk_id * $ChunkStride + $ChunkTokens, n_tok) AS end_tok
+       |  FROM c)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(start_tok AS BIGINT) AS start_tok, CAST(end_tok AS BIGINT) AS end_tok,
+       |  CAST(end_tok - start_tok + 1 AS BIGINT) AS chunk_tokens,
+       |  array_to_string(ws[start_tok:end_tok], ' ') AS chunk_text
+       |FROM s""".stripMargin
+
+  // ---- q58: shard-local sequence packing (GPT-style concatenation) ----
+
+  val PackShards = 8
+  val PackCapacity = 256
+
+  /** q58: concatenation packing — each shard's documents form one
+    * token stream (doc_id order), chopped into [[PackCapacity]]-token
+    * training sequences; every document reports its stream span and
+    * the sequence range it lands in (provenance: which training
+    * sequences contain which document — the q42 contamination trace
+    * runs on exactly this mapping).
+    *
+    * Deliberately SHARD-LOCAL: real packers never run a global prefix
+    * sum over a 100 TB corpus — data is sharded and each worker packs
+    * its shard independently, sequence ids namespaced by shard. That
+    * makes the plan one partitioned window (cumulative sum per shard),
+    * embarrassingly parallel, with no partition-less window anywhere. */
+  def pack(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0)).cast("long"))
+      .withColumn("end_off", col("start_off") + col("n_tok"))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n_tok").cast("long").as("n_tok"), col("start_off"),
+        col("end_off").cast("long").as("end_off"),
+        floor(col("start_off") / PackCapacity).as("seq_first"),
+        floor((col("end_off") - 1) / PackCapacity).as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    pack(Tables.documents(spark, dir))
+
+  val packSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM t)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tok AS BIGINT) AS n_tok,
+       |  start_off, CAST(start_off + n_tok AS BIGINT) AS end_off,
+       |  CAST(floor(start_off / $PackCapacity) AS BIGINT) AS seq_first,
+       |  CAST(floor((start_off + n_tok - 1) / $PackCapacity) AS BIGINT) AS seq_last,
+       |  CAST(floor((start_off + n_tok - 1) / $PackCapacity)
+       |    - floor(start_off / $PackCapacity) + 1 AS BIGINT) AS n_seqs
+       |FROM o""".stripMargin
+}
