@@ -289,4 +289,42 @@ object EventStream {
           }
       }
   }
+
+  // ---- streaming sequence packing (twin of Chunking.pack) ----
+
+  case class PackDoc(doc_id: Long, shard: Long, n_tok: Long)
+  case class PackOffset(offset: Long)
+  case class PackedDoc(doc_id: Long, shard: Long, n_tok: Long,
+      start_off: Long, end_off: Long, seq_first: Long, seq_last: Long, n_seqs: Long)
+
+  /** Streaming twin of [[graft.operators.Chunking.pack]]: documents
+    * stream in, each shard keeps ONE running token offset as state
+    * (state is bounded by the shard count — a few longs — not the
+    * corpus, so the query runs forever), and every document is
+    * assigned its stream span and training-sequence range the moment
+    * it arrives. Within a micro-batch a shard's documents pack in
+    * doc_id order (deterministic); across batches, arrival order
+    * governs — replaying a shard's documents in doc_id order
+    * reproduces the batch packer's output EXACTLY (spec-asserted),
+    * which is the continuous-ingest contract: the packer is the same,
+    * only the delivery schedule differs. */
+  def packStream(docs: Dataset[PackDoc],
+      capacity: Long = graft.operators.Chunking.PackCapacity): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackOffset, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[PackOffset]) =>
+          var off = state.getOption.fold(0L)(_.offset)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.n_tok
+            PackedDoc(d.doc_id, shard, d.n_tok, start, off,
+              start / capacity, (off - 1) / capacity,
+              (off - 1) / capacity - start / capacity + 1)
+          }
+          state.update(PackOffset(off))
+          out.iterator
+      }
+  }
 }

@@ -437,4 +437,35 @@ class StreamingSpec extends AnyFunSuite {
         s"${r.getString(0)}: est $e vs exact $x")
     }
   }
+
+  test("streaming packer: ordered replay reproduces the batch packer exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = operators.Chunking.pack(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(6), r.getLong(7)))
+    val feed = docs
+      .select(col("doc_id").cast("long"),
+        pmod(col("doc_id"), lit(operators.Chunking.PackShards)).cast("long").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[EventStream.PackDoc].collect().sortBy(_.doc_id)
+    val input = MemoryStream[EventStream.PackDoc]
+    val q = EventStream.packStream(input.toDS()).writeStream
+      .format("memory").queryName("packed").outputMode("append").start()
+    try {
+      // split the ordered replay across three micro-batches: state must
+      // carry each shard's offset across batch boundaries
+      val (b1, rest) = feed.splitAt(feed.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(b3.toSeq); q.processAllAvailable()
+      val got = spark.table("packed").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(6), r.getLong(7)))
+      assert(got.length == batch.length)
+      got.zip(batch).foreach { case (g, b) =>
+        assert(g == b, s"stream $g vs batch $b")
+      }
+    } finally q.stop()
+  }
 }
