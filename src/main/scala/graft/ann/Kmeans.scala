@@ -154,9 +154,19 @@ object Kmeans {
   /** q56: the exact→near→semantic dedup ladder's top rung. Clusters
     * from the SAME fit as q45, then a within-cluster pair join keeps a
     * vector only if it has NO smaller-id neighbor at cosine ≥
-    * [[SemDedupCos]]; `dup_of` names the smallest such neighbor (the
-    * deterministic "one canonical per duplicate set" rule — greedy by
-    * vec_id, the order SemDeDup applies with random ranking fixed).
+    * [[SemDedupCos]]; `dup_of` names the smallest such neighbor.
+    *
+    * SEMANTICS — the PARALLEL independence-free variant of SemDeDup's
+    * prune, not the sequential greedy scan: drops are decided from the
+    * ORIGINAL pair set simultaneously, so a similarity chain 1–2–3
+    * (with 1–3 dissimilar) drops BOTH 2 and 3, where a sequential scan
+    * would re-admit 3 after 2's removal; consequently `dup_of` may
+    * itself name a dropped row (3's dup_of is 2). The min-id member of
+    * every duplicate SET is always kept, so each set retains ≥1
+    * canonical: follow the dup_of chain — or compose the pair set with
+    * q39's connected components — when a kept transitive canonical is
+    * needed. This one-shot rule is what makes the operator a pure
+    * pair-join (no iteration), and the oracle reproduces it exactly.
     *
     * Scale shape: this is the published algorithm's own bound — the
     * pair join is an equi-join on cluster id, so pair work is

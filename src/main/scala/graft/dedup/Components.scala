@@ -52,12 +52,17 @@ object Components {
     *              loop. None (default) uses `localCheckpoint`: blocks
     *              live on executors — fastest, the right call on
     *              local[32]/small clusters, but an executor loss
-    *              mid-iteration kills the query. Some(dir) uses
-    *              reliable `checkpoint()` against that directory (set
-    *              as the context's checkpoint dir if none is set):
-    *              rounds survive executor loss — the right call for a
-    *              1000-executor run, at the cost of writing each
-    *              round's labels to the reliable store.
+    *              mid-iteration kills the query. Some(dir) writes each
+    *              round's labels as parquet under `dir` and re-reads
+    *              them (a reliable checkpoint fully under our control,
+    *              unlike `Dataset.checkpoint` whose per-round files
+    *              accumulate until application exit): rounds survive
+    *              executor loss — the right call for a 1000-executor
+    *              run. At most the last TWO rounds' files are kept
+    *              (the previous round is still referenced by the
+    *              convergence count); older rounds are deleted as the
+    *              loop advances. The returned frame reads from `dir` —
+    *              keep the directory alive as long as the result is.
     * @return (doc_id, cluster_id, cluster_size); cluster_id = min
     *         doc_id of the component
     */
@@ -68,9 +73,21 @@ object Components {
       s"edges needs (doc_a, doc_b), got ${edges.columns.mkString(",")}")
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(d) =>
-        val sc = nodes.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-        df => df.checkpoint(true)
+        val spark = nodes.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        var round = 0
+        df => {
+          round += 1
+          val path = s"$d/labels-$round"
+          df.write.mode("overwrite").parquet(path)
+          if (round > 2) {
+            // round-1 is still read by this round's convergence count;
+            // round-2 is not referenced by anything anymore
+            val old = new org.apache.hadoop.fs.Path(s"$d/labels-${round - 2}")
+            old.getFileSystem(hconf).delete(old, true)
+          }
+          spark.read.parquet(path)
+        }
       case None => df => df.localCheckpoint(true)
     }
     if (validateEdges) {

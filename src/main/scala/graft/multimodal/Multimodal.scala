@@ -540,7 +540,13 @@ object Multimodal {
       var off = 0
       while (off < rawOut.length && !inflater.finished()) {
         val n = inflater.inflate(rawOut, off, rawOut.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // any zero-progress state is unrecoverable here — all input was
+        // provided up front and output space remains. Covers truncated
+        // streams (needsInput) AND the FDICT preset-dictionary flag
+        // (needsDictionary), where inflate() returns 0 forever: without
+        // this a crafted payload with valid CRCs wedges the task in an
+        // infinite loop instead of dropping the row
+        if (n == 0) return None
         off += n
       }
       off

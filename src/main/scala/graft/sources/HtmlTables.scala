@@ -42,8 +42,10 @@ object HtmlTables {
     * whitespace — one cell's text content. */
   private def cellText(c: Column): Column = {
     val noTags = regexp_replace(c, "(?s)<[^>]*>", "")
-    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    // &amp; decodes LAST: doing it first re-decodes entities it just
+    // produced (&amp;lt; must become the literal "&lt;", not "<")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
     trim(regexp_replace(ent, "\\s+", " "))
   }

@@ -21,12 +21,14 @@ object TextStats {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "les"))
 
-  private def tokens: Column = split(col("text"), " ")
+  private def tokensOf(text: Column): Column = split(text, " ")
+  private def tokens: Column = tokensOf(col("text"))
 
-  private def stopCount(lang: String): Column = {
+  private def stopCountOf(text: Column, lang: String): Column = {
     val set = Stopwords.toMap.apply(lang)
-    size(filter(tokens, t => t.isin(set.map(lit(_)): _*)))
+    size(filter(tokensOf(text), t => t.isin(set.map(lit(_)): _*)))
   }
+  private def stopCount(lang: String): Column = stopCountOf(col("text"), lang)
 
   private def stopCountSql(lang: String): String = {
     val set = Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -95,10 +97,8 @@ object TextStats {
       .withColumn("punct_ratio", // greatest guards empty text (0 chars)
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
           / greatest(col("n_chars2"), lit(1)))
-      .withColumn("quality_score",
-        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
-          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.4 +
-          (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2)
+      // the ONE quality formula (shared with Curation's fused plan)
+      .withColumn("quality_score", qualityScoreExpr(col("text")))
       .select(col("doc_id"), col("n_tokens"),
         round(col("mean_tok_len"), 4).as("mean_tok_len"),
         round(col("stop_ratio"), 4).as("stop_ratio"),
@@ -108,18 +108,14 @@ object TextStats {
   def quality(spark: SparkSession, dir: String): DataFrame =
     quality(Tables.documents(spark, dir))
 
-  /** The quality_score formula of [[quality]] as a standalone Column
-    * (rounded to 4 like the query output) — lets [[Curation]]'s fused
-    * single-scan plan compute it in the scan projection. Arithmetic
-    * order matches [[quality]] exactly; any drift between the two shows
-    * up as a q52 hash mismatch because the q52 oracle nests
-    * [[qualitySql]]. */
+  /** THE quality_score formula (rounded to 4 like the query output) —
+    * the single Spark-side definition, used by [[quality]] itself and
+    * by [[Curation]]'s fused single-scan plan. The SQL twin lives in
+    * [[qualitySql]]; the q52 oracle nests that twin, so any drift
+    * between the two sides shows up as a q52 hash mismatch. */
   private[graft] def qualityScoreExpr(text: Column): Column = {
-    val toks = split(text, " ")
-    val nTokens = size(toks)
-    val set = Stopwords.toMap.apply("en")
-    val nStop = size(filter(toks, t => t.isin(set.map(lit(_)): _*)))
-    val stopRatio = nStop.cast("double") / nTokens
+    val nTokens = size(tokensOf(text))
+    val stopRatio = stopCountOf(text, "en").cast("double") / nTokens
     val punctRatio = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
       greatest(length(text), lit(1))
     round(
@@ -276,15 +272,19 @@ object TextStats {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("term"))
       .limit(HeavyHittersK)
-      // rank = position in the TakeOrdered output: the plan's
-      // TakeOrderedAndProject emits ONE partition in (tf DESC, term)
-      // order — coalesce(1) pins that invariant — so the per-partition
-      // row index IS the rank. A Window.orderBy here would be correct
-      // too (only K rows reach it) but fires WindowExec's "No Partition
-      // Defined" warning on every run, drowning real unpartitioned-
-      // window mistakes elsewhere.
-      .coalesce(1)
-      .withColumn("rank", monotonically_increasing_id() + 1)
+      // rank by VALUE over the K surviving rows: fold them into one
+      // sorted array (struct order: -tf ascending = tf descending,
+      // then term) and posexplode the position back out. No window —
+      // so no WindowExec "No Partition Defined" warning drowning real
+      // unpartitioned-window mistakes — and no reliance on the
+      // physical row order of the limit output surviving planner
+      // changes (a row-index rank breaks silently if sort+limit ever
+      // stops delivering one ordered partition).
+      .agg(sort_array(collect_list(struct(
+        (-col("tf")).as("neg_tf"), col("term"), col("tf"), col("df")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("p", "s")))
+      .select(col("s.term").as("term"), col("s.tf").as("tf"),
+        col("s.df").as("df"), (col("p") + 1).cast("long").as("rank"))
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHitters(Tables.documents(spark, dir))
