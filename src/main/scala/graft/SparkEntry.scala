@@ -66,7 +66,7 @@ object SparkEntry {
     "q53_expectations" -> operators.Expectations.orderExpectations,
     "q54_crs_reproject" -> operators.Crs.reproject,
     "q55_point_in_polygon" -> operators.Geo.pointInPolygon,
-    "q56_semdedup" -> ann.Kmeans.semDedup,
+    "q56_semdedup" -> ((s, d) => ann.Kmeans.semDedup(s, d)),
     "q57_chunking" -> operators.Chunking.chunk,
     "q58_packing" -> operators.Chunking.pack,
   )

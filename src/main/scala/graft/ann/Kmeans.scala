@@ -170,19 +170,23 @@ object Kmeans {
     *
     * Scale shape: this is the published algorithm's own bound — the
     * pair join is an equi-join on cluster id, so pair work is
-    * Σ cluster², controlled by k (pick k ≈ n/targetCluster at corpus
-    * scale; the fit cost is q45's, assignment is a projection). Cosine
-    * is the fused single-pass native expression; the threshold
-    * comparison is exact on both engines (left-fold dot product), so
-    * the oracle reproduces the keep/drop decision bit-for-bit. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    * Σ cluster², controlled by `k` (pick k ≈ n/targetCluster at corpus
+    * scale — exposed here precisely so that control is reachable; the
+    * fit cost is q45's, assignment is a projection). Cosine is the
+    * fused single-pass native expression; the threshold comparison is
+    * exact on both engines (left-fold dot product), so the oracle
+    * reproduces the keep/drop decision bit-for-bit. The registered q56
+    * uses the defaults (k=[[K]], iters=[[Iters]]) so the oracle's
+    * unrolled CTE chain stays in lockstep. */
+  def semDedup(spark: SparkSession, dir: String, k: Int = K,
+      iters: Int = Iters, cosT: Double = SemDedupCos): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cent = fit(emb)
+    val cent = fit(emb, k, iters)
     val asg = assign(embCast(emb), cent).select(col("vec_id"), col("cluster"), col("v"))
     val dup = asg.as("a")
       .join(asg.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .filter(VectorMath.cosineFast(col("a.v"), col("b.v")) >= SemDedupCos)
+      .filter(VectorMath.cosineFast(col("a.v"), col("b.v")) >= cosT)
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(min(col("a.vec_id")).as("dup_of"))
     asg.select(col("vec_id"), col("cluster"))

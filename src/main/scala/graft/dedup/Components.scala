@@ -58,11 +58,15 @@ object Components {
     *              unlike `Dataset.checkpoint` whose per-round files
     *              accumulate until application exit): rounds survive
     *              executor loss — the right call for a 1000-executor
-    *              run. At most the last TWO rounds' files are kept
-    *              (the previous round is still referenced by the
-    *              convergence count); older rounds are deleted as the
-    *              loop advances. The returned frame reads from `dir` —
-    *              keep the directory alive as long as the result is.
+    *              run. Each invocation namespaces its files under a
+    *              fresh `dir/cc-<uuid>/`, so concurrent or repeated
+    *              calls may safely share one `dir` — no call can
+    *              overwrite files a still-live result frame of another
+    *              call lazily reads. At most the last TWO rounds' files
+    *              are kept (the previous round is still referenced by
+    *              the convergence count); older rounds are deleted as
+    *              the loop advances. The returned frame reads from that
+    *              namespace — keep `dir` alive as long as the result is.
     * @return (doc_id, cluster_id, cluster_size); cluster_id = min
     *         doc_id of the component
     */
@@ -75,15 +79,19 @@ object Components {
       case Some(d) =>
         val spark = nodes.sparkSession
         val hconf = spark.sparkContext.hadoopConfiguration
+        // per-invocation namespace: deterministic paths under a shared
+        // dir would let a second call clobber files this call's result
+        // frame still lazily reads
+        val base = s"$d/cc-${java.util.UUID.randomUUID()}"
         var round = 0
         df => {
           round += 1
-          val path = s"$d/labels-$round"
+          val path = s"$base/labels-$round"
           df.write.mode("overwrite").parquet(path)
           if (round > 2) {
             // round-1 is still read by this round's convergence count;
             // round-2 is not referenced by anything anymore
-            val old = new org.apache.hadoop.fs.Path(s"$d/labels-${round - 2}")
+            val old = new org.apache.hadoop.fs.Path(s"$base/labels-${round - 2}")
             old.getFileSystem(hconf).delete(old, true)
           }
           spark.read.parquet(path)

@@ -549,6 +549,15 @@ object Multimodal {
         if (n == 0) return None
         off += n
       }
+      // geometry must match EXACTLY: a stream that decodes to MORE
+      // bytes than IHDR declares is malformed, not truncatable. If the
+      // final block landed exactly on the buffer boundary, finished()
+      // may need one more inflate call to consume the stream trailer —
+      // a conforming stream produces zero further bytes there.
+      if (off == rawOut.length && !inflater.finished()) {
+        val probe = new Array[Byte](1)
+        if (inflater.inflate(probe) != 0 || !inflater.finished()) return None
+      }
       off
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()

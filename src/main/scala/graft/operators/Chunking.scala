@@ -22,7 +22,7 @@ object Chunking {
   val ChunkStride = 24 // 8-token overlap between consecutive chunks
 
   /** q57: split each document into [[ChunkTokens]]-token chunks every
-    * [[ChunkStride] tokens (trailing chunk keeps the remainder; a
+    * [[ChunkStride]] tokens (trailing chunk keeps the remainder; a
     * document shorter than one chunk yields exactly one). The
     * retrieval-ingestion shape: chunk_text is the materialized slice,
     * (start_tok, end_tok) the 1-based provenance span. Plan: one scan,

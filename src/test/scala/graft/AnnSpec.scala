@@ -133,4 +133,22 @@ class AnnSpec extends AnyFunSuite {
       .count() == 0)
     out.unpersist()
   }
+
+  test("q56 semdedup: k and iters parameters reach the fit") {
+    // k=1 collapses the fit to a single cluster, turning the prune into
+    // the all-pairs comparison the scaladoc's scale control is about —
+    // the documented k ≈ n/targetCluster knob must be reachable
+    val one = ann.Kmeans.semDedup(spark, dir, k = 1, iters = 1).cache()
+    assert(one.select("cluster").distinct().count() == 1)
+    // invariants hold in the degenerate geometry too
+    assert(one.filter((col("keep") === 1) =!= col("dup_of").isNull).count() == 0)
+    assert(one.filter(col("dup_of") >= col("vec_id")).count() == 0)
+    // global min id has no smaller neighbor anywhere: always kept
+    assert(one.orderBy("vec_id").limit(1).head.getAs[Int]("keep") == 1)
+    // a tighter threshold can only shrink the duplicate set
+    val strict = ann.Kmeans.semDedup(spark, dir, k = 1, iters = 1, cosT = 0.9)
+    assert(strict.filter(col("keep") === 0).count()
+      <= one.filter(col("keep") === 0).count())
+    one.unpersist()
+  }
 }

@@ -89,6 +89,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(reliable.exists(_(1) == 0L) && reliable.exists(_(1) == 100L))
   }
 
+  test("two checkpointed calls sharing one dir do not clobber each other") {
+    import spark.implicits._
+    // A's result frame lazily reads its checkpoint files; running B
+    // into the SAME dir before A is consumed must not overwrite them
+    // (per-invocation cc-<uuid> namespace)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-shared").toString
+    val a = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"),
+      Seq(1L, 2L, 3L).toDF("doc_id"), checkpointDir = Some(ckDir))
+    val b = Components.connectedComponents(
+      Seq((10L, 11L)).toDF("doc_a", "doc_b"),
+      Seq(10L, 11L, 12L).toDF("doc_id"), checkpointDir = Some(ckDir))
+    // consume B first, then A: with deterministic labels-N paths A
+    // would now read B's (smaller) graph
+    val gotB = b.select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val gotA = a.select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotB == Set((10L, 10L, 2L), (11L, 10L, 2L), (12L, 12L, 1L)))
+    assert(gotA == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
   test("validateEdges rejects endpoints outside the node universe") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 999L)).toDF("doc_a", "doc_b")

@@ -164,6 +164,30 @@ class MultimodalSpec extends AnyFunSuite {
     val withBad = Multimodal.pngPayloads(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
       .union(Seq((99L, Array.fill[Byte](80)(0x00))).toDF("doc_id", "payload"))
     assert(Multimodal.decodePng(withBad).count() == 2)
+    // IDAT that inflates to MORE than IHDR declares (valid CRCs): the
+    // declared geometry is exact — excess must reject, not truncate
+    def tinyPng(rawLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val c = new java.util.zip.CRC32(); c.update(tb); c.update(data)
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt).array())
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13) // 2x2 RGB: 14 raw bytes
+        .putInt(2).putInt(2).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array())
+      val d = new java.util.zip.Deflater()
+      d.setInput(new Array[Byte](rawLen)); d.finish() // zeros: filter type 0
+      val z = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](256)
+      while (!d.finished()) z.write(tmp, 0, d.deflate(tmp))
+      d.end(); chunk("IDAT", z.toByteArray); chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(Multimodal.parsePng(7L, tinyPng(14)).isDefined) // exact: accepted
+    assert(Multimodal.parsePng(7L, tinyPng(20)).isEmpty)   // 6 excess bytes
   }
 
   test("BMP: decoder agrees with the JDK's own javax.imageio reader byte-for-byte") {
