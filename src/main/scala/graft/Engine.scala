@@ -35,6 +35,38 @@ object Engine {
           Cast(c, ArrayType(DoubleType, containsNull = true)))
         CosineSimilarity(a, b)
       }))
+    // Spark's internal runtime-filter bloom expressions, exposed as a
+    // user-callable pair (the builtin registry keeps them internal-only;
+    // `might_contain` is taken there, so the probe gets its own name).
+    // bloom_agg(xxhash64(key), items, bits) -> binary;
+    // bloom_probe(binary, xxhash64(key)) -> boolean.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"bloom_agg expects (key, estimatedItems, numBits), got ${children.length} args")
+        // size args arrive as INT from SQL integer literals; the
+        // aggregate requires BIGINT — cast keeps both surfaces usable
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), Cast(children(1), org.apache.spark.sql.types.LongType),
+          Cast(children(2), org.apache.spark.sql.types.LongType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_probe"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"bloom_probe expects (bloomBytes, key), got ${children.length} args")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("hash48"),
       new ExpressionInfo(classOf[Hash48].getName, "hash48"),

@@ -69,6 +69,9 @@ object SparkEntry {
     "q56_semdedup" -> ((s, d) => ann.Kmeans.semDedup(s, d)),
     "q57_chunking" -> operators.Chunking.chunk,
     "q58_packing" -> operators.Chunking.pack,
+    "q59_bloom_dedup" -> dedup.Bloom.bloomDedup,
+    "q60_domain_mix" -> operators.Sampling.domainMixSample,
+    "q61_quality_score" -> textstats.QualityModel.qualityScore,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -256,5 +259,8 @@ object SparkEntry {
     "q56_semdedup" -> ann.Kmeans.semDedupSql,
     "q57_chunking" -> operators.Chunking.chunkSql,
     "q58_packing" -> operators.Chunking.packSql,
+    "q59_bloom_dedup" -> dedup.Bloom.bloomDedupSql,
+    "q60_domain_mix" -> operators.Sampling.domainMixSql,
+    "q61_quality_score" -> textstats.QualityModel.qualityScoreSql,
   )
 }

@@ -62,6 +62,68 @@ object Sampling {
       "c_custkey", "c_mktsegment",
       SegmentFractions.toMap, DefaultFraction)
 
+  // ---- q60: domain-mixture resampling to target proportions ----
+
+  /** Target mixture over the `lang` domain as RATIONAL weights
+    * (numerators over [[MixDen]]) — DoReMi-style domain reweighting
+    * (Xie et al. 2023, arXiv:2305.10429) reduced to its deterministic
+    * serving step: resample the corpus so domain d contributes ≈
+    * weight_d of a target budget of N/2 documents. */
+  val MixWeights: Seq[(String, Long)] = Seq(
+    "en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
+  val MixDen = 10L
+
+  /** q60: per-domain acceptance-rate resampling, exactly reproducible.
+    *
+    * rate_d = min(1, budget·w_d / n_d) with budget = N div 2, evaluated
+    * ENTIRELY in integer arithmetic — the bucket threshold is
+    * `least(Buckets, (budget · num_d · Buckets) div (den · n_d))`, so
+    * Spark and DuckDB compute the identical BIGINT and the oracle is
+    * exact with no float-boundary risk (headroom: budget·num·Buckets ≲
+    * 4e17 even at 1e11 docs). Membership is the same hash-threshold
+    * rule as q38: a pure function of doc_id, stable across re-runs.
+    *
+    * Plan: ONE lang-only columnar count aggregate whose
+    * dimension-grade result (k domain rows — the k-means-fit
+    * precedent) is collected and turned into driver-computed integer
+    * threshold literals, then ONE corpus scan with a projection-level
+    * filter — no join, no broadcast, the corpus is never shuffled.
+    * Driver Long arithmetic and DuckDB integer division follow the
+    * identical expression tree, so the literals equal the oracle's
+    * in-query values exactly. Domains whose quota exceeds their
+    * population keep everything (the `least` cap); re-balancing their
+    * shortfall is a policy choice left upstream. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val weights = MixWeights.toMap
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val budget = counts.map(_._2).sum / 2
+    // ((budget·w)·B) / (den·n_s), left-assoc — mirrors the oracle's
+    // `//` chain term for term; all-Long exact (≲4e17 at 1e11 docs)
+    val thr = counts.foldLeft(lit(0L)) { case (acc, (l, nS)) =>
+      val t = math.min(Buckets,
+        budget * weights.getOrElse(l, 0L) * Buckets / (MixDen * nS))
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .filter(bucket(col("doc_id")) < thr)
+  }
+
+  def domainMixSample(spark: SparkSession, dir: String): DataFrame =
+    domainMix(Tables.documents(spark, dir))
+
+  val domainMixSql: String = {
+    val cases = MixWeights.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString(" ")
+    s"""WITH cnt AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM cnt)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN cnt USING (lang) CROSS JOIN tot
+       |WHERE ${bucketSql("doc_id")} <
+       |  least($Buckets, (((n_tot // 2) * (CASE $cases ELSE 0 END)) * $Buckets)
+       |        // ($MixDen * n_s))""".stripMargin
+  }
+
   val stratifiedSampleSql: String = {
     // chain order differs from the when-chain's fold, which is fine
     // because strata values are distinct; thresholds are the SAME

@@ -85,4 +85,41 @@ class DedupSpec extends AnyFunSuite {
     assert(df.filter(col("jaccard") < Dedup.JaccardThreshold || col("jaccard") > 1.0).count() == 0)
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
+
+  test("bloom: no false negatives, bounded false positives, SQL surface works") {
+    import spark.implicits._
+    import dedup.Bloom
+    val member = (0L until 2000L).map(i => s"member-$i").toDF("k")
+    val bloom = Bloom.bloomBytes(member, col("k"), 2000L)
+    // every inserted key probes true — the property the pruning
+    // correctness of q59 rests on
+    assert(member.filter(!Bloom.mightContain(bloom, col("k"))).count() == 0)
+    // disjoint probes: false-positive rate within ~3x of the 3% target
+    val probes = (0L until 2000L).map(i => s"absent-$i").toDF("k")
+    val fp = probes.filter(Bloom.mightContain(bloom, col("k"))).count()
+    assert(fp < 2000 * Bloom.DefaultFpp * 3, s"fp=$fp out of bounds")
+    // the injected SQL names work on an Engine session too
+    member.createOrReplaceTempView("bloom_spec_member")
+    val viaSql = spark.sql(
+      s"SELECT bloom_agg(xxhash64(k), 2000, 16384) AS bf FROM bloom_spec_member")
+      .head.getAs[Array[Byte]](0)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("q59 bloom dedup: result identical to the bare exact-membership join") {
+    import dedup.Bloom
+    val docs = Tables.documents(spark, dir)
+    val got = Bloom.bloomDedup(docs)
+    // brute-force reference: no bloom anywhere
+    val corpus = docs.filter(col("doc_id") % Bloom.BatchMod =!= 0)
+      .select(col("doc_id").as("cid"), md5(col("text")).as("h"))
+    val ref = docs.filter(col("doc_id") % Bloom.BatchMod === 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus, Seq("h"), "left")
+      .groupBy("doc_id").agg(min("cid").as("matched_id"))
+      .select(col("doc_id"),
+        col("matched_id").isNotNull.cast("int").as("in_corpus"), col("matched_id"))
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
 }

@@ -79,6 +79,50 @@ class TextStatsSpec extends AnyFunSuite {
     assert(s1.join(base, Seq("c_custkey"), "left_anti").count() == 0)
   }
 
+  test("q60 domain mix: deterministic, subset, rates track the target mixture") {
+    import operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val s1 = Sampling.domainMix(docs).cache()
+    // re-run identical (hash membership, no RNG)
+    assert(s1.exceptAll(Sampling.domainMix(docs)).count() == 0)
+    // subset of the corpus
+    assert(s1.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    // mixture shape: en's quota (4/10 of N/2) implies a lower accept
+    // RATE than de's (2/10 spread over ~3x fewer docs) on this corpus
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = (l: String) => kept.getOrElse(l, 0L).toDouble / base(l)
+    assert(rate("en") < rate("de"), s"en=${rate("en")} de=${rate("de")}")
+    // every lang with positive weight is represented
+    Sampling.MixWeights.foreach { case (l, _) =>
+      assert(kept.getOrElse(l, 0L) > 0, s"$l dropped entirely") }
+  }
+
+  test("q61 quality score: hand-computed fixture and invariants") {
+    import spark.implicits._
+    import textstats.QualityModel
+    // one doc, two tokens: replicate the exact weight math by hand
+    val doc = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    def w(tok: String): Long = {
+      val bucket = java.lang.Long.parseLong(
+        functions.Hashing.md5hex(tok).substring(0, 12), 16) % QualityModel.Buckets
+      java.lang.Long.parseLong(
+        functions.Hashing.md5hex(s"${QualityModel.FeatureSeed}:$bucket")
+          .substring(0, 12), 16) % 1001L - 500L
+    }
+    val row = QualityModel.qualityScore(doc).head()
+    assert(row.getLong(1) == 2L)
+    assert(row.getLong(2) == w("aa") + w("bb"), "score_sum != hand-derived weights")
+    // corpus invariants: both labels occur, mean_w in weight range
+    val out = QualityModel.qualityScore(spark, dir).cache()
+    assert(out.filter(col("label") === 1).count() > 0)
+    assert(out.filter(col("label") === 0).count() > 0)
+    assert(out.filter(col("mean_w") < -500 || col("mean_w") > 500).count() == 0)
+    out.unpersist()
+  }
+
   test("q40 gopher repetition: hand-computed fixtures") {
     import spark.implicits._
     val docs = Seq(
