@@ -26,4 +26,17 @@ object Sketches {
   def exactDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(valueCol)).as(s"${valueCol}_distinct"))
+
+  /** Count-min sketch over a column — the fixed-memory frequency table
+    * for heavy-hitter-adjacent questions where q49's exact TakeOrdered
+    * needs the full (term, count) aggregate but a CMS needs
+    * d·w counters regardless of vocabulary size. Guarantees (Cormode &
+    * Muthukrishnan 2005): est ≥ true always (conservative overcount);
+    * est ≤ true + eps·N with probability ≥ confidence. Spark merges
+    * per-partition sketches map-side; only the d·w counter grid
+    * reaches the driver. */
+  def countMin(df: DataFrame, valueCol: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch(col(valueCol), eps, confidence, seed)
 }

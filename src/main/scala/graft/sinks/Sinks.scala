@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 
 /** Table sinks re-expressing the reference's load semantics on parquet
   * (SURVEY.md §2 #32–34).
@@ -191,6 +191,35 @@ object Sinks {
         .mode(SaveMode.Overwrite)
         .option("header", "true")
         .csv(path)
+    }
+  }
+
+  /** Range-sharded training-data export — the final step of a
+    * pretraining pipeline: write the packed/curated corpus as N
+    * key-ordered shards a downstream loader can consume independently,
+    * plus a manifest describing each shard's key range.
+    *
+    * `repartitionByRange` samples the key to compute balanced range
+    * boundaries (one shuffle), `sortWithinPartitions` orders every
+    * shard internally, so the export is GLOBALLY sorted: shard i's keys
+    * all precede shard i+1's. A loader can then stream shards in order,
+    * range-prune by manifest, or assign shards to workers round-robin
+    * with no coordination. The manifest is computed by re-reading what
+    * was actually written (count + min/max key per shard) — it
+    * describes the files on disk, not the plan that produced them. */
+  object ShardedExport {
+    def write(df: DataFrame, path: String, keyCol: String,
+        nShards: Int): DataFrame = {
+      df.repartitionByRange(nShards, col(keyCol))
+        .sortWithinPartitions(col(keyCol))
+        .withColumn("shard_id", org.apache.spark.sql.functions.spark_partition_id())
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("shard_id")
+        .parquet(path)
+      df.sparkSession.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("rows"),
+          min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
     }
   }
 

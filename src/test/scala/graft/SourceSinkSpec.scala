@@ -64,6 +64,32 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(math.abs(others - othersBefore) < 1e-6)
   }
 
+  test("ShardedExport: globally sorted shards, disjoint ranges, faithful manifest") {
+    val path = tmp() + "/shards"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val manifest = Sinks.ShardedExport.write(docs, path, "doc_id", 4).cache()
+    val rows = manifest.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // nothing lost, nothing duplicated
+    assert(rows.map(_._2).sum == docs.count())
+    val back = spark.read.parquet(path)
+    assert(back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0)
+    // global order: shard i's max key < shard i+1's min key
+    rows.sliding(2).foreach {
+      case Array((ia, _, _, maxA), (ib, _, minB, _)) =>
+        assert(maxA < minB, s"shards $ia/$ib overlap: $maxA >= $minB")
+      case _ =>
+    }
+    // manifest describes the files: re-derive min/max from disk
+    val fromDisk = back.groupBy("shard_id")
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fromDisk.toSeq == rows.map(r => (r._1, r._3, r._4)).toSeq)
+    // balance: sampled range boundaries keep shards within 4x of each other
+    assert(rows.map(_._2).max <= 4 * rows.map(_._2).min.max(1L))
+  }
+
   test("CsvSink round-trips with header; single-file mode writes one part") {
     val path = tmp() + "/t"
     val nation = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))

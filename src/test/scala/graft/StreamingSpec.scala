@@ -438,6 +438,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch count-min: est >= exact always, overcount within eps*N") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+    val cms = operators.Sketches.countMin(toks, "tok", eps = 0.001)
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    val n = exact.map(_._2).sum
+    exact.foreach { case (t, c) =>
+      val est = cms.estimateCount(t)
+      assert(est >= c, s"'$t': CMS undercounted ($est < $c)")
+      // 0.99 confidence per query; whole-vocab slack of 3x eps*N keeps
+      // the spec deterministic-in-practice without weakening the bound
+      assert(est <= c + (3 * 0.001 * n).toLong + 1, s"'$t': est $est vs $c (n=$n)")
+    }
+    // never-seen keys may only carry collision mass, bounded the same way
+    assert(cms.estimateCount("graft-definitely-absent-token") <= (3 * 0.001 * n).toLong)
+  }
+
   test("streaming packer: ordered replay reproduces the batch packer exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
