@@ -72,6 +72,7 @@ object SparkEntry {
     "q59_bloom_dedup" -> dedup.Bloom.bloomDedup,
     "q60_domain_mix" -> operators.Sampling.domainMixSample,
     "q61_quality_score" -> textstats.QualityModel.qualityScore,
+    "q62_dup_spans" -> dedup.Spans.dupSpans,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -262,5 +263,6 @@ object SparkEntry {
     "q59_bloom_dedup" -> dedup.Bloom.bloomDedupSql,
     "q60_domain_mix" -> operators.Sampling.domainMixSql,
     "q61_quality_score" -> textstats.QualityModel.qualityScoreSql,
+    "q62_dup_spans" -> dedup.Spans.dupSpansSql,
   )
 }
