@@ -73,6 +73,7 @@ object SparkEntry {
     "q60_domain_mix" -> operators.Sampling.domainMixSample,
     "q61_quality_score" -> textstats.QualityModel.qualityScore,
     "q62_dup_spans" -> dedup.Spans.dupSpans,
+    "q63_span_removal" -> dedup.Spans.removeDupSpans,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -264,5 +265,6 @@ object SparkEntry {
     "q60_domain_mix" -> operators.Sampling.domainMixSql,
     "q61_quality_score" -> textstats.QualityModel.qualityScoreSql,
     "q62_dup_spans" -> dedup.Spans.dupSpansSql,
+    "q63_span_removal" -> dedup.Spans.removeDupSpansSql,
   )
 }
