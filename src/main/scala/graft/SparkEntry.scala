@@ -74,6 +74,7 @@ object SparkEntry {
     "q61_quality_score" -> textstats.QualityModel.qualityScore,
     "q62_dup_spans" -> dedup.Spans.dupSpans,
     "q63_span_removal" -> dedup.Spans.removeDupSpans,
+    "q64_domain_rebalance" -> operators.Sampling.domainMixRebalance,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -266,5 +267,6 @@ object SparkEntry {
     "q61_quality_score" -> textstats.QualityModel.qualityScoreSql,
     "q62_dup_spans" -> dedup.Spans.dupSpansSql,
     "q63_span_removal" -> dedup.Spans.removeDupSpansSql,
+    "q64_domain_rebalance" -> operators.Sampling.domainMixRebalanceSql,
   )
 }

@@ -32,11 +32,21 @@ import graft.Tables
   * binary.
   *
   * Scale sizing: the filter costs ~1.2 bytes/item at 3% fpp
-  * (`BloomFilter.optimalNumOfBits`), so a 1e9-doc corpus is a ~1.4 GB
-  * driver/executor-resident sketch — the standard trade for skipping a
-  * 100 TB-side shuffle on every delivery. `expectedItems` must be set
-  * from the real corpus cardinality (a stale underestimate degrades
-  * fpp, never correctness, because of the confirm join).
+  * (`BloomFilter.optimalNumOfBits`). `expectedItems` must be set from
+  * the real corpus cardinality (a stale underestimate degrades fpp,
+  * never correctness, because of the confirm join). Two practical
+  * ceilings: (1) `BloomFilterAggregate` silently clamps its size args
+  * with `Math.min` against
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+  * (4e6 items / 64 Mbit by default) — [[bloomBytes]] raises both for
+  * the duration of its aggregate so the requested size is honored;
+  * (2) the sketch travels as a binary literal, which the analyzer /
+  * optimizer copy through tree transforms and serialize into the task
+  * binary — practical up to the low hundreds of MB (a few 1e8 items),
+  * NOT GB-scale. A 1e9-doc corpus should be probed as several
+  * key-range-partitioned filters of ~1e8 items each (build per range
+  * with [[bloomBytes]], OR the probes); exactness is unaffected either
+  * way because the confirm join erases false positives.
   */
 object Bloom {
 
@@ -51,9 +61,23 @@ object Bloom {
       fpp: Double = DefaultFpp): Array[Byte] = {
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    df.select(call_function("bloom_agg", xxhash64(keyCol),
-        lit(expectedItems), lit(bits)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate clamps (items, bits) with Math.min against
+    // these session confs — silently, so an undersized conf turns the
+    // requested sketch into a saturating one (fpp → 1; results stay
+    // exact only because of the confirm join). Raise both for the
+    // duration of the aggregate job, then restore.
+    val conf = df.sparkSession.conf
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) =>
+        conf.set(k, math.max(v, conf.getOption(k).map(_.toLong).getOrElse(0L)).toString)
+      }
+      df.select(call_function("bloom_agg", xxhash64(keyCol),
+          lit(expectedItems), lit(bits)).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
   /** Probe column: true iff `keyCol` MIGHT be in the filter (false ⇒
@@ -81,17 +105,31 @@ object Bloom {
     * since every corpus key is in its own filter: one wasted
     * xxhash64+probe per corpus row, harmless to results.)
     */
-  def bloomDedup(docs: DataFrame): DataFrame = {
-    val corpus = docs.filter(col("doc_id") % BatchMod =!= 0)
-      .select(col("doc_id").as("cid"), md5(col("text")).as("h"))
-    val batch = docs.filter(col("doc_id") % BatchMod === 0)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+  def bloomDedup(docs: DataFrame): DataFrame =
     // sizing cardinality: the UNFILTERED table count — parquet answers
     // it from footer statistics (no data scan, unlike a count on the
     // filtered corpus), and over-sizing by the batch share only lowers
     // fpp. At production scale this is the ingest ledger's number and
-    // the filter itself is built once per corpus, not once per batch.
-    val bloom = bloomBytes(corpus, col("h"), docs.count(), DefaultFpp)
+    // the filter itself is built once per corpus, not once per batch —
+    // the prebuilt-sketch overload below is that production path.
+    bloomDedup(docs, corpusBloom(docs))
+
+  /** Build-once half of the production pattern: the corpus md5 sketch,
+    * reusable across every batch probe via the [[bloomDedup]] overload. */
+  def corpusBloom(docs: DataFrame): Array[Byte] =
+    bloomBytes(docs.filter(col("doc_id") % BatchMod =!= 0)
+        .select(md5(col("text")).as("h")),
+      col("h"), docs.count(), DefaultFpp)
+
+  /** Probe-per-batch half: identical results to the fused overload for
+    * any `bloom` built over the corpus md5 keys (an UNDERSIZED or stale
+    * sketch only weakens pruning — the confirm join keeps the output
+    * exact as long as the sketch contains every corpus key). */
+  def bloomDedup(docs: DataFrame, bloom: Array[Byte]): DataFrame = {
+    val corpus = docs.filter(col("doc_id") % BatchMod =!= 0)
+      .select(col("doc_id").as("cid"), md5(col("text")).as("h"))
+    val batch = docs.filter(col("doc_id") % BatchMod === 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
     val confirmed = batch.filter(mightContain(bloom, col("h")))
       .join(corpus, "h")
       .groupBy("doc_id").agg(min("cid").as("matched_id"))

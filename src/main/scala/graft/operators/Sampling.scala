@@ -124,6 +124,86 @@ object Sampling {
        |        // ($MixDen * n_s))""".stripMargin
   }
 
+  // ---- q64: mixture resampling with shortfall redistribution ----
+
+  /** q64's target mixture — deliberately over-weights the rarest domain
+    * (zh) so its quota exceeds its population at every test SF and the
+    * redistribution path is exercised, not just compiled. */
+  val RebalanceWeights: Seq[(String, Long)] = Seq(
+    "zh" -> 5L, "en" -> 2L, "de" -> 1L, "es" -> 1L, "fr" -> 1L)
+
+  /** q64: [[domainMix]] plus the one-iteration shortfall redistribution
+    * q60 leaves to upstream policy. Domains whose quota ≥ population
+    * are EXHAUSTED: they keep everything, and their undeliverable
+    * shortfall `Σ (quota_d − n_d)` is re-granted to the non-exhausted
+    * domains proportionally to their ORIGINAL integer weights
+    * (`add_d = short · w_d div Σ_non-exh w`). One iteration: a domain
+    * pushed past its population by the re-grant just saturates at the
+    * `least(Buckets, ·)` cap — the fixed-point iteration isn't worth a
+    * second dimension pass.
+    *
+    * Same exactness contract as q60: every quantity is a driver-side
+    * Long computed from ONE dimension-grade lang count (the identical
+    * left-assoc `·, div` chain the oracle evaluates in-query), and
+    * membership is the q38 hash-threshold rule — one corpus scan, no
+    * join, no corpus shuffle, reproducible bit-for-bit. Headroom:
+    * (quota+add)·Buckets ≤ n_tot·1e6 ≲ 1e17 at 1e11 docs. */
+  def domainMixRebalanced(docs: DataFrame): DataFrame = {
+    val weights = RebalanceWeights.toMap
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val budget = counts.map(_._2).sum / 2
+    val quota = counts.map { case (l, nS) =>
+      (l, nS, budget * weights.getOrElse(l, 0L) / MixDen)
+    }
+    val short = quota.collect { case (_, nS, q) if q >= nS => q - nS }.sum
+    val wrem = quota.collect { case (l, nS, q) if q < nS =>
+      weights.getOrElse(l, 0L) }.sum
+    val thr = quota.foldLeft(lit(0L)) { case (acc, (l, nS, q)) =>
+      val t =
+        if (q >= nS) Buckets
+        else {
+          val add = if (wrem > 0) short * weights.getOrElse(l, 0L) / wrem else 0L
+          math.min(Buckets, (q + add) * Buckets / nS)
+        }
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .filter(bucket(col("doc_id")) < thr)
+  }
+
+  def domainMixRebalance(spark: SparkSession, dir: String): DataFrame =
+    domainMixRebalanced(Tables.documents(spark, dir))
+
+  /** DuckDB twin: the identical integer expression tree, evaluated
+    * in-query over the same lang counts. */
+  val domainMixRebalanceSql: String = {
+    val cases = RebalanceWeights.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString(" ")
+    s"""WITH cnt AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) // 2 AS budget FROM cnt),
+       |q AS (SELECT lang, n_s,
+       |    (budget * (CASE $cases ELSE 0 END)) // $MixDen AS quota,
+       |    CAST(CASE $cases ELSE 0 END AS BIGINT) AS num
+       |  FROM cnt CROSS JOIN tot),
+       |agg AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN quota >= n_s THEN quota - n_s END), 0)
+       |         AS BIGINT) AS short,
+       |    CAST(coalesce(sum(CASE WHEN quota < n_s THEN num END), 0)
+       |         AS BIGINT) AS wrem
+       |  FROM q),
+       |thr AS (SELECT lang,
+       |    CASE WHEN quota >= n_s THEN $Buckets
+       |         ELSE least($Buckets,
+       |           ((quota + CASE WHEN wrem > 0 THEN (short * num) // wrem
+       |                          ELSE 0 END) * $Buckets) // n_s)
+       |    END AS t
+       |  FROM q CROSS JOIN agg)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN thr USING (lang)
+       |WHERE ${bucketSql("doc_id")} < t""".stripMargin
+  }
+
   val stratifiedSampleSql: String = {
     // chain order differs from the when-chain's fold, which is fine
     // because strata values are distinct; thresholds are the SAME

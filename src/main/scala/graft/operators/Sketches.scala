@@ -39,4 +39,28 @@ object Sketches {
       confidence: Double = 0.99, seed: Int = 42)
       : org.apache.spark.util.sketch.CountMinSketch =
     df.stat.countMinSketch(col(valueCol), eps, confidence, seed)
+
+  /** Column consumer for [[countMin]]: annotate every row with the
+    * sketch's frequency estimate of its `valueCol` — the "how common is
+    * this token/domain/url?" lookup a curation filter wants WITHOUT
+    * joining against a full (term, count) aggregate. The sketch ships
+    * to executors once as a broadcast (d·w counters, independent of
+    * vocabulary size); the probe is a per-row hash, no shuffle, and the
+    * input frame's plan/partitioning is untouched.
+    *
+    * The sketch must have been built over a STRING column with the same
+    * values (Spark's CMS hashes strings by their UTF-8 bytes on both
+    * the build and probe sides, so build/probe agree exactly).
+    * Guarantees carried from the sketch: est ≥ true count always;
+    * est ≤ true + eps·N with probability ≥ confidence, per probe. */
+  def cmsEstimate(df: DataFrame, sketch: org.apache.spark.util.sketch.CountMinSketch,
+      valueCol: String, outCol: String = "cms_est"): DataFrame = {
+    require(df.schema(valueCol).dataType == org.apache.spark.sql.types.StringType,
+      s"cmsEstimate probes string keys; $valueCol is ${df.schema(valueCol).dataType}")
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val probe = udf((v: String) => if (v == null) null else {
+      java.lang.Long.valueOf(bc.value.estimateCount(v))
+    })
+    df.withColumn(outCol, probe(col(valueCol)))
+  }
 }

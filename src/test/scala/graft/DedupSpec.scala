@@ -106,6 +106,35 @@ class DedupSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
   }
 
+  test("bloomBytes honors sizes past Spark's silent 4e6/64Mbit clamp caps") {
+    import spark.implicits._
+    import dedup.Bloom
+    // 1e7 items @ 1% fpp needs ~9.6e7 bits — ABOVE the default
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (67108864);
+    // without the conf raise the aggregate silently truncates there
+    val wantBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(10000000L, 0.01)
+    assert(wantBits > 67108864L)
+    val tiny = Seq("a", "b").toDF("k")
+    val bytes = Bloom.bloomBytes(tiny, col("k"), 10000000L, 0.01)
+    assert(bytes.length.toLong * 8 >= wantBits,
+      s"sketch ${bytes.length}B < requested $wantBits bits — conf clamp hit")
+    // the temporary conf raise must not leak into the session
+    val after = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    assert(!after.exists(_.toLong >= wantBits), s"conf leaked: $after")
+  }
+
+  test("q59 prebuilt-sketch overload is result-identical to the fused path") {
+    import dedup.Bloom
+    val docs = Tables.documents(spark, dir)
+    val bloom = Bloom.corpusBloom(docs)
+    val pre = Bloom.bloomDedup(docs, bloom)
+    val fused = Bloom.bloomDedup(docs)
+    assert(pre.exceptAll(fused).count() == 0 && fused.exceptAll(pre).count() == 0)
+    assert(pre.count() > 0)
+  }
+
   test("q59 bloom dedup: result identical to the bare exact-membership join") {
     import dedup.Bloom
     val docs = Tables.documents(spark, dir)

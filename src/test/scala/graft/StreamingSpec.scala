@@ -458,6 +458,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(cms.estimateCount("graft-definitely-absent-token") <= (3 * 0.001 * n).toLong)
   }
 
+  test("cmsEstimate column agrees with driver-side probes and bounds exact counts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+    val cms = operators.Sketches.countMin(toks, "tok", eps = 0.001)
+    val exact = toks.groupBy("tok").count()
+    val n = toks.count()
+    // distributed estimate column vs exact counts, per distinct token
+    val checked = operators.Sketches.cmsEstimate(exact, cms, "tok").collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val (t, c, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= c, s"'$t': distributed CMS undercounted ($est < $c)")
+      assert(est <= c + (3 * 0.001 * n).toLong + 1, s"'$t': est $est vs $c")
+      // bitwise agreement with the driver-side probe of the same sketch
+      assert(est == cms.estimateCount(t), s"'$t': column/driver probe disagree")
+    }
+  }
+
   test("streaming packer: ordered replay reproduces the batch packer exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -100,6 +100,29 @@ class TextStatsSpec extends AnyFunSuite {
       assert(kept.getOrElse(l, 0L) > 0, s"$l dropped entirely") }
   }
 
+  test("q64 rebalance: exhausted domain kept whole, shortfall re-granted to the rest") {
+    import operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.domainMixRebalanced(docs).cache()
+    // deterministic + subset, like q60
+    assert(out.exceptAll(Sampling.domainMixRebalanced(docs)).count() == 0)
+    assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh (weight 5/10, rarest domain) must be exhausted: quota >= pop,
+    // so EVERY zh doc survives
+    val budget = base.values.sum / 2
+    assert(budget * 5 / 10 >= base("zh"), "fixture drift: zh no longer exhausted")
+    assert(kept("zh") == base("zh"), s"zh ${kept("zh")}/${base("zh")} not kept whole")
+    // redistribution engaged: en's accept count exceeds its UNrebalanced
+    // quota-implied expectation (quota_en/n_en of its population)
+    val quotaEn = budget * 2 / 10
+    assert(kept("en") > quotaEn, s"en kept ${kept("en")} <= bare quota $quotaEn — " +
+      "shortfall not redistributed")
+  }
+
   test("q61 quality score: hand-computed fixture and invariants") {
     import spark.implicits._
     import textstats.QualityModel
