@@ -66,23 +66,46 @@ object Components {
     *              are kept (the previous round is still referenced by
     *              the convergence count); older rounds are deleted as
     *              the loop advances. The returned frame reads from that
-    *              namespace — keep `dir` alive as long as the result is.
+    *              namespace — it is NOT deletable until the result has
+    *              been fully consumed, and nothing here deletes it, so
+    *              a long-lived shared `dir` accumulates one final-round
+    *              parquet per call. Use
+    *              [[connectedComponentsCheckpointed]] to get the
+    *              namespace path back and delete it yourself once done.
     * @return (doc_id, cluster_id, cluster_size); cluster_id = min
     *         doc_id of the component
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None,
-      validateEdges: Boolean = false): DataFrame = {
+      validateEdges: Boolean = false): DataFrame =
+    ccImpl(edges, nodes, maxIter,
+      checkpointDir.map(d => s"$d/cc-${java.util.UUID.randomUUID()}"),
+      validateEdges)
+
+  /** Reliable-checkpoint [[connectedComponents]] that also returns the
+    * per-invocation namespace directory holding the final round's
+    * parquet (which the result frame lazily reads). Contract: consume
+    * the frame first, then delete the returned path — that is the ONLY
+    * cleanup ever needed, since earlier rounds are already pruned as
+    * the loop advances. */
+  def connectedComponentsCheckpointed(edges: DataFrame, nodes: DataFrame,
+      checkpointDir: String, maxIter: Int = 50,
+      validateEdges: Boolean = false): (DataFrame, String) = {
+    val ns = s"$checkpointDir/cc-${java.util.UUID.randomUUID()}"
+    (ccImpl(edges, nodes, maxIter, Some(ns), validateEdges), ns)
+  }
+
+  private def ccImpl(edges: DataFrame, nodes: DataFrame, maxIter: Int,
+      namespace: Option[String], validateEdges: Boolean): DataFrame = {
     require(edges.columns.toSeq.contains("doc_a") && edges.columns.toSeq.contains("doc_b"),
       s"edges needs (doc_a, doc_b), got ${edges.columns.mkString(",")}")
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(d) =>
+    val ckpt: DataFrame => DataFrame = namespace match {
+      case Some(base) =>
+        // per-invocation namespace (cc-<uuid>, minted by the callers):
+        // deterministic paths under a shared dir would let a second
+        // call clobber files this call's result frame still lazily reads
         val spark = nodes.sparkSession
         val hconf = spark.sparkContext.hadoopConfiguration
-        // per-invocation namespace: deterministic paths under a shared
-        // dir would let a second call clobber files this call's result
-        // frame still lazily reads
-        val base = s"$d/cc-${java.util.UUID.randomUUID()}"
         var round = 0
         df => {
           round += 1

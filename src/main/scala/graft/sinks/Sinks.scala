@@ -206,7 +206,17 @@ object Sinks {
     * range-prune by manifest, or assign shards to workers round-robin
     * with no coordination. The manifest is computed by re-reading what
     * was actually written (count + min/max key per shard) — it
-    * describes the files on disk, not the plan that produced them. */
+    * describes the files on disk, not the plan that produced them.
+    *
+    * Boundary determinism: `repartitionByRange` samples the key with
+    * `RangePartitioner`'s per-partition seeded reservoir (seed =
+    * byteswap32 of the partition index), so re-running on IDENTICAL
+    * input with the identical upstream partitioning reproduces the
+    * same boundaries, shard assignment, and manifest bit-for-bit
+    * (spec-asserted). If the upstream file layout changes (compaction,
+    * different maxPartitionBytes), boundaries may shift — shard
+    * membership is a layout-dependent artifact, only the GLOBAL order
+    * and the manifest's faithfulness to disk are invariants. */
   object ShardedExport {
     def write(df: DataFrame, path: String, keyCol: String,
         nShards: Int): DataFrame = {

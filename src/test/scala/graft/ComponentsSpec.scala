@@ -111,6 +111,26 @@ class ComponentsSpec extends AnyFunSuite {
     assert(gotA == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
   }
 
+  test("checkpointed variant exposes its namespace for caller cleanup") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-ns").toString
+    val (df, ns) = Components.connectedComponentsCheckpointed(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"),
+      Seq(1L, 2L, 3L).toDF("doc_id"), ckDir)
+    assert(ns.startsWith(s"$ckDir/cc-"))
+    val got = df.select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+    // only the final-round parquet remains (older rounds pruned in-loop)
+    val nsPath = new org.apache.hadoop.fs.Path(ns)
+    val fs = nsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(nsPath))
+    assert(fs.listStatus(nsPath).length <= 2, "more than two rounds retained")
+    // contract: consumed => deletable; the shared dir then holds nothing
+    fs.delete(nsPath, true)
+    assert(!fs.exists(nsPath))
+  }
+
   test("validateEdges rejects endpoints outside the node universe") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 999L)).toDF("doc_a", "doc_b")

@@ -88,6 +88,11 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(fromDisk.toSeq == rows.map(r => (r._1, r._3, r._4)).toSeq)
     // balance: sampled range boundaries keep shards within 4x of each other
     assert(rows.map(_._2).max <= 4 * rows.map(_._2).min.max(1L))
+    // boundary determinism: identical input + layout => identical
+    // manifest (RangePartitioner's reservoir is seeded per partition)
+    val manifest2 = Sinks.ShardedExport.write(docs, tmp() + "/shards2", "doc_id", 4)
+    assert(manifest.exceptAll(manifest2).count() == 0 &&
+      manifest2.exceptAll(manifest).count() == 0)
   }
 
   test("CsvSink round-trips with header; single-file mode writes one part") {
