@@ -75,6 +75,8 @@ object SparkEntry {
     "q62_dup_spans" -> dedup.Spans.dupSpans,
     "q63_span_removal" -> dedup.Spans.removeDupSpans,
     "q64_domain_rebalance" -> operators.Sampling.domainMixRebalance,
+    "q65_pagerank" -> operators.Graph.pagerankSupplierPart,
+    "q66_scd2" -> operators.Scd.userStateHistory,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -268,5 +270,7 @@ object SparkEntry {
     "q62_dup_spans" -> dedup.Spans.dupSpansSql,
     "q63_span_removal" -> dedup.Spans.removeDupSpansSql,
     "q64_domain_rebalance" -> operators.Sampling.domainMixRebalanceSql,
+    "q65_pagerank" -> operators.Graph.pagerankSupplierPartSql,
+    "q66_scd2" -> operators.Scd.userStateHistorySql,
   )
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Link-graph centrality (PageRank) — the corpus-level quality signal
+  * web-scale pretraining pipelines rank hosts/pages by before sampling
+  * (Common Crawl publishes exactly this as its host-level PageRank /
+  * harmonic-centrality ranks, and crawl-curation recipes filter on it).
+  * The reference has no graph operator; this is part of the
+  * LLM-data-pipeline extension surface, built the way everything else
+  * here is: deterministic integer arithmetic with an exact DuckDB twin.
+  *
+  * Formulation: standard damped PageRank with damping 17/20 (= 0.85 as
+  * an exact rational), a fixed iteration count, and all mass carried as
+  * Long "micro-mass" units of 1/[[Graph.Scale]]:
+  *
+  *   r₀(v)    = Scale div N
+  *   rₜ₊₁(v)  = (3·Scale) div (20·N)  +  (17 · Σ_{u→v} (rₜ(u) div d(u))) div 20
+  *
+  * Every operation is a Long `·`/`div` with the identical association
+  * order in Spark and in the oracle SQL, so the two engines agree
+  * bit-for-bit — no float sums, no order dependence (integer sums
+  * commute). Floor-division leaks a little mass per step (standard for
+  * fixed-point PageRank); ranks remain a strict total preorder of the
+  * damped-walk visit mass at equal iteration depth, which is what a
+  * curation threshold consumes. Headroom: Σ contributions ≤ Scale =
+  * 1e12, so `17·sum ≤ 1.7e13` — no overflow at any graph size.
+  *
+  * Scale shape: per iteration, ONE equi-join of the rank frame with the
+  * (src, dst, outdeg) edge frame on src and ONE map-side-combined sum
+  * by dst — O(|E|) shuffle carrying (id, long) rows, the canonical
+  * distributed-PageRank plan. The static edge frame is persisted once
+  * and reused; each round's ranks are `localCheckpoint`ed to truncate
+  * the iterative lineage (the [[graft.dedup.Components]] pattern — use
+  * a reliable checkpoint dir on a 1000-executor run). The only driver
+  * scalar is N (one count — dimension-grade, the q60 precedent).
+  */
+object Graph {
+
+  /** Total walk mass in integer micro-units (1e12 ⇒ per-node ranks keep
+    * ~6 significant digits even at 1e6 nodes). */
+  val Scale = 1000000000000L
+
+  /** Fixed iteration count for the registered query — enough to
+    * separate hubs from leaves on a bipartite purchase graph; callers
+    * pick their own depth via [[pagerank]]. */
+  val Iters = 3
+
+  /** Damped integer PageRank over a directed edge list.
+    *
+    * @param edges (`src`, `dst`) Long node ids. Nodes are taken to be
+    *              the set of edge endpoints; a node with no OUT-edges
+    *              (dangling) contributes no mass (its share evaporates,
+    *              the mass-leaking variant most engines ship) but still
+    *              receives the base term.
+    * @return (`id`, `centrality`) — centrality in micro-mass units
+    *         after `iters` rounds.
+    */
+  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    require(edges.columns.toSeq.contains("src") && edges.columns.toSeq.contains("dst"),
+      s"edges needs (src, dst), got ${edges.columns.mkString(",")}")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val edgesDeg = e.join(deg, "src").persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().persist()
+    val n = nodes.count() // the one driver scalar (dimension-grade)
+    val base = 3L * Scale / (20L * n)
+    var r = nodes.withColumn("r", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val summed = edgesDeg
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .selectExpr("dst AS id", "r div d AS c")
+        .groupBy("id").agg(sum("c").as("c"))
+      r = nodes.join(summed, Seq("id"), "left")
+        .selectExpr("id", s"$base + (17 * coalesce(c, 0)) div 20 AS r")
+        .localCheckpoint(true) // truncate iterative lineage per round
+    }
+    e.unpersist(); edgesDeg.unpersist(); nodes.unpersist()
+    r.select(col("id"), col("r").as("centrality"))
+  }
+
+  /** q65: centrality over the supplier–part "supplies" graph derived
+    * from `lineitem` (distinct (l_suppkey, l_partkey) pairs,
+    * symmetrized — each undirected link is two directed edges, so the
+    * bipartite graph has no dangling nodes). Node ids are namespaced
+    * into one Long space: supplier s → 2s, part p → 2p+1. */
+  def pagerankSupplierPart(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = sp.selectExpr("s * 2 AS src", "p * 2 + 1 AS dst")
+      .unionByName(sp.selectExpr("p * 2 + 1 AS src", "s * 2 AS dst"))
+    pagerank(edges, Iters)
+      .selectExpr(
+        "id div 2 AS node_key",
+        "CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type",
+        "centrality")
+  }
+
+  /** DuckDB twin: the identical integer recurrence, unrolled one CTE
+    * pair (contributions, ranks) per iteration. */
+  val pagerankSupplierPartSql: String = {
+    val iters = (1 to Iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS id, CAST(sum(r.r // d.d) AS BIGINT) AS c
+         |  FROM edges e JOIN deg d ON d.src = e.src JOIN $prev r ON r.id = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT nodes.id,
+         |    (3 * $Scale) // (20 * nn.n) + (17 * coalesce(c.c, 0)) // 20 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i c ON c.id = nodes.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH sp AS (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |edges AS (
+       |  SELECT s * 2 AS src, p * 2 + 1 AS dst FROM sp
+       |  UNION ALL
+       |  SELECT p * 2 + 1 AS src, s * 2 AS dst FROM sp),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT id, $Scale // nn.n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT id // 2 AS node_key,
+       |  CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       |  r AS centrality
+       |FROM r$Iters""".stripMargin
+  }
+}
