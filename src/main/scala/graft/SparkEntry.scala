@@ -77,6 +77,7 @@ object SparkEntry {
     "q64_domain_rebalance" -> operators.Sampling.domainMixRebalance,
     "q65_pagerank" -> operators.Graph.pagerankSupplierPart,
     "q66_scd2" -> operators.Scd.userStateHistory,
+    "q67_dsir" -> textstats.Dsir.importanceResample,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -272,5 +273,6 @@ object SparkEntry {
     "q64_domain_rebalance" -> operators.Sampling.domainMixRebalanceSql,
     "q65_pagerank" -> operators.Graph.pagerankSupplierPartSql,
     "q66_scd2" -> operators.Scd.userStateHistorySql,
+    "q67_dsir" -> textstats.Dsir.importanceResampleSql,
   )
 }
