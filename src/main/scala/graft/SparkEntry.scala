@@ -78,6 +78,7 @@ object SparkEntry {
     "q65_pagerank" -> operators.Graph.pagerankSupplierPart,
     "q66_scd2" -> operators.Scd.userStateHistory,
     "q67_dsir" -> textstats.Dsir.importanceResample,
+    "q68_corr_matrix" -> operators.Correlation.corrMatrix,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -274,5 +275,6 @@ object SparkEntry {
     "q65_pagerank" -> operators.Graph.pagerankSupplierPartSql,
     "q66_scd2" -> operators.Scd.userStateHistorySql,
     "q67_dsir" -> textstats.Dsir.importanceResampleSql,
+    "q68_corr_matrix" -> operators.Correlation.corrMatrixSql,
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import operators.Correlation
+
+/** Correlation-matrix invariants. Value-level equivalence vs the DuckDB
+  * twin runs through graft.Verify + tools/verify_local.py. */
+class CorrelationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  private def facts(rows: Seq[(Double, Double, Double)]) = {
+    import spark.implicits._
+    rows.toDF("l_quantity", "l_discount", "l_tax")
+  }
+
+  test("perfect monotone relation: spearman = 1 even when pearson < 1") {
+    // y = x^3 is monotone but nonlinear
+    val xs = (1 to 20).map(_.toDouble)
+    val out = Correlation.corrMatrix(
+      facts(xs.map(x => (x, x * x * x / 1e4, 0.01))))
+      .filter(col("var_a") === "quantity" && col("var_b") === "discount")
+      .head()
+    assert(out.getDouble(out.fieldIndex("spearman_rho")) == 1.0)
+    assert(out.getDouble(out.fieldIndex("pearson_r")) < 1.0)
+    assert(out.getDouble(out.fieldIndex("pearson_r")) > 0.8)
+  }
+
+  test("anti-monotone relation gives spearman = -1; ties are averaged") {
+    val xs = (1 to 20).map(_.toDouble)
+    val down = Correlation.corrMatrix(
+      facts(xs.map(x => (x, (21 - x) / 1e3, 0.01))))
+      .filter(col("var_a") === "quantity" && col("var_b") === "discount")
+      .head()
+    assert(down.getDouble(down.fieldIndex("spearman_rho")) == -1.0)
+    // heavy ties: two levels of tax vs quantity — |rho| strictly < 1
+    val tied = Correlation.corrMatrix(
+      facts(xs.map(x => (x, x / 1e3, if (x <= 10) 0.01 else 0.05))))
+      .filter(col("var_a") === "quantity" && col("var_b") === "tax")
+      .head()
+    val rho = tied.getDouble(tied.fieldIndex("spearman_rho"))
+    assert(rho > 0.8 && rho < 1.0)
+  }
+
+  test("matches the textbook value on a fixed permutation example") {
+    // x = 1..6 against the permutation (2,1,4,3,6,5):
+    // ρ = 1 − 6·Σd²/(n(n²−1)) = 1 − 36/210 = 0.828571 → 0.8286; the
+    // pearson over the affinely-scaled values is the same up to the
+    // floor-snap's ±1 ulp on the inputs
+    val rows = Seq(
+      (1.0, 0.002, 0.01), (2.0, 0.001, 0.01), (3.0, 0.004, 0.01),
+      (4.0, 0.003, 0.01), (5.0, 0.006, 0.01), (6.0, 0.005, 0.01))
+    val out = Correlation.corrMatrix(facts(rows))
+      .filter(col("var_a") === "quantity" && col("var_b") === "discount")
+      .head()
+    assert(out.getDouble(out.fieldIndex("spearman_rho")) == 0.8286)
+    assert(math.abs(out.getDouble(out.fieldIndex("pearson_r")) - 0.8286) < 0.001)
+  }
+
+  test("q68 shape: 3 pairs, n preserved by the rank joins, one scan") {
+    val li = Tables.lineitem(spark, dir)
+    val out = Correlation.corrMatrix(li).cache()
+    assert(out.count() == 3)
+    assert(out.select("n_rows").distinct().head().getLong(0) == li.count())
+    // the 19-sum aggregate is localCheckpointed: the 3 matrix rows fan
+    // out from the materialized 1-row RDD, so the fact is scanned once
+    val plan = Correlation.corrMatrix(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("parquet")) // no re-scan in the fan-out
+    out.unpersist()
+  }
+}
