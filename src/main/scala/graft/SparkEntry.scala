@@ -79,6 +79,7 @@ object SparkEntry {
     "q66_scd2" -> operators.Scd.userStateHistory,
     "q67_dsir" -> textstats.Dsir.importanceResample,
     "q68_corr_matrix" -> operators.Correlation.corrMatrix,
+    "q69_ann_pq" -> ann.Pq.annPq,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -276,5 +277,6 @@ object SparkEntry {
     "q66_scd2" -> operators.Scd.userStateHistorySql,
     "q67_dsir" -> textstats.Dsir.importanceResampleSql,
     "q68_corr_matrix" -> operators.Correlation.corrMatrixSql,
+    "q69_ann_pq" -> ann.Pq.annPqSql,
   )
 }

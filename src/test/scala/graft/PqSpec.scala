@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ann.{Ann, Pq}
+
+/** PQ ANN invariants. Value-level equivalence vs the unrolled DuckDB
+  * twin runs through graft.Verify + tools/verify_local.py. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  test("codebooks: M*Ks entries of SubDim dims, deterministic across fits") {
+    val emb = Tables.embeddings(spark, dir)
+    val a = Pq.fit(emb)
+    val b = Pq.fit(emb)
+    assert(a.size == Pq.M * Pq.Ks)
+    assert(a.forall(_._3.size == Pq.SubDim))
+    assert(a == b)
+  }
+
+  test("codes cover the corpus: M rows per vector, codes in [0, Ks)") {
+    val emb = Tables.embeddings(spark, dir)
+    val codes = Pq.encode(emb, Pq.fit(emb)).cache()
+    val n = emb.count()
+    assert(codes.count() == n * Pq.M)
+    assert(codes.filter(col("code") < 0 || col("code") >= Pq.Ks).count() == 0)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= Pq.M).count() == 0)
+    codes.unpersist()
+  }
+
+  test("ADC cosines are true cosines of the reconstruction: within [-1, 1]") {
+    val out = Pq.annPq(spark, dir).cache()
+    assert(out.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+    // TopK rows per query, ranks 1..TopK
+    val perQuery = out.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") =!= Ann.TopK).count() == 0)
+    out.unpersist()
+  }
+
+  test("recall@5 vs brute force clears the 16-centroid floor") {
+    val pq = Pq.annPq(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.annBrute(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    // ADC shortlist (top-50 of ~500) + exact re-rank: each final rank
+    // is exact cosine, so recall is bounded only by shortlist coverage
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+}
