@@ -80,6 +80,7 @@ object SparkEntry {
     "q67_dsir" -> textstats.Dsir.importanceResample,
     "q68_corr_matrix" -> operators.Correlation.corrMatrix,
     "q69_ann_pq" -> ann.Pq.annPq,
+    "q70_url_canon" -> operators.Urls.urlCanon,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -278,5 +279,6 @@ object SparkEntry {
     "q67_dsir" -> textstats.Dsir.importanceResampleSql,
     "q68_corr_matrix" -> operators.Correlation.corrMatrixSql,
     "q69_ann_pq" -> ann.Pq.annPqSql,
+    "q70_url_canon" -> operators.Urls.urlCanonSql,
   )
 }

@@ -19,17 +19,20 @@ import graft.functions.VectorMath
   * (the reconstruction-error-minimizing metric) and the q45 fixed-point
   * mean (exact integer sums → round-6 centroids), so the DuckDB twin
   * re-derives the identical codebooks in CTEs. Encoding is a pure
-  * projection against the codebook literals — no join, no shuffle.
+  * projection against the codebook literals — no join, no shuffle —
+  * to ONE row per vector carrying M small code columns (the compressed
+  * layout you'd actually store).
   *
   * Query (ADC on cosine): dot(q, recon(x)) decomposes EXACTLY over
   * subspaces as Σ_m dot(q_m, c_{m,code_m}), and |recon(x)|² =
-  * Σ_m |c_{m,code_m}|² — so per query the 10·[[M]]·[[Ks]]-row table of
-  * (partial dot, centroid norm²) is all the float math there is; the
-  * corpus side only joins 1-byte codes against it. The two Σ_m are
-  * 4-term double sums whose order a shuffle could permute — they are
-  * summed FIXED-POINT (round(x·1e9) as BIGINT, the q32/q45 technique)
-  * so both engines produce identical cosines bit-for-bit, and the
-  * final cos = (Σdot)/( |q| · √Σ|c|² ) runs as shared formula text.
+  * Σ_m |c_{m,code_m}|². Each query therefore carries M length-[[Ks]]
+  * lookup ARRAYS (partial dots, built once per query), the centroid
+  * norm² arrays are global literals, and scoring a pair is 2·M array
+  * indexes + a shared-text formula — a pure projection on the
+  * broadcast-joined (query × codes) pairs. No join fan-out on code
+  * keys, no aggregate: the 4-term Σ_m runs in deterministic projection
+  * order, textually mirrored in the oracle, so cosines are bit-exact
+  * across engines.
   *
   * Query stage 2 (exact re-rank): ADC is a coarse sketch, so — as in
   * every production PQ deployment — the ADC ranking only builds a
@@ -39,12 +42,13 @@ import graft.functions.VectorMath
   * corpus.
   *
   * Scale shape: fit = M dimension-grade jobs (k·subdim doubles to the
-  * driver); encode = one projection; query = broadcast-join of the
-  * (m, code)-keyed ADC table against the exploded code column + ONE
-  * map-side-combined (query, doc) aggregate + per-query shortlist
-  * window, then an equi-join of the tiny shortlist back to the vector
-  * table for re-rank. Raw vectors are touched for Rerank rows per
-  * query only — the point of PQ at 100 TB.
+  * driver); encode = one projection; query = broadcast of
+  * queries·(M·Ks + 1) doubles against the code table (the same
+  * broadcast-pairs shape as [[Ann.annBrute]], at ~8 array lookups per
+  * pair instead of a 64-dim dot), per-query shortlist window, then an
+  * equi-join of the tiny shortlist back to the vector table for
+  * re-rank. Raw vectors are touched for Rerank rows per query only —
+  * the point of PQ at 100 TB.
   */
 object Pq {
 
@@ -64,12 +68,14 @@ object Pq {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Shared-association squared-L2 between an array column and a
-    * centroid literal: ((x1−c1)·(x1−c1)) + … left-assoc, mirrored
-    * textually by [[sqDistSql]]. */
+    * centroid literal. HOF form (compact codegen — the unrolled
+    * 16-term variant made Janino compilation the dominant query cost);
+    * the left fold's `0.0 + t1 + t2 + …` equals [[sqDistSql]]'s
+    * unrolled `t1 + t2 + …` bitwise because every term is ≥ 0 and
+    * +0.0 is an exact additive identity. */
   private def sqDist(v: Column, c: Seq[Double]): Column =
-    (0 until SubDim).map { i =>
-      val d = element_at(v, i + 1) - lit(c(i)); d * d
-    }.reduce(_ + _)
+    aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
 
   private def sqDistSql(a: String, b: String): String =
     (0 until SubDim).map { i =>
@@ -113,50 +119,53 @@ object Pq {
     books
   }
 
-  /** PQ-encode: (vec_id, m, code) long form — a pure projection. */
-  def encode(embeddings: DataFrame, books: Seq[(Int, Int, Seq[Double])]): DataFrame = {
-    val emb = embCast(embeddings)
-    val codeCols = (0 until M).map { m =>
-      val book = books.collect { case (`m`, cid, cv) => (cid, cv) }
-      struct(lit(m).as("m"),
-        assignCode(slice(col("v"), m * SubDim + 1, SubDim), book).as("code"))
-    }
-    emb.select(col("vec_id"), explode(array(codeCols: _*)).as("mc"))
-      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
-  }
+  /** Ordered codebook for subspace m. */
+  private def bookOf(books: Seq[(Int, Int, Seq[Double])], m: Int): Seq[(Int, Seq[Double])] =
+    books.collect { case (`m`, cid, cv) => (cid, cv) }.sortBy(_._1)
 
-  /** q69: ADC cosine top-k for the standard query set (every
-    * [[Ann.QueryStride]]-th vector) over the PQ-encoded corpus. */
+  /** PQ-encode to the compressed layout: (vec_id, c0 … c{M−1}) — a
+    * pure projection, one row per vector. */
+  def encode(embeddings: DataFrame, books: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    embCast(embeddings).select(
+      col("vec_id") +: (0 until M).map { m =>
+        assignCode(slice(col("v"), m * SubDim + 1, SubDim), bookOf(books, m))
+          .as(s"c$m")
+      }: _*)
+
+  /** q69: ADC cosine top-k (shortlist + exact re-rank) for the
+    * standard query set over the PQ-encoded corpus. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val embeddings = Tables.embeddings(spark, dir)
     val books = fit(embeddings)
     val emb = embCast(embeddings)
     val codes = encode(embeddings, books)
-    import spark.implicits._
-    val bookDf = books.toDF("m", "code", "cv")
     val queries = emb.filter(col("vec_id") % Ann.QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         VectorMath.norm(col("v")).as("qnrm"))
-    val qSub = queries.select(col("query_id"), col("qnrm"),
-        explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"),
-            slice(col("qv"), m * SubDim + 1, SubDim).as("qm"))): _*)).as("s"))
-      .select(col("query_id"), col("qnrm"),
-        col("s.m").as("m"), col("s.qm").as("qm"))
-    val adc = qSub.join(bookDf, "m")
-      .select(col("query_id"), col("qnrm"), col("m"), col("code"),
-        VectorMath.dot(col("qm"), col("cv")).as("pdot"),
-        VectorMath.dot(col("cv"), col("cv")).as("cn2"))
+    // per-query partial-dot lookup arrays: t_m[code+1] = dot(q_m, c_{m,code}),
+    // the same left-fold as the oracle's dotSql (HOF form — compact codegen)
+    val qTab = queries.select(
+      Seq(col("query_id"), col("qv"), col("qnrm")) ++ (0 until M).map { m =>
+        array(bookOf(books, m).map { case (_, cv) =>
+          VectorMath.dot(slice(col("qv"), m * SubDim + 1, SubDim), typedLit(cv))
+        }: _*).as(s"t$m")
+      }: _*)
+    // centroid norm² lookup arrays are query-independent literals;
+    // driver fold order matches the oracle's dotSql association
+    val nLit = (0 until M).map { m =>
+      typedLit(bookOf(books, m).map { case (_, cv) =>
+        (0 until SubDim).map(i => cv(i) * cv(i)).reduceLeft(_ + _)
+      })
+    }
+    val num = (0 until M).map(m =>
+      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
+    val n2 = (0 until M).map(m =>
+      element_at(nLit(m), col(s"c$m") + 1)).reduce(_ + _)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("vec_id"))
-    val shortlist = codes.join(broadcast(adc), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(max(col("qnrm")).as("qnrm"),
-        sum(round(col("pdot") * 1e9).cast("long")).as("numf"),
-        sum(round(col("cn2") * 1e9).cast("long")).as("n2f"))
-      .withColumn("adc_cos",
-        expr("(numf / 1.0E9) / (qnrm * sqrt(n2f / 1.0E9))"))
+    val shortlist = broadcast(qTab.drop("qv"))
+      .join(codes, col("vec_id") =!= col("query_id"))
+      .withColumn("adc_cos", num / (col("qnrm") * sqrt(n2)))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= Rerank)
       .select(col("query_id"), col("vec_id"))
@@ -173,8 +182,8 @@ object Pq {
   }
 
   /** DuckDB twin: per-subspace fit CTEs (identical init, L2 tie order,
-    * fixed-point means), code assignment, ADC table, fixed-point Σ_m,
-    * shared cosine text. */
+    * fixed-point means), wide code assignment, per-query lookup lists,
+    * the identical 2·M-index scoring text, shortlist, exact re-rank. */
   val annPqSql: String = {
     def lo(m: Int) = m * SubDim + 1
     def hi(m: Int) = (m + 1) * SubDim
@@ -201,25 +210,31 @@ object Pq {
          |  LEFT JOIN (SELECT cell, list(a ORDER BY pos) AS vlist
          |             FROM upd_$m GROUP BY cell) u ON u.cell = p.cell),
          |codes_$m AS (
-         |  SELECT vec_id, cell AS code FROM (
+         |  SELECT vec_id, cell AS c$m FROM (
          |    SELECT s.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY s.vec_id
          |        ORDER BY ${sqDistSql("s.sv", "c.cv")} ASC, c.cell ASC) AS rk
          |    FROM sub$m s CROSS JOIN cent1_$m c)
          |  WHERE rk = 1),
-         |adc_$m AS (
-         |  SELECT q.query_id, c.cell AS code,
-         |    ${VectorMath.dotSql(s"(q.qv[${lo(m)}:${hi(m)}])", "c.cv", SubDim)} AS pdot,
-         |    ${VectorMath.dotSql("c.cv", "c.cv", SubDim)} AS cn2
-         |  FROM q CROSS JOIN cent1_$m c)"""
+         |tl_$m AS (
+         |  SELECT query_id, list(pdot ORDER BY cell) AS t$m FROM (
+         |    SELECT q.query_id, c.cell,
+         |      ${VectorMath.dotSql(s"(q.qv[${lo(m)}:${hi(m)}])", "c.cv", SubDim)} AS pdot
+         |    FROM q CROSS JOIN cent1_$m c)
+         |  GROUP BY query_id),
+         |nl_$m AS (
+         |  SELECT list(cn2 ORDER BY cell) AS n$m FROM (
+         |    SELECT cell, ${VectorMath.dotSql("cv", "cv", SubDim)} AS cn2
+         |    FROM cent1_$m))"""
         .stripMargin.replace("\n", " ")
     }.mkString(",\n")
-    val codesUnion = (0 until M)
-      .map(m => s"SELECT vec_id, $m AS m, code FROM codes_$m")
-      .mkString(" UNION ALL ")
-    val adcUnion = (0 until M)
-      .map(m => s"SELECT query_id, $m AS m, code, pdot, cn2 FROM adc_$m")
-      .mkString(" UNION ALL ")
+    val codesJoin = (1 until M)
+      .map(m => s"JOIN codes_$m USING (vec_id)").mkString(" ", " ", "")
+    val codesSel = (0 until M).map(m => s"c$m").mkString(", ")
+    val qtabJoin = (0 until M).map(m => s"tl_$m").mkString(" JOIN ", " USING (query_id) JOIN ", " USING (query_id)")
+    val numText = (0 until M).map(m => s"qt.t$m[c.c$m + 1]").mkString(" + ")
+    val n2Text = (0 until M).map(m => s"nt.n$m[c.c$m + 1]").mkString(" + ")
+    val ntabCross = (0 until M).map(m => s"nl_$m").mkString(" CROSS JOIN ")
     val exactCos = s"(${VectorMath.dotSql("q.qv", "e.v", Ann.Dim)} / (q.qnrm * e.nrm))"
     s"""WITH emb AS (
        |  SELECT vec_id, v, ${VectorMath.normSql("v", Ann.Dim)} AS nrm
@@ -228,22 +243,21 @@ object Pq {
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
        |  FROM emb WHERE vec_id % ${Ann.QueryStride} = 0),
        |$subFit,
-       |codes AS ($codesUnion),
-       |adc AS ($adcUnion),
+       |codes AS (
+       |  SELECT vec_id, $codesSel FROM codes_0$codesJoin),
+       |qtab AS (SELECT * FROM q$qtabJoin),
+       |ntab AS (SELECT * FROM $ntabCross),
        |scored AS (
-       |  SELECT a.query_id, c.vec_id,
-       |    CAST(sum(CAST(round(a.pdot * 1.0E9) AS BIGINT)) AS BIGINT) AS numf,
-       |    CAST(sum(CAST(round(a.cn2 * 1.0E9) AS BIGINT)) AS BIGINT) AS n2f
-       |  FROM codes c JOIN adc a ON a.m = c.m AND a.code = c.code
-       |  WHERE c.vec_id <> a.query_id
-       |  GROUP BY 1, 2),
+       |  SELECT qt.query_id, qt.qnrm, c.vec_id,
+       |    ($numText) / (qt.qnrm * sqrt($n2Text)) AS adc_cos
+       |  FROM qtab qt CROSS JOIN ntab nt
+       |  JOIN codes c ON c.vec_id <> qt.query_id),
        |short AS (
        |  SELECT query_id, vec_id FROM (
-       |    SELECT s.query_id, s.vec_id,
-       |      row_number() OVER (PARTITION BY s.query_id
-       |        ORDER BY (s.numf / 1.0E9) / (q.qnrm * sqrt(s.n2f / 1.0E9)) DESC,
-       |                 s.vec_id) AS rk
-       |    FROM scored s JOIN q ON q.query_id = s.query_id)
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_cos DESC, vec_id) AS rk
+       |    FROM scored)
        |  WHERE rk <= $Rerank)
        |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) + 0.0 AS cos FROM (
        |  SELECT sh.query_id, sh.vec_id, $exactCos AS cos,

@@ -72,17 +72,21 @@ object Graph {
     val n = nodes.count() // the one driver scalar (dimension-grade)
     val base = 3L * Scale / (20L * n)
     var r = nodes.withColumn("r", lit(Scale / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val summed = edgesDeg
         .join(r.withColumnRenamed("id", "src"), "src")
         .selectExpr("dst AS id", "r div d AS c")
         .groupBy("id").agg(sum("c").as("c"))
       r = nodes.join(summed, Seq("id"), "left")
         .selectExpr("id", s"$base + (17 * coalesce(c, 0)) div 20 AS r")
-        .localCheckpoint(true) // truncate iterative lineage per round
+      // rounds stay LAZY (one job runs the whole recurrence, reusing
+      // the persisted edge frame's exchange); only truncate lineage
+      // every 3rd round so deep iteration counts don't blow the plan
+      if (i % 3 == 0 && i < iters) r = r.localCheckpoint(true)
     }
+    val out = r.localCheckpoint(true) // materialize before unpersist
     e.unpersist(); edgesDeg.unpersist(); nodes.unpersist()
-    r.select(col("id"), col("r").as("centrality"))
+    out.select(col("id"), col("r").as("centrality"))
   }
 
   /** q65: centrality over the supplier–part "supplies" graph derived

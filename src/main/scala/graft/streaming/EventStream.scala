@@ -290,6 +290,48 @@ object EventStream {
       }
   }
 
+  // ---- streaming SCD-2 history (twin of operators.Scd.scd2) ----
+
+  case class ScdObs(key: Long, state: String, ts: Timestamp, tie: Long)
+  // valid_from carried as the Timestamp itself: an epoch-millis Long
+  // would truncate the microsecond precision the batch twin keeps
+  case class ScdOpen(state: String, from: Timestamp, version: Int)
+  case class ScdClosed(key: Long, state: String,
+      valid_from: Timestamp, valid_to: Timestamp, version: Int)
+
+  /** Streaming twin of [[graft.operators.Scd.scd2]]: each key holds ONE
+    * small state record (current state + open-version start + version
+    * counter — bounded by key count, not observations), and a version
+    * row is emitted the moment an observation CLOSES it (append mode;
+    * the open version lives in state until its closing change
+    * arrives). Within a micro-batch a key's observations apply in
+    * (ts, tie) order (deterministic); across batches, arrival order
+    * governs — replaying a key's observations in order reproduces
+    * exactly the batch operator's closed versions (spec-asserted), the
+    * same continuous-ingest contract as [[packStream]]. */
+  def scd2Stream(obs: Dataset[ScdObs]): Dataset[ScdClosed] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[ScdOpen, ScdClosed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, st: GroupState[ScdOpen]) =>
+          var cur = st.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[ScdClosed]
+          rows.toSeq.sortBy(r => (r.ts, r.tie)).foreach { r =>
+            cur match {
+              case None =>
+                cur = Some(ScdOpen(r.state, r.ts, 1))
+              case Some(s) if s.state != r.state =>
+                out += ScdClosed(key, s.state, s.from, r.ts, s.version)
+                cur = Some(ScdOpen(r.state, r.ts, s.version + 1))
+              case _ => () // unchanged observation: no new version
+            }
+          }
+          cur.foreach(st.update)
+          out.iterator
+      }
+  }
+
   // ---- streaming sequence packing (twin of Chunking.pack) ----
 
   case class PackDoc(doc_id: Long, shard: Long, n_tok: Long)

@@ -21,13 +21,13 @@ class PqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("codes cover the corpus: M rows per vector, codes in [0, Ks)") {
+  test("codes cover the corpus: one wide row per vector, codes in [0, Ks)") {
     val emb = Tables.embeddings(spark, dir)
     val codes = Pq.encode(emb, Pq.fit(emb)).cache()
-    val n = emb.count()
-    assert(codes.count() == n * Pq.M)
-    assert(codes.filter(col("code") < 0 || col("code") >= Pq.Ks).count() == 0)
-    assert(codes.groupBy("vec_id").count().filter(col("count") =!= Pq.M).count() == 0)
+    assert(codes.count() == emb.count())
+    (0 until Pq.M).foreach { m =>
+      assert(codes.filter(col(s"c$m") < 0 || col(s"c$m") >= Pq.Ks).count() == 0)
+    }
     codes.unpersist()
   }
 

@@ -477,6 +477,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD-2: ordered replay reproduces the batch operator's closed versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 20) // a few keys, many observations
+    // batch truth: the CLOSED versions (the open one lives in stream state)
+    val batch = operators.Scd.userStateHistory(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 20 && col("valid_to").isNotNull)
+      .select("user_id", "state", "valid_from", "valid_to", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getInt(4))).toSet
+    val feed = events
+      .select(col("user_id").cast("long").as("key"),
+        col("event_type").as("state"), col("ts"),
+        col("event_id").cast("long").as("tie"))
+      .as[EventStream.ScdObs].collect()
+      .sortBy(o => (o.ts.getTime, o.tie))
+    val input = MemoryStream[EventStream.ScdObs]
+    val q = EventStream.scd2Stream(input.toDS()).writeStream
+      .format("memory").queryName("scd").outputMode("append").start()
+    try {
+      // ordered replay across three micro-batches: open versions must
+      // carry across batch boundaries in state
+      val (b1, rest) = feed.splitAt(feed.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(b3.toSeq); q.processAllAvailable()
+      val got = spark.table("scd").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming packer: ordered replay reproduces the batch packer exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
