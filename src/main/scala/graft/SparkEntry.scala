@@ -81,6 +81,9 @@ object SparkEntry {
     "q68_corr_matrix" -> operators.Correlation.corrMatrix,
     "q69_ann_pq" -> ann.Pq.annPq,
     "q70_url_canon" -> operators.Urls.urlCanon,
+    "q71_mad_outliers" -> operators.Robust.madOutliers,
+    "q72_resample_locf" -> operators.Resample.hourlyLocf,
+    "q73_snapshot_diff" -> operators.Diff.customerDiff,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -280,5 +283,8 @@ object SparkEntry {
     "q68_corr_matrix" -> operators.Correlation.corrMatrixSql,
     "q69_ann_pq" -> ann.Pq.annPqSql,
     "q70_url_canon" -> operators.Urls.urlCanonSql,
+    "q71_mad_outliers" -> operators.Robust.madOutliersSql,
+    "q72_resample_locf" -> operators.Resample.hourlyLocfSql,
+    "q73_snapshot_diff" -> operators.Diff.customerDiffSql,
   )
 }
