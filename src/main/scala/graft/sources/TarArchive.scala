@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TAR-shard source — WebDataset-style training-data ingestion. The
+  * dominant interchange for multimodal training corpora is a directory
+  * of `.tar` shards whose members group into samples by basename
+  * (`000123.jpg` + `000123.json` + `000123.txt` = one sample; the
+  * public WebDataset convention). This reader turns a directory of
+  * shards into (archive, member, bytes) rows and [[samples]] regroups
+  * them — feeding [[graft.multimodal.Multimodal]]'s decoders without
+  * unpacking anything to disk.
+  *
+  * Format per the POSIX ustar spec: 512-byte headers (name 0:100,
+  * octal size 124:12, typeflag 156, magic "ustar" 257:5, prefix
+  * 345:155), data in 512-byte blocks, archive ends at two zero blocks.
+  * Regular files (typeflag '0'/NUL) become rows; directories and other
+  * typeflags are skipped STRUCTURALLY (their size is still consumed,
+  * so following members stay framed). A malformed header (bad magic /
+  * unparsable size) stops that archive at the corruption point and
+  * emits a `_malformed` row — the [[Shapefile]]/[[JsonLines]]
+  * quarantine contract. GNU long-name/base-256-size extensions are
+  * outside the contract.
+  *
+  * Distribution model: `binaryFile` rows, one ARCHIVE per row, parsed
+  * executor-side (tar framing is sequential; shards are the unit of
+  * parallelism — exactly why WebDataset shards exist). A 100 TB corpus
+  * in 1 GB shards is 100k parallel rows — the intended shape.
+  */
+object TarArchive {
+
+  val RescueCol = "_malformed"
+
+  case class TarMember(archive: String, member: String, size: Long,
+      content: Array[Byte], _malformed: String)
+
+  private def str(b: Array[Byte], off: Int, len: Int): String = {
+    val end = {
+      val i = b.indexOf(0.toByte, off)
+      if (i < 0 || i >= off + len) off + len else i
+    }
+    new String(b, off, end - off, StandardCharsets.US_ASCII)
+  }
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    val s = str(b, off, len).trim
+    if (s.isEmpty) Some(0L)
+    else if (s.forall(c => c >= '0' && c <= '7'))
+      Some(java.lang.Long.parseLong(s, 8))
+    else None
+  }
+
+  /** Parse one archive's bytes (pure; executor-side). */
+  private[sources] def parseTar(archive: String, bytes: Array[Byte]): Seq[TarMember] = {
+    val out = Seq.newBuilder[TarMember]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= bytes.length) {
+      if (bytes.slice(off, off + 512).forall(_ == 0)) done = true // end blocks
+      else {
+        val magic = str(bytes, off + 257, 5)
+        val sizeO = octal(bytes, off + 124, 12)
+        if (magic != "ustar" || sizeO.isEmpty) {
+          out += TarMember(archive, null, 0L, null,
+            s"bad header at offset $off (magic '$magic')")
+          done = true // cannot re-frame past a corrupt header
+        } else {
+          val size = sizeO.get
+          val name = {
+            val prefix = str(bytes, off + 345, 155)
+            val base = str(bytes, off, 100)
+            if (prefix.isEmpty) base else s"$prefix/$base"
+          }
+          val typeflag = bytes(off + 156).toChar
+          val dataStart = off + 512
+          val dataEnd = dataStart + size.toInt
+          if (dataEnd > bytes.length) {
+            out += TarMember(archive, name, size, null,
+              s"truncated member (need $size bytes at $dataStart)")
+            done = true
+          } else {
+            if (typeflag == '0' || typeflag == 0.toChar)
+              out += TarMember(archive, name, size,
+                java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd), null)
+            // other typeflags: consume structurally, emit nothing
+            off = dataStart + ((size.toInt + 511) / 512) * 512
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** (archive, member, size, content, _malformed) — one row per
+    * regular-file member under `path` (glob `*.tar`). */
+  def readMembers(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, b) => parseTar(p, b) }
+      .toDF()
+  }
+
+  /** WebDataset regroup: members keyed by basename-before-first-dot;
+    * one row per sample with a deterministic ext→bytes map. */
+  def samples(members: DataFrame): DataFrame =
+    members.filter(col(RescueCol).isNull)
+      .select(col("archive"),
+        regexp_extract(col("member"), "([^/]+?)\\.[^/]*$", 1).as("sample_key"),
+        regexp_extract(col("member"), "[^/]+?\\.([^/]*)$", 1).as("ext"),
+        col("content"))
+      .filter(col("sample_key") =!= "")
+      .groupBy(col("archive"), col("sample_key"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("ext"), col("content"))))).as("parts"))
+}
