@@ -84,6 +84,7 @@ object SparkEntry {
     "q71_mad_outliers" -> operators.Robust.madOutliers,
     "q72_resample_locf" -> operators.Resample.hourlyLocf,
     "q73_snapshot_diff" -> operators.Diff.customerDiff,
+    "q74_lm_fluency" -> textstats.Fluency.fluencyScore,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -286,5 +287,6 @@ object SparkEntry {
     "q71_mad_outliers" -> operators.Robust.madOutliersSql,
     "q72_resample_locf" -> operators.Resample.hourlyLocfSql,
     "q73_snapshot_diff" -> operators.Diff.customerDiffSql,
+    "q74_lm_fluency" -> textstats.Fluency.fluencyScoreSql,
   )
 }
