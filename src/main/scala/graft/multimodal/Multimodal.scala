@@ -263,6 +263,100 @@ object Multimodal {
     }
   }
 
+  // ---- audio feature extraction over decoded PCM ----
+
+  /** Per-payload audio features: zero-crossing rate and spectral
+    * centroid. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_frames: Int,
+      zcr: Double, centroid_hz: Double)
+
+  /** Window length for the centroid DFT (bounds per-row cost: the
+    * naive DFT is O(DftN²/2) ≈ 0.5M mults — constant per payload). */
+  val DftN = 1024
+
+  /** REAL audio features from 16-bit PCM WAV payloads: channel-mixed
+    * mono signal → zero-crossing rate (sign changes / (n−1)) and
+    * spectral centroid (Σ f_k·|X_k| / Σ|X_k| over a [[DftN]]-sample
+    * direct DFT, DC bin excluded). A pure tone's centroid lands on the
+    * tone frequency and its ZCR on 2f/rate — the spec asserts exactly
+    * that physics on synthesized sines, which makes the reference
+    * ground truth analytic rather than another implementation.
+    * Malformed/non-16-bit payloads drop (the decoder contract). Same
+    * `mapPartitions` codec shape as [[decodeWav]]. */
+  def audioFeatures(payloadDf: DataFrame): Dataset[AudioFeatures] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavMonoSamples(bytes).map { case (rate, x) =>
+          var crossings = 0
+          var i = 1
+          while (i < x.length) {
+            if ((x(i - 1) >= 0) != (x(i) >= 0)) crossings += 1
+            i += 1
+          }
+          val zcr = if (x.length > 1) crossings.toDouble / (x.length - 1) else 0.0
+          val n = math.min(DftN, x.length)
+          var num = 0.0; var den = 0.0
+          var k = 1
+          while (k <= n / 2) {
+            var re = 0.0; var im = 0.0
+            val w = 2.0 * math.Pi * k / n
+            var t = 0
+            while (t < n) {
+              re += x(t) * math.cos(w * t)
+              im -= x(t) * math.sin(w * t)
+              t += 1
+            }
+            val mag = math.sqrt(re * re + im * im)
+            num += (k.toDouble * rate / n) * mag
+            den += mag
+            k += 1
+          }
+          AudioFeatures(id, rate, x.length,
+            zcr, if (den > 0) num / den else 0.0)
+        }
+      })
+  }
+
+  /** Chunk-walk a WAV payload and mix 16-bit PCM frames to one mono
+    * double channel (shares [[parseWav]]'s validation semantics). */
+  private[graft] def wavMonoSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] =
+    parseWav(0L, bytes).filter(_.bits_per_sample == 16).flatMap { meta =>
+      // re-walk to the data chunk (cheap: header-sized, not data-sized)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.position(12)
+      var dataOff = -1; var dataLen = 0
+      while (dataOff < 0 && buf.remaining() >= 8) {
+        val a = new Array[Byte](4); buf.get(a)
+        val cid = new String(a, "US-ASCII")
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        if (cid == "data") { dataOff = buf.position(); dataLen = len }
+        buf.position(buf.position() + len)
+        if (len % 2 == 1 && buf.remaining() > 0) buf.get
+      }
+      if (dataOff < 0) None
+      else {
+        val ch = meta.channels
+        val sb = java.nio.ByteBuffer.wrap(bytes, dataOff, dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        val nFrames = dataLen / (2 * ch)
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) { s += sb.get(f * ch + c); c += 1 }
+          out(f) = s / ch
+          f += 1
+        }
+        Some((meta.sample_rate, out))
+      }
+    }
+
   // ---- REAL image decode: uncompressed 24-bit BMP (no codec lib) ----
 
   /** Decoded BMP metadata + content stats. */

@@ -242,4 +242,44 @@ class MultimodalSpec extends AnyFunSuite {
       .union(Seq((99L, Array.fill[Byte](80)(0x00))).toDF("doc_id", "payload"))
     assert(Multimodal.decodeBmp(withBad).count() == 2)
   }
+
+  test("audio features: pure tones land on analytic ZCR and spectral centroid") {
+    import spark.implicits._
+    // 16-bit mono sine exactly on a DFT bin (f = k·rate/N): no leakage,
+    // so the centroid must land on the tone and ZCR on 2f/rate —
+    // ground truth is physics, not a second implementation
+    def sineWav(rate: Int, freq: Double, nFrames: Int): Array[Byte] = {
+      val dataLen = nFrames * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until nFrames).foreach { t =>
+        buf.putShort((20000 * math.sin(2 * math.Pi * freq * t / rate)).toShort)
+      }
+      buf.array()
+    }
+    val rate = 8000
+    val f1 = 56 * rate.toDouble / Multimodal.DftN   // 437.5 Hz, bin 56
+    val f2 = 200 * rate.toDouble / Multimodal.DftN  // 1562.5 Hz, bin 200
+    val payloads = Seq(
+      (1L, sineWav(rate, f1, 1024)), (2L, sineWav(rate, f2, 1024)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioFeatures(payloads).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(math.abs(got(1L).centroid_hz - f1) < 5.0, got(1L))
+    assert(math.abs(got(2L).centroid_hz - f2) < 5.0, got(2L))
+    assert(math.abs(got(1L).zcr - 2 * f1 / rate) < 0.01)
+    assert(math.abs(got(2L).zcr - 2 * f2 / rate) < 0.01)
+    // malformed payloads drop, real corpus payloads all decode
+    val withBad = payloads
+      .union(Seq((9L, Array.fill[Byte](30)(1))).toDF("doc_id", "payload"))
+    assert(Multimodal.audioFeatures(withBad).count() == 2)
+    val corpus = Multimodal.wavPayloads(spark, dir)
+    assert(Multimodal.audioFeatures(corpus).count() == corpus.count())
+  }
 }
