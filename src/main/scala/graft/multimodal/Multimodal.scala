@@ -720,4 +720,219 @@ object Multimodal {
        |  ('0x' || substr(md5(text), 5, 2))::INT + 64 AS height
        |FROM documents""".stripMargin
   }
+
+  // ---- REAL image decode: GIF (LZW) ----
+
+  /** Decoded GIF metadata + content stats (first frame). */
+  case class GifMeta(doc_id: Long, width: Int, height: Int, n_colors: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Synthesize a VALID GIF per document via the JDK's own ImageIO
+    * writer (deterministic: dims from doc_id, pixels cycled from the
+    * text's md5 bytes) — the one payload builder that is NOT
+    * hand-rolled, because a GIF encoder means implementing LZW
+    * compression twice; the DECODER below is still independently
+    * validated (our parse vs javax's parse of the same bytes). */
+  def gifPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          md.reset()
+          val h = md.digest(text.getBytes("UTF-8"))
+          val w = 8 + Math.floorMod(id, 24).toInt
+          val ht = 8 + Math.floorMod(id / 7, 24).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          var y = 0
+          while (y < ht) {
+            var x = 0
+            while (x < w) {
+              val r = h(i % 16) & 0xFF
+              val g = h((i + 5) % 16) & 0xFF
+              val b = h((i + 11) % 16) & 0xFF
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "gif", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  def gifPayloads(spark: SparkSession, dir: String): DataFrame =
+    gifPayloads(Tables.documents(spark, dir))
+
+  /** REAL GIF decoder: header + logical screen descriptor, global /
+    * local color tables, extension-block skipping, first image
+    * descriptor, LZW decompression of the concatenated data
+    * sub-blocks (variable code width, clear/EOI handling, 12-bit
+    * dictionary cap), palette lookup, per-channel means (placement-
+    * invariant, so interlaced frames need no row deshuffle). Malformed
+    * streams drop the row. */
+  def decodeGif(payloadDf: DataFrame): Dataset[GifMeta] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseGif(id, bytes) })
+  }
+
+  private[graft] def parseGif(id: Long, bytes: Array[Byte]): Option[GifMeta] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val sw = u16(6); val sh = u16(8)
+    val flags = u8(10)
+    var pos = 13
+    var gct: Array[Int] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      if (pos + 3 * n > bytes.length) return None
+      gct = Array.tabulate(n)(j =>
+        (u8(pos + 3 * j) << 16) | (u8(pos + 3 * j + 1) << 8) | u8(pos + 3 * j + 2))
+      pos += 3 * n
+    }
+    // walk blocks to the first image descriptor
+    while (pos < bytes.length) {
+      u8(pos) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label byte + data sub-blocks
+          pos += 2
+          while (pos < bytes.length && u8(pos) != 0) pos += 1 + u8(pos)
+          pos += 1
+        case 0x2C =>
+          if (pos + 10 > bytes.length) return None
+          val iw = u16(pos + 5); val ih = u16(pos + 7)
+          val iflags = u8(pos + 9)
+          // interlace (bit 6, and the JDK writer's default) only permutes
+          // ROW order; the per-channel means computed here are placement-
+          // invariant, so no deshuffle is needed. A consumer of actual
+          // pixel positions would reorder rows by the 8/8/4/2 pass scheme.
+          pos += 10
+          var pal = gct
+          if ((iflags & 0x80) != 0) {
+            val n = 2 << (iflags & 7)
+            if (pos + 3 * n > bytes.length) return None
+            pal = Array.tabulate(n)(j =>
+              (u8(pos + 3 * j) << 16) | (u8(pos + 3 * j + 1) << 8) | u8(pos + 3 * j + 2))
+            pos += 3 * n
+          }
+          if (pal == null || pos >= bytes.length) return None
+          val minCode = u8(pos); pos += 1
+          if (minCode < 2 || minCode > 11) return None
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < bytes.length && u8(pos) != 0) {
+            val len = u8(pos)
+            if (pos + 1 + len > bytes.length) return None
+            data.write(bytes, pos + 1, len)
+            pos += 1 + len
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+            .getOrElse(return None)
+          if (idx.length < iw * ih) return None
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var k = 0
+          while (k < iw * ih) {
+            val c = pal(math.min(idx(k), pal.length - 1))
+            sr += (c >> 16) & 0xFF; sg += (c >> 8) & 0xFF; sb += c & 0xFF
+            k += 1
+          }
+          val n = (iw * ih).toDouble
+          return Some(GifMeta(id, sw, sh, pal.length,
+            sr / n, sg / n, sb / n))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW: variable code width from `minCode`+1 up to 12
+    * bits, CLEAR resets the dictionary, EOI ends the stream. Returns
+    * up to `maxPixels` palette indices. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      maxPixels: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    // dictionary: suffix byte + prefix link; roots are 0..clear-1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var codeWidth = minCode + 1
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var bytePos = 0
+    val stack = new Array[Byte](4096)
+    def emit(code: Int): Boolean = { // expand code to out via the chain
+      var sp = 0
+      var c = code
+      while (c >= clear) { // composite codes chain down to a root
+        if (sp >= stack.length || c >= dictSize) return false
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      out.write(c)
+      var j = sp - 1
+      while (j >= 0) { out.write(stack(j)); j -= 1 }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (bytePos < data.length && out.size < maxPixels) {
+      acc |= (data(bytePos) & 0xFFL) << accBits
+      accBits += 8
+      bytePos += 1
+      while (accBits >= codeWidth && out.size < maxPixels) {
+        val code = (acc & ((1 << codeWidth) - 1)).toInt
+        acc >>= codeWidth
+        accBits -= codeWidth
+        if (code == clear) {
+          dictSize = eoi + 1; codeWidth = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          return Some(outToInts(out))
+        } else {
+          if (prev < 0) {
+            if (code >= clear) return None // first code must be a root
+            out.write(code)
+          } else {
+            if (code < dictSize) {
+              if (!emit(code)) return None
+              if (dictSize < 4096) {
+                prefix(dictSize) = prev
+                suffix(dictSize) = firstByte(code).toByte
+                dictSize += 1
+              }
+            } else if (code == dictSize && dictSize < 4096) {
+              // the KwK case: new entry = prev + firstByte(prev)
+              prefix(dictSize) = prev
+              suffix(dictSize) = firstByte(prev).toByte
+              dictSize += 1
+              if (!emit(code)) return None
+            } else return None
+            if (dictSize == (1 << codeWidth) && codeWidth < 12)
+              codeWidth += 1
+          }
+          prev = code
+        }
+      }
+    }
+    Some(outToInts(out))
+  }
+
+  private def outToInts(out: java.io.ByteArrayOutputStream): Array[Int] =
+    out.toByteArray.map(_ & 0xFF)
 }

@@ -243,6 +243,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(withBad).count() == 2)
   }
 
+  test("GIF decode: byte-identical channel means vs javax.imageio on the same bytes") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta gamma"), (15L, "delta"),
+      (40L, "x y z"), (123L, "longer text with many words here"))
+      .toDF("doc_id", "text")
+    val payloads = Multimodal.gifPayloads(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    payloads.foreach { case (id, bytes) =>
+      val ours = Multimodal.parseGif(id, bytes)
+        .getOrElse(fail(s"doc $id failed to parse"))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ours.width == ref.getWidth && ours.height == ref.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until ref.getHeight; x <- 0 until ref.getWidth) {
+        val c = ref.getRGB(x, y)
+        sr += (c >> 16) & 0xFF; sg += (c >> 8) & 0xFF; sb += c & 0xFF
+      }
+      val n = (ref.getWidth * ref.getHeight).toDouble
+      assert(ours.mean_r == sr / n, s"doc $id R")
+      assert(ours.mean_g == sg / n, s"doc $id G")
+      assert(ours.mean_b == sb / n, s"doc $id B")
+    }
+    // distributed decode covers the corpus; malformed rows drop
+    val corpus = Multimodal.gifPayloads(spark, dir)
+    val withBad = corpus.limit(5)
+      .union(Seq((99L, "NOTAGIF".getBytes)).toDF("doc_id", "payload"))
+    assert(Multimodal.decodeGif(withBad).count() == 5)
+    val trunc = payloads.head._2.take(40)
+    assert(Multimodal.parseGif(1L, trunc).isEmpty)
+  }
+
   test("audio features: pure tones land on analytic ZCR and spectral centroid") {
     import spark.implicits._
     // 16-bit mono sine exactly on a DFT bin (f = k·rate/N): no leakage,
