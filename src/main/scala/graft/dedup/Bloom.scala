@@ -69,16 +69,27 @@ object Bloom {
     val conf = df.sparkSession.conf
     val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
-    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
-    try {
-      keys.foreach { case (k, v) =>
-        conf.set(k, math.max(v, conf.getOption(k).map(_.toLong).getOrElse(0L)).toString)
-      }
-      df.select(call_function("bloom_agg", xxhash64(keyCol),
-          lit(expectedItems), lit(bits)).as("bf"))
-        .head.getAs[Array[Byte]](0)
-    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    // the save/raise/restore is not atomic: serialize concurrent
+    // bloomBytes calls on the same session's JVM so an interleaved
+    // save cannot capture another call's raised value and leave the
+    // caps permanently raised after both restore. (Other queries
+    // planned DURING the aggregate still see the raised caps — an
+    // inherent property of session-scoped confs; callers needing full
+    // isolation should use `df.sparkSession.newSession()`.)
+    ConfLock.synchronized {
+      val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+      try {
+        keys.foreach { case (k, v) =>
+          conf.set(k, math.max(v, conf.getOption(k).map(_.toLong).getOrElse(0L)).toString)
+        }
+        df.select(call_function("bloom_agg", xxhash64(keyCol),
+            lit(expectedItems), lit(bits)).as("bf"))
+          .head.getAs[Array[Byte]](0)
+      } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
   }
+
+  private object ConfLock
 
   /** Probe column: true iff `keyCol` MIGHT be in the filter (false ⇒
     * definitely absent). */

@@ -53,11 +53,10 @@ object Zorder {
 
   /** Append a `_z` column over `cols` (one stats job for the ranges). */
   def withZvalue(df: DataFrame, cols: Seq[String], bits: Int = Bits): DataFrame = {
-    val stats = df.agg(
-      cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"lo_$c"),
-        max(col(c)).cast("double").as(s"hi_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"lo_$c"),
-        max(col(c)).cast("double").as(s"hi_$c"))).tail: _*).head()
+    val rangeCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c")))
+    val stats = df.agg(rangeCols.head, rangeCols.tail: _*).head()
     val norms = cols.map { c =>
       normalize(col(c), stats.getAs[Double](s"lo_$c"),
         stats.getAs[Double](s"hi_$c"), bits)

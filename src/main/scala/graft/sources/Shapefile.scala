@@ -173,22 +173,29 @@ object Shapefile {
     if (fs.isEmpty) return bad("no field descriptors")
     if (1 + fs.map(_._2).sum != recSize)
       return bad(s"field widths ${fs.map(_._2).sum}+1 != record size $recSize")
-    (0 until nRec).flatMap { i =>
+    // clamp the header's record count to what the bytes can actually
+    // hold: a corrupt count (up to Int.MaxValue — the field is
+    // attacker/corruption-controlled) would otherwise materialize
+    // billions of "truncated file" rows in one task; the contract is
+    // ONE quarantine row at the corruption point, like parseShp
+    val fitRec = ((bytes.length.toLong - headerSize) / recSize)
+      .max(0L).min(Int.MaxValue.toLong).toInt
+    val present = math.min(nRec, fitRec)
+    val parsed = (0 until present).map { i =>
       val ro = headerSize + i.toLong * recSize
-      if (ro + recSize > bytes.length)
-        Seq(DbfRecord(path, i + 1, deleted = false, null,
-          s"record ${i + 1}: truncated file"))
-      else {
-        val deleted = bytes(ro.toInt) == '*'
-        var co = ro.toInt + 1
-        val attrs = fs.map { case (n, l) =>
-          val v = new String(bytes, co, l, StandardCharsets.ISO_8859_1).trim
-          co += l
-          n -> v
-        }.toMap
-        Seq(DbfRecord(path, i + 1, deleted, attrs, null))
-      }
+      val deleted = bytes(ro.toInt) == '*'
+      var co = ro.toInt + 1
+      val attrs = fs.map { case (n, l) =>
+        val v = new String(bytes, co, l, StandardCharsets.ISO_8859_1).trim
+        co += l
+        n -> v
+      }.toMap
+      DbfRecord(path, i + 1, deleted, attrs, null)
     }
+    if (nRec > present)
+      parsed :+ DbfRecord(path, present + 1, deleted = false, null,
+        s"truncated file: header declares $nRec records, bytes hold $present")
+    else parsed
   }
 
   /** Read .shp geometry: (path, record_no, geometry_type, px, py,

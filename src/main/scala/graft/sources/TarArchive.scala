@@ -34,8 +34,8 @@ object TarArchive {
 
   val RescueCol = "_malformed"
 
-  case class TarMember(archive: String, member: String, size: Long,
-      content: Array[Byte], _malformed: String)
+  case class TarMember(archive: String, ordinal: Int, member: String,
+      size: Long, content: Array[Byte], _malformed: String)
 
   private def str(b: Array[Byte], off: Int, len: Int): String = {
     val end = {
@@ -53,10 +53,14 @@ object TarArchive {
     else None
   }
 
-  /** Parse one archive's bytes (pure; executor-side). */
+  /** Parse one archive's bytes (pure; executor-side). `ordinal` is the
+    * member's position in the archive — tar semantics let a later
+    * member override an earlier same-path one, and [[samples]] resolves
+    * such repeats deterministically by max ordinal. */
   private[sources] def parseTar(archive: String, bytes: Array[Byte]): Seq[TarMember] = {
     val out = Seq.newBuilder[TarMember]
     var off = 0
+    var ord = 0
     var done = false
     while (!done && off + 512 <= bytes.length) {
       if (bytes.slice(off, off + 512).forall(_ == 0)) done = true // end blocks
@@ -64,7 +68,7 @@ object TarArchive {
         val magic = str(bytes, off + 257, 5)
         val sizeO = octal(bytes, off + 124, 12)
         if (magic != "ustar" || sizeO.isEmpty) {
-          out += TarMember(archive, null, 0L, null,
+          out += TarMember(archive, ord, null, 0L, null,
             s"bad header at offset $off (magic '$magic')")
           done = true // cannot re-frame past a corrupt header
         } else {
@@ -75,27 +79,32 @@ object TarArchive {
             if (prefix.isEmpty) base else s"$prefix/$base"
           }
           val typeflag = bytes(off + 156).toChar
-          val dataStart = off + 512
-          val dataEnd = dataStart + size.toInt
+          // ALL size arithmetic in Long: a corrupt 11-digit octal size
+          // parses to ~8.6e9, and Int math would wrap it into a small
+          // or negative extent that slips past the truncation check
+          // (crashing copyOfRange or silently mis-framing what follows)
+          val dataStart = off.toLong + 512L
+          val dataEnd = dataStart + size
           if (dataEnd > bytes.length) {
-            out += TarMember(archive, name, size, null,
+            out += TarMember(archive, ord, name, size, null,
               s"truncated member (need $size bytes at $dataStart)")
             done = true
           } else {
             if (typeflag == '0' || typeflag == 0.toChar)
-              out += TarMember(archive, name, size,
-                java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd), null)
+              out += TarMember(archive, ord, name, size,
+                java.util.Arrays.copyOfRange(bytes, dataStart.toInt, dataEnd.toInt), null)
             // other typeflags: consume structurally, emit nothing
-            off = dataStart + ((size.toInt + 511) / 512) * 512
+            off = (dataStart + ((size + 511L) / 512L) * 512L).toInt
           }
         }
       }
+      ord += 1
     }
     out.result()
   }
 
-  /** (archive, member, size, content, _malformed) — one row per
-    * regular-file member under `path` (glob `*.tar`). */
+  /** (archive, ordinal, member, size, content, _malformed) — one row
+    * per regular-file member under `path` (glob `*.tar`). */
   def readMembers(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(path)
@@ -104,15 +113,24 @@ object TarArchive {
       .toDF()
   }
 
-  /** WebDataset regroup: members keyed by basename-before-first-dot;
-    * one row per sample with a deterministic ext→bytes map. */
+  /** WebDataset regroup: members keyed by their PATH up to the
+    * basename's first dot (directories stay part of the key, per the
+    * WebDataset convention — `train/0001.jpg` and `val/0001.jpg` are
+    * different samples); one row per sample with a deterministic
+    * ext→bytes map. A repeated identical path inside one archive (tar
+    * append semantics: the later member overrides) resolves to the
+    * LAST occurrence by ordinal — without that dedup,
+    * `map_from_entries` would throw DUPLICATE_MAP_KEY and fail the
+    * whole regroup. */
   def samples(members: DataFrame): DataFrame =
     members.filter(col(RescueCol).isNull)
-      .select(col("archive"),
-        regexp_extract(col("member"), "([^/]+?)\\.[^/]*$", 1).as("sample_key"),
+      .select(col("archive"), col("ordinal"),
+        regexp_extract(col("member"), "^(.*?[^/]+?)\\.[^/]*$", 1).as("sample_key"),
         regexp_extract(col("member"), "[^/]+?\\.([^/]*)$", 1).as("ext"),
         col("content"))
       .filter(col("sample_key") =!= "")
+      .groupBy(col("archive"), col("sample_key"), col("ext"))
+      .agg(max_by(col("content"), col("ordinal")).as("content"))
       .groupBy(col("archive"), col("sample_key"))
       .agg(map_from_entries(array_sort(collect_list(
         struct(col("ext"), col("content"))))).as("parts"))

@@ -38,8 +38,10 @@ object XmlRecords {
 
   val RescueCol = "_malformed"
 
-  private def recordRe(tag: String) = s"(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"
-  private def fieldRe(tag: String) = s"(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"
+  /** `<tag …>inner</tag>` span (records and fields share the shape). */
+  private def spanRe(tag: String) = s"(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"
+  private def recordRe(tag: String) = spanRe(tag)
+  private def fieldRe(tag: String) = spanRe(tag)
   private def fieldHitRe(tag: String) = s"(?is)<$tag(?:\\s[^>]*)?>"
 
   /** CDATA unwrap + entity decode (amp LAST — see HtmlTables). */

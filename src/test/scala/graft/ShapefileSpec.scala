@@ -176,4 +176,20 @@ class ShapefileSpec extends AnyFunSuite {
       .filter(col("path").contains("junk")).collect()
     assert(junk.length == 1 && junk(0).getString(6).contains("bad file code"))
   }
+
+  test("dbf: overstated header record count yields ONE quarantine row, not billions") {
+    val d = Files.createTempDirectory("graft-dbf-bad").toString
+    val bytes = dbfFile(Seq(("NAME", 'C', 10)), Seq((false, Seq("only"))))
+    // corrupt the count field to Int.MaxValue: the reader must parse
+    // the one record the bytes hold and quarantine the rest as a
+    // single truncation row (materializing 2^31 malformed rows would
+    // OOM the task)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).putInt(4, Int.MaxValue)
+    Files.write(Paths.get(d, "bad.dbf"), bytes)
+    val rows = Shapefile.readDbf(spark, d).collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.getString(4) == null) == 1)
+    val q = rows.find(_.getString(4) != null).get
+    assert(q.getString(4).contains("truncated file"))
+  }
 }
