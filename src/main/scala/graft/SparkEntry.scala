@@ -85,6 +85,7 @@ object SparkEntry {
     "q72_resample_locf" -> operators.Resample.hourlyLocf,
     "q73_snapshot_diff" -> operators.Diff.customerDiff,
     "q74_lm_fluency" -> textstats.Fluency.fluencyScore,
+    "q75_fuzzy_join" -> operators.FuzzyJoin.fuzzyPartMatch,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -288,5 +289,6 @@ object SparkEntry {
     "q72_resample_locf" -> operators.Resample.hourlyLocfSql,
     "q73_snapshot_diff" -> operators.Diff.customerDiffSql,
     "q74_lm_fluency" -> textstats.Fluency.fluencyScoreSql,
+    "q75_fuzzy_join" -> operators.FuzzyJoin.fuzzyPartMatchSql,
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Blocked fuzzy join — entity resolution on near-equal names. The
+  * reference's cross-dataset town matching only works after manual
+  * normalization (title-case, direction expansion — q6) because its
+  * joins are exact; real scraped names also carry TYPOS, which no
+  * normalization fixes. The standard scale answer: a BLOCKED
+  * similarity join — equi-join on a cheap blocking key so candidate
+  * pairs are bounded, then an exact edit-distance filter on the
+  * candidates. Never an all-pairs comparison.
+  *
+  * Blocking key: the first [[BlockPrefix]] chars of the normalized
+  * name. Documented trade (inherent to blocking): matches whose edits
+  * fall inside the prefix are missed; widen recall by unioning a
+  * second pass on a different key (e.g. suffix or sorted-token key) —
+  * same plan shape. Candidates pass iff `levenshtein ≤ maxDist` —
+  * Spark and DuckDB both implement unit-cost Levenshtein, so the
+  * oracle is exact.
+  *
+  * Scale shape: one equi-join on (prefix key) + a per-candidate scalar
+  * filter; pair work is Σ block², controlled by prefix length; skewed
+  * blocks split by AQE. The q75 registration matches part names
+  * against a deterministically-corrupted twin (char dropped / vowel
+  * doubled by key mod — synthesized IN-QUERY identically on both
+  * engines), the q6/q41 technique.
+  */
+object FuzzyJoin {
+
+  val BlockPrefix = 2
+  val MaxDist = 1
+
+  /** Generic blocked fuzzy join: (aKey, aName) × (bKey, bName) pairs
+    * with normalized-name edit distance ≤ maxDist, blocked on the
+    * normalized prefix. */
+  def fuzzyJoin(a: DataFrame, b: DataFrame, maxDist: Int = MaxDist): DataFrame = {
+    val an = a.select(col("a_key"), col("a_name"),
+      lower(trim(col("a_name"))).as("an"))
+      .withColumn("blk", substring(col("an"), 1, BlockPrefix))
+    val bn = b.select(col("b_key"), col("b_name"),
+      lower(trim(col("b_name"))).as("bn"))
+      .withColumn("blk", substring(col("bn"), 1, BlockPrefix))
+    an.join(bn, "blk")
+      .filter(levenshtein(col("an"), col("bn")) <= maxDist)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+        levenshtein(col("an"), col("bn")).as("dist"))
+  }
+
+  /** q75: entity resolution the way it actually scales — match
+    * DISTINCT name strings, not rows. Matching cost is bounded by the
+    * entity vocabulary (the distinct-name aggregate), NOT the corpus:
+    * a 100 TB fact with 1e6 distinct names does 1e6-scale matching and
+    * broadcast-maps results back; matching raw rows would square the
+    * corpus. Each distinct name (keyed by its min p_partkey — the
+    * deterministic canonical) is matched against a corrupted twin:
+    * key%3==0 → 4th char dropped, key%3==1 → 3rd char doubled,
+    * key%3==2 → unchanged. Every corruption is 1 edit past position
+    * [[BlockPrefix]], so the blocked join must recover ALL twins
+    * (spec-asserted; the oracle checks the full pair set). */
+  def fuzzyPartMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy("p_name").agg(min("p_partkey").as("k"))
+    val a = names.selectExpr("k AS a_key", "p_name AS a_name")
+    val b = names.selectExpr("k + 1000000 AS b_key",
+      """CASE
+        |  WHEN k % 3 = 0 THEN concat(substr(p_name, 1, 3), substr(p_name, 5))
+        |  WHEN k % 3 = 1 THEN concat(substr(p_name, 1, 3), substr(p_name, 3))
+        |  ELSE p_name
+        |END AS b_name""".stripMargin)
+    fuzzyJoin(a, b)
+  }
+
+  val fuzzyPartMatchSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS k
+       |  FROM part GROUP BY 1),
+       |a AS (
+       |  SELECT k AS a_key, p_name AS a_name, lower(trim(p_name)) AS an
+       |  FROM names),
+       |b0 AS (
+       |  SELECT k + 1000000 AS b_key,
+       |    CASE
+       |      WHEN k % 3 = 0 THEN concat(substr(p_name, 1, 3), substr(p_name, 5))
+       |      WHEN k % 3 = 1 THEN concat(substr(p_name, 1, 3), substr(p_name, 3))
+       |      ELSE p_name
+       |    END AS b_name
+       |  FROM names),
+       |b AS (SELECT b_key, b_name, lower(trim(b_name)) AS bn FROM b0)
+       |SELECT a.a_key, b.b_key, a.a_name, b.b_name,
+       |  levenshtein(a.an, b.bn) AS dist
+       |FROM a JOIN b ON substr(a.an, 1, $BlockPrefix) = substr(b.bn, 1, $BlockPrefix)
+       |WHERE levenshtein(a.an, b.bn) <= $MaxDist""".stripMargin
+}

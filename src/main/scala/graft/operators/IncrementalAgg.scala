@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   * batch, ever. Pair with [[graft.sinks.ReplaceSink]] (state swap) or
   * [[graft.sinks.KeyedOverwriteSink]] (per-partition state) for the
   * storage side.
+  *
+  * Streaming-native for free: mergeable sufficient statistics are
+  * exactly what Structured Streaming's state store maintains, so
+  * [[partial]] applied to a streaming frame IS the continuously-
+  * updated rollup (StreamingSpec asserts stream-vs-batch parity with
+  * zero additional code).
   */
 object IncrementalAgg {
 

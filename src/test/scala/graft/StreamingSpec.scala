@@ -477,6 +477,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming rollup: IncrementalAgg.partial over a stream equals the batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the SAME partial() code runs as a continuously-maintained
+    // streaming aggregate — mergeable sufficient stats are exactly
+    // what Structured Streaming's state store needs
+    val rows = Seq(("a", 1.5), ("b", 2.0), ("a", -3.25), ("c", 7.0),
+      ("b", 2.0), ("a", 10.0))
+    val input = MemoryStream[(String, Double)]
+    val q = operators.IncrementalAgg.partial(
+        input.toDF().toDF("k", "x"), "k", "x")
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("rollup").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val want = operators.IncrementalAgg.partial(
+          rows.toDF("k", "x"), "k", "x").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming SCD-2: ordered replay reproduces the batch operator's closed versions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
