@@ -86,6 +86,7 @@ object SparkEntry {
     "q73_snapshot_diff" -> operators.Diff.customerDiff,
     "q74_lm_fluency" -> textstats.Fluency.fluencyScore,
     "q75_fuzzy_join" -> operators.FuzzyJoin.fuzzyPartMatch,
+    "q76_funnel" -> operators.Funnel.windowFunnel,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -290,5 +291,6 @@ object SparkEntry {
     "q73_snapshot_diff" -> operators.Diff.customerDiffSql,
     "q74_lm_fluency" -> textstats.Fluency.fluencyScoreSql,
     "q75_fuzzy_join" -> operators.FuzzyJoin.fuzzyPartMatchSql,
+    "q76_funnel" -> operators.Funnel.windowFunnelSql,
   )
 }
