@@ -21,7 +21,9 @@ import graft.Tables
   * step-3 time in (t₂, t₁+W] — the fold picks the first qualifying
   * event in sorted order, which is exactly that conditional minimum,
   * so the two formulations agree on every discrete value (no floats
-  * anywhere).
+  * anywhere). Null-time events cannot anchor or advance a funnel
+  * (mirroring the oracle's null-skipping `min`), and a null user key
+  * is one group on both sides (the oracle joins null-safely).
   *
   * Scale shape: one `collect_list` aggregate keyed by user — per-user
   * state is the user's own event history (the same bound ClickHouse
@@ -44,7 +46,11 @@ object Funnel {
   def windowFunnelOn(events: DataFrame): DataFrame = {
     val caseArms = Steps.zipWithIndex.map { case (step, i) =>
       if (i == 0)
-        s"WHEN acc.stage = 0 AND e.event_type = '$step' " +
+        // ts IS NOT NULL: a null-time step-1 event must not anchor the
+        // funnel at a NULL t0 (which would stall every later arm's
+        // comparison) — the oracle's min(ts) skips nulls, and the later
+        // arms already null-propagate to ELSE acc
+        s"WHEN acc.stage = 0 AND e.event_type = '$step' AND e.ts IS NOT NULL " +
           s"THEN named_struct('stage', 1, 't0', e.ts, 'tp', e.ts)"
       else
         s"WHEN acc.stage = $i AND e.event_type = '$step' AND e.ts > acc.tp " +
@@ -89,7 +95,7 @@ object Funnel {
        |       ELSE 0 END AS stage,
        |  t1.t1 AS anchor_ts
        |FROM (SELECT DISTINCT user_id FROM events) u
-       |LEFT JOIN t1 USING (user_id)
-       |LEFT JOIN t2 USING (user_id)
-       |LEFT JOIN t3 USING (user_id)""".stripMargin
+       |LEFT JOIN t1 ON u.user_id IS NOT DISTINCT FROM t1.user_id
+       |LEFT JOIN t2 ON u.user_id IS NOT DISTINCT FROM t2.user_id
+       |LEFT JOIN t3 ON u.user_id IS NOT DISTINCT FROM t3.user_id""".stripMargin
 }

@@ -45,9 +45,12 @@ object FuzzyJoin {
       lower(trim(col("b_name"))).as("bn"))
       .withColumn("blk", substring(col("bn"), 1, BlockPrefix))
     an.join(bn, "blk")
-      .filter(levenshtein(col("an"), col("bn")) <= maxDist)
+      // compute the O(|s|²) distance ONCE per candidate: Catalyst does
+      // not share the subexpression between a Filter and a Project
+      .withColumn("dist", levenshtein(col("an"), col("bn")))
+      .filter(col("dist") <= maxDist)
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
-        levenshtein(col("an"), col("bn")).as("dist"))
+        col("dist"))
   }
 
   /** q75: entity resolution the way it actually scales — match

@@ -37,7 +37,13 @@ class FunnelSpec extends AnyFunSuite {
       // user 6: purchase at the exact window edge -> stage 3 (<= bound)
       (6L, 12L, "view", ts("2024-01-01 00:00:00")),
       (6L, 13L, "click", ts("2024-01-02 00:00:00")),
-      (6L, 14L, "purchase", ts("2024-01-08 00:00:00"))
+      (6L, 14L, "purchase", ts("2024-01-08 00:00:00")),
+      // user 7: a NULL-time view must not anchor (and must not stall
+      // the real funnel that follows)
+      (7L, 15L, "view", null.asInstanceOf[Timestamp]),
+      (7L, 16L, "view", ts("2024-02-01 00:00:00")),
+      (7L, 17L, "click", ts("2024-02-02 00:00:00")),
+      (7L, 18L, "purchase", ts("2024-02-03 00:00:00"))
     ).toDF("user_id", "event_id", "event_type", "ts")
     val got = operators.Funnel.windowFunnelOn(events)
       .collect().map(r => r.getLong(0) ->
@@ -48,6 +54,7 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(4L) == ((2, Some(ts("2024-01-01 00:00:00")))))
     assert(got(5L) == ((0, None)))
     assert(got(6L) == ((3, Some(ts("2024-01-01 00:00:00")))))
+    assert(got(7L) == ((3, Some(ts("2024-02-01 00:00:00")))))
   }
 
   test("q76 shape: one row per user, stages within 0..3, one shuffle") {
