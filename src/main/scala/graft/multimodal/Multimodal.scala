@@ -723,8 +723,16 @@ object Multimodal {
 
   // ---- REAL image decode: GIF (LZW) ----
 
-  /** Decoded GIF metadata + content stats (first frame). */
-  case class GifMeta(doc_id: Long, width: Int, height: Int, n_colors: Int,
+  /** Decoded GIF metadata + content stats (first frame).
+    * `width`/`height` are the FIRST IMAGE DESCRIPTOR's (frame) dims —
+    * the pixel grid `n_colors` and the channel means were computed
+    * over — while `screen_width`/`screen_height` carry the logical
+    * screen descriptor, which may be larger for a GIF whose first
+    * frame covers only part of the canvas. Mixing the two frames of
+    * reference (screen dims + frame-pixel means) was a round-6 advice
+    * finding; both are reported so they can never disagree silently. */
+  case class GifMeta(doc_id: Long, width: Int, height: Int,
+      screen_width: Int, screen_height: Int, n_colors: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
   /** Synthesize a VALID GIF per document via the JDK's own ImageIO
@@ -849,7 +857,7 @@ object Multimodal {
             k += 1
           }
           val n = (iw * ih).toDouble
-          return Some(GifMeta(id, sw, sh, pal.length,
+          return Some(GifMeta(id, iw, ih, sw, sh, pal.length,
             sr / n, sg / n, sb / n))
         case _ => return None
       }

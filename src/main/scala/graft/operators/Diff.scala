@@ -23,7 +23,15 @@ object Diff {
 
   /** Generic snapshot diff on `key`; compares `cols` null-safely.
     * Output: (key, status, changed_cols) — `changed_cols` is the
-    * comma-joined name list (empty for added/removed). */
+    * comma-joined name list (empty for added/removed).
+    *
+    * PRECONDITION: `key` must be unique within EACH snapshot. A
+    * duplicated key fans out the full-outer join (m×n rows for that
+    * key) and emits multiple, potentially contradictory status rows.
+    * Callers with possibly-duplicated feeds should pre-aggregate to
+    * one row per key (e.g. latest by a version column) before
+    * diffing; this operator deliberately does not guess a collapse
+    * rule. The registered q73 key (`c_custkey`) is unique by schema. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       key: String, cols: Seq[String]): DataFrame = {
     val o = cols.foldLeft(oldSnap.select((key +: cols).map(col): _*)) {

@@ -28,7 +28,16 @@ import graft.Tables
   * aggregate + a `sequence` explode of the grid + a left join + ONE
   * per-user ordered window (O(1) running state). Grid row count is
   * Σ user-spans — bounded by time horizon × active users, not by
-  * event count; the window partitions by user, so no global sort. */
+  * event count; the window partitions by user, so no global sort.
+  *
+  * VALUE-DOMAIN ASSUMPTION: the +count·1e10 positive shift (below)
+  * reconciles Spark's truncating `div` with DuckDB's flooring `//`
+  * ONLY while the shifted numerator stays non-negative, i.e. while
+  * the per-hour mean of floor(value·1e4) is ≥ −1e10 — values must
+  * exceed −1e6. The events feed is bounded far inside that (|value|
+  * < 1e4); callers resampling a different feed with more-negative
+  * values must re-size the shift constant (same constant in BOTH the
+  * Spark chain and the SQL twin) from the data's min. */
 object Resample {
 
   /** q72: (user_id, hour, n_events, value_filled, is_gap). */

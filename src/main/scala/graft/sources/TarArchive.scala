@@ -117,18 +117,27 @@ object TarArchive {
     * basename's first dot (directories stay part of the key, per the
     * WebDataset convention — `train/0001.jpg` and `val/0001.jpg` are
     * different samples); one row per sample with a deterministic
-    * ext→bytes map. A repeated identical path inside one archive (tar
-    * append semantics: the later member overrides) resolves to the
-    * LAST occurrence by ordinal — without that dedup,
-    * `map_from_entries` would throw DUPLICATE_MAP_KEY and fail the
-    * whole regroup. */
+    * ext→bytes map. A member whose basename has NO dot (an
+    * extension-less label file like `train/0001`, or a dotfile) is
+    * keyed by its FULL path with `ext = ''` — never silently dropped
+    * (the source's no-silent-drop contract); note this means
+    * `train/0001` regroups into the same sample as `train/0001.jpg`,
+    * which is the WebDataset reading of an ext-less sibling. A
+    * repeated identical path inside one archive (tar append
+    * semantics: the later member overrides) resolves to the LAST
+    * occurrence by ordinal — without that dedup, `map_from_entries`
+    * would throw DUPLICATE_MAP_KEY and fail the whole regroup. */
   def samples(members: DataFrame): DataFrame =
     members.filter(col(RescueCol).isNull)
       .select(col("archive"), col("ordinal"),
-        regexp_extract(col("member"), "^(.*?[^/]+?)\\.[^/]*$", 1).as("sample_key"),
+        // regexp_extract yields '' on no match → dotless basenames
+        // fall through to the full member path
+        when(regexp_extract(col("member"), "^(.*?[^/]+?)\\.[^/]*$", 1) === "",
+          col("member"))
+          .otherwise(regexp_extract(col("member"), "^(.*?[^/]+?)\\.[^/]*$", 1))
+          .as("sample_key"),
         regexp_extract(col("member"), "[^/]+?\\.([^/]*)$", 1).as("ext"),
         col("content"))
-      .filter(col("sample_key") =!= "")
       .groupBy(col("archive"), col("sample_key"), col("ext"))
       .agg(max_by(col("content"), col("ordinal")).as("content"))
       .groupBy(col("archive"), col("sample_key"))

@@ -274,6 +274,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseGif(1L, trunc).isEmpty)
   }
 
+  test("GIF decode: frame smaller than logical screen keeps dims and means consistent") {
+    import spark.implicits._
+    val docs = Seq((7L, "frame vs screen")).toDF("doc_id", "text")
+    val (id, bytes) = Multimodal.gifPayloads(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).head
+    val base = Multimodal.parseGif(id, bytes).get
+    // enlarge the logical screen descriptor (bytes 6..9, LE u16) so the
+    // first frame covers only part of the canvas — a valid GIF shape
+    // the JDK writer never emits (it always writes frame == screen)
+    val patched = bytes.clone()
+    val (sw, sh) = (base.width + 5, base.height + 3)
+    patched(6) = (sw & 0xFF).toByte; patched(7) = ((sw >> 8) & 0xFF).toByte
+    patched(8) = (sh & 0xFF).toByte; patched(9) = ((sh >> 8) & 0xFF).toByte
+    val got = Multimodal.parseGif(id, patched).get
+    // width/height stay the frame (pixel-grid) dims the means were
+    // computed over; the enlarged canvas is reported separately
+    assert(got.width == base.width && got.height == base.height)
+    assert(got.screen_width == sw && got.screen_height == sh)
+    assert(got.mean_r == base.mean_r && got.mean_g == base.mean_g &&
+      got.mean_b == base.mean_b)
+  }
+
   test("audio features: pure tones land on analytic ZCR and spectral centroid") {
     import spark.implicits._
     // 16-bit mono sine exactly on a DFT bin (f = k·rate/N): no leakage,
