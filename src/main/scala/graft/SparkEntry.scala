@@ -87,6 +87,10 @@ object SparkEntry {
     "q74_lm_fluency" -> textstats.Fluency.fluencyScore,
     "q75_fuzzy_join" -> operators.FuzzyJoin.fuzzyPartMatch,
     "q76_funnel" -> operators.Funnel.windowFunnel,
+    "q77_triangles" -> operators.Triangles.partCopurchase,
+    "q78_cube" -> operators.Relational.cubeStats,
+    "q79_inverted_index" -> textstats.InvertedIndex.invertedIndex,
+    "q80_attribution" -> operators.Attribution.lastTouch,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -292,5 +296,9 @@ object SparkEntry {
     "q74_lm_fluency" -> textstats.Fluency.fluencyScoreSql,
     "q75_fuzzy_join" -> operators.FuzzyJoin.fuzzyPartMatchSql,
     "q76_funnel" -> operators.Funnel.windowFunnelSql,
+    "q77_triangles" -> operators.Triangles.partCopurchaseSql,
+    "q78_cube" -> operators.Relational.cubeStatsSql,
+    "q79_inverted_index" -> textstats.InvertedIndex.invertedIndexSql,
+    "q80_attribution" -> operators.Attribution.lastTouchSql,
   )
 }

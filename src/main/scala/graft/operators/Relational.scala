@@ -404,4 +404,27 @@ object Relational {
       |  round(sum(o_totalprice), 4) + 0.0 AS total_price,
       |  round(avg(o_totalprice), 4) + 0.0 AS avg_price
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** q78: CUBE completes the grouping-set lattice q43's rollup started —
+    * ALL 2^k dim subsets (detail, each one-dim margin, grand total) in
+    * ONE Expand + map-side-combined hash aggregate; the OLAP cross-tab
+    * with margins the reference's dashboard derives by re-querying per
+    * dimension. Same grouping_id bit-order contract as q43 (verified
+    * identical to DuckDB `GROUPING`). */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_items"),
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"))
+
+  val cubeStatsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_items,
+      |  round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+      |  round(avg(l_extendedprice), 4) + 0.0 AS avg_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 }

@@ -171,6 +171,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(sub.count() == detail.select("o_orderstatus").distinct().count())
   }
 
+  test("q78 cube: all four grouping sets present and mutually consistent") {
+    val df = operators.Relational.cubeStats(spark, dir).cache()
+    val detail = df.filter(col("gid") === 0)
+    val byFlag = df.filter(col("gid") === 1)   // l_linestatus nulled
+    val byStatus = df.filter(col("gid") === 2) // l_returnflag nulled
+    val grand = df.filter(col("gid") === 3)
+    assert(grand.count() == 1)
+    val total = grand.head.getAs[Long]("n_items")
+    for (level <- Seq(detail, byFlag, byStatus))
+      assert(level.agg(sum("n_items")).head.getLong(0) == total)
+    // cube (unlike q43's rollup) carries BOTH one-dim margins
+    assert(byFlag.count() == detail.select("l_returnflag").distinct().count())
+    assert(byStatus.count() == detail.select("l_linestatus").distinct().count())
+  }
+
   test("q50 transitions: probabilities sum to 1 per source, pair counts conserve events") {
     val df = operators.Events.transitions(spark, dir).cache()
     // per from_type, p sums to ~1
