@@ -91,6 +91,7 @@ object SparkEntry {
     "q78_cube" -> operators.Relational.cubeStats,
     "q79_inverted_index" -> textstats.InvertedIndex.invertedIndex,
     "q80_attribution" -> operators.Attribution.lastTouch,
+    "q81_bpe_tokens" -> textstats.Bpe.bpeSegment,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -300,5 +301,6 @@ object SparkEntry {
     "q78_cube" -> operators.Relational.cubeStatsSql,
     "q79_inverted_index" -> textstats.InvertedIndex.invertedIndexSql,
     "q80_attribution" -> operators.Attribution.lastTouchSql,
+    "q81_bpe_tokens" -> textstats.Bpe.bpeSegmentSql,
   )
 }
