@@ -92,6 +92,7 @@ object SparkEntry {
     "q79_inverted_index" -> textstats.InvertedIndex.invertedIndex,
     "q80_attribution" -> operators.Attribution.lastTouch,
     "q81_bpe_tokens" -> textstats.Bpe.bpeSegment,
+    "q82_bm25" -> textstats.Bm25.bm25,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -302,5 +303,6 @@ object SparkEntry {
     "q79_inverted_index" -> textstats.InvertedIndex.invertedIndexSql,
     "q80_attribution" -> operators.Attribution.lastTouchSql,
     "q81_bpe_tokens" -> textstats.Bpe.bpeSegmentSql,
+    "q82_bm25" -> textstats.Bm25.bm25Sql,
   )
 }

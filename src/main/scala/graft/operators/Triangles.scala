@@ -41,13 +41,20 @@ object Triangles {
     *
     * @param edges (`a`, `b`) Long ids, one row per undirected edge in
     *              either order; duplicates and self-loops are cleaned.
+    * @param assumeCanonical skip the cleanup shuffle when the caller
+    *              guarantees one row per edge with `a < b` (q77's
+    *              support aggregate already does) — one exchange saved.
     * @return (`id`, `degree`, `n_triangles`, `clustering_ppm`).
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val und = edges.selectExpr("least(a, b) AS a", "greatest(a, b) AS b")
-      .filter(col("a") =!= col("b")).distinct()
+  def triangles(edges: DataFrame, assumeCanonical: Boolean = false): DataFrame = {
+    // the edge list feeds degree counting, orientation, and the closure
+    // probe — persist it (and the degree dim) so an expensive upstream
+    // edge build (e.g. q77's co-purchase self-join) runs exactly once
+    val und = (if (assumeCanonical) edges.select("a", "b")
+      else edges.selectExpr("least(a, b) AS a", "greatest(a, b) AS b")
+        .filter(col("a") =!= col("b")).distinct()).persist()
     val deg = und.selectExpr("a AS id").unionByName(und.selectExpr("b AS id"))
-      .groupBy("id").agg(count(lit(1)).as("d"))
+      .groupBy("id").agg(count(lit(1)).as("d")).persist()
     // orient each edge from the (degree, id)-smaller endpoint
     val oriented = und
       .join(deg.selectExpr("id AS a", "d AS da"), "a")
@@ -75,32 +82,49 @@ object Triangles {
         "coalesce(n_triangles, 0) AS n_triangles",
         "CASE WHEN d >= 2 THEN (2 * coalesce(n_triangles, 0) * 1000000)" +
           " div (d * (d - 1)) ELSE 0 END AS clustering_ppm")
-      .localCheckpoint(true) // materialize before releasing the oriented frame
-    oriented.unpersist()
+      .localCheckpoint(true) // materialize before releasing cached frames
+    oriented.unpersist(); und.unpersist(); deg.unpersist()
     out
   }
 
+  /** Minimum co-occurrence support for a part pair to count as an
+    * edge — the standard market-basket prune. Without it every
+    * one-off co-purchase is an edge and the graph densifies with
+    * corpus size (avg degree grows ∝ orders/part), which quadratically
+    * inflates the wedge set; with it, edge count tracks the REPEATED
+    * structure the analysis is after and stays near-linear in parts. */
+  val MinSupport = 2L
+
   /** q77: triangles over the part co-purchase graph — parts are linked
-    * when some order contains both (per-order pair fan-out is bounded
-    * by the order's line count, so the edge build is a groupBy +
-    * bounded combination explode, never a corpus self-join). */
+    * when at least [[MinSupport]] orders contain both (per-order pair
+    * fan-out is bounded by the order's line count, so the edge build is
+    * an equi-join + map-side-combined support count, never a corpus
+    * self-join). */
   def partCopurchase(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
+    // TWO shuffles to the edge list: collect each order's part set
+    // (collect_set partial-aggregates map-side; sets are bounded by the
+    // order's line count), explode the a<b combinations as a pure
+    // projection, then one support count — no corpus self-join, no
+    // pre-distinct pass
+    val edges = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = pairs.selectExpr("ok", "p AS a")
-      .join(pairs.selectExpr("ok", "p AS b"), "ok")
+      .groupBy("ok").agg(collect_set(col("p")).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
       .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
       .select("a", "b")
-    triangles(edges)
+    triangles(edges, assumeCanonical = true)
   }
 
   val partCopurchaseSql: String =
     """WITH pairs AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
       |und AS (
-      |  SELECT DISTINCT x.p AS a, y.p AS b
-      |  FROM pairs x JOIN pairs y ON x.ok = y.ok AND x.p < y.p),
+      |  SELECT x.p AS a, y.p AS b
+      |  FROM pairs x JOIN pairs y ON x.ok = y.ok AND x.p < y.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |deg AS (
       |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
       |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
