@@ -93,6 +93,8 @@ object SparkEntry {
     "q80_attribution" -> operators.Attribution.lastTouch,
     "q81_bpe_tokens" -> textstats.Bpe.bpeSegment,
     "q82_bm25" -> textstats.Bm25.bm25,
+    "q83_auc" -> operators.Eval.qualityAuc,
+    "q84_apply_cdc" -> operators.Cdc.customerApply,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -304,5 +306,7 @@ object SparkEntry {
     "q80_attribution" -> operators.Attribution.lastTouchSql,
     "q81_bpe_tokens" -> textstats.Bpe.bpeSegmentSql,
     "q82_bm25" -> textstats.Bm25.bm25Sql,
+    "q83_auc" -> operators.Eval.qualityAucSql,
+    "q84_apply_cdc" -> operators.Cdc.customerApplySql,
   )
 }

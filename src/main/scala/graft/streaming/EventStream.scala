@@ -369,4 +369,49 @@ object EventStream {
           out.iterator
       }
   }
+
+  // ---- streaming last-touch attribution (twin of Attribution.lastTouch) ----
+
+  case class AttrEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String, value: Option[Double])
+  case class AttrConv(user_id: Long, ts: Timestamp, touch_type: String,
+      value: Double)
+  case class TouchState(t_type: String, t_ts: Long)
+
+  /** Streaming twin of [[graft.operators.Attribution.lastTouch]]: each
+    * user keeps ONE small state record — the last touch's type and
+    * time (state bounded by the user dimension, not the event stream)
+    * — and every purchase is credited the moment it arrives (append
+    * mode): to that touch if it is within the lookback window, else
+    * `organic`. Within a micro-batch a user's events apply in
+    * (ts, event_id) order — the batch operator's exact total order;
+    * across batches, arrival order governs. Replaying a user's events
+    * in order reproduces the batch window's per-conversion crediting
+    * EXACTLY (spec-asserted): the rollup to (touch_type, revenue) is a
+    * downstream aggregation either way. */
+  def attributionStream(events: Dataset[AttrEvent],
+      lookbackDays: Int = graft.operators.Attribution.LookbackDays): Dataset[AttrConv] = {
+    import events.sparkSession.implicits._
+    val touches = Set("view", "click", "signup")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttrConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, st: GroupState[TouchState]) =>
+          var cur = st.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[AttrConv]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            if (r.event_type == "purchase") {
+              val credited = cur match {
+                case Some(t) if r.ts.getTime - t.t_ts <= lookbackDays * 86400000L =>
+                  t.t_type
+                case _ => "organic"
+              }
+              out += AttrConv(user, r.ts, credited, r.value.getOrElse(0.0))
+            } else if (touches(r.event_type))
+              cur = Some(TouchState(r.event_type, r.ts.getTime))
+          }
+          cur.foreach(st.update)
+          out.iterator
+      }
+  }
 }

@@ -541,6 +541,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution: ordered replay reproduces the batch rollup exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the registered q80 rollup
+    val batch = operators.Attribution.lastTouch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val feed = Tables.events(spark, dir)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"), col("value"))
+      .as[EventStream.AttrEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[EventStream.AttrEvent]
+    val q = EventStream.attributionStream(input.toDS()).writeStream
+      .format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // ordered replay across three micro-batches: the carried touch
+      // must survive batch boundaries in state
+      val (b1, rest) = feed.splitAt(feed.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(b3.toSeq); q.processAllAvailable()
+      // roll per-conversion rows up exactly the way the batch query does
+      val got = spark.table("attr")
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_conversions"),
+          (expr("sum(CAST(floor(value * 10000) AS BIGINT))") / 10000.0).as("revenue"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming packer: ordered replay reproduces the batch packer exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
