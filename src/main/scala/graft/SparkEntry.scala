@@ -95,6 +95,7 @@ object SparkEntry {
     "q82_bm25" -> textstats.Bm25.bm25,
     "q83_auc" -> operators.Eval.qualityAuc,
     "q84_apply_cdc" -> operators.Cdc.customerApply,
+    "q85_para_dedup" -> ((s, d) => dedup.Paragraphs.dedupParagraphs(s, d)),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -308,5 +309,6 @@ object SparkEntry {
     "q82_bm25" -> textstats.Bm25.bm25Sql,
     "q83_auc" -> operators.Eval.qualityAucSql,
     "q84_apply_cdc" -> operators.Cdc.customerApplySql,
+    "q85_para_dedup" -> dedup.Paragraphs.dedupParagraphsSql,
   )
 }

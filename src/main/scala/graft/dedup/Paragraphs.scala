@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Paragraph-level exact dedup — the CCNet / RefinedWeb pipeline rung:
+  * hash every paragraph, keep only the globally FIRST occurrence of
+  * each, drop later repeats (boilerplate headers, navigation chrome,
+  * license blocks — the mass of web-crawl duplication lives BETWEEN
+  * the document level q19 catches and the substring level q62/q63
+  * catch), and rebuild the cleaned text. Completes the dedup ladder:
+  * document (q19/q20/q21) → paragraph (this) → substring (q62/q63) →
+  * semantic (q56).
+  *
+  * First-occurrence election is the q63 technique: ONE
+  * map-side-combined `min` per paragraph hash — never a window over
+  * the hash key, so a paragraph repeated 1e8× partial-aggregates to
+  * one row per partition instead of landing one hot task. The
+  * election key packs (doc_id, para_ix) into a single Long
+  * (`doc_id·1e6 + ix` — valid while docs hold < 1e6 paragraphs, which
+  * a 100 TB web corpus satisfies per-document by orders); a corpus
+  * with larger ids swaps in `min(struct(doc_id, ix))`, same plan.
+  *
+  * The testdata corpus carries no newlines, so "paragraphs" are
+  * deterministic [[ParaTokens]]-token blocks; production input splits
+  * on '\n' instead — one expression swap, identical shape.
+  */
+object Paragraphs {
+
+  val ParaTokens = 10
+
+  /** Paragraph dedup over (doc_id, text).
+    * @return (doc_id, n_paras, n_kept, cleaned_text) — cleaned_text
+    *         NULL when every paragraph was a repeat. */
+  def dedupParagraphs(docs: DataFrame): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(ceil(size(tk) / $ParaTokens.0) AS INT) - 1)," +
+            s" i -> array_join(slice(tk, i * $ParaTokens + 1, $ParaTokens), ' '))")))
+      .select(col("doc_id"), col("pos").as("para_ix"), col("col").as("para"))
+    val firsts = paras
+      .groupBy(md5(col("para")).as("h"))
+      .agg(min(col("doc_id") * 1000000L + col("para_ix")).as("fr"))
+    paras
+      .join(firsts, md5(col("para")) === col("h"))
+      .withColumn("keep", col("doc_id") * 1000000L + col("para_ix") === col("fr"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        nullif(
+          array_join(
+            transform(
+              filter(array_sort(collect_list(
+                struct(col("para_ix"), col("keep"), col("para")))),
+                s => s("keep")),
+              s => s("para")),
+            " "),
+          lit("")).as("cleaned_text"))
+  }
+
+  /** q85 over the documents table. */
+  def dedupParagraphs(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphs(Tables.documents(spark, dir))
+
+  val dedupParagraphsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |paras AS (
+       |  SELECT doc_id, i AS para_ix,
+       |    array_to_string(tk[(i * $ParaTokens + 1):((i + 1) * $ParaTokens)], ' ') AS para
+       |  FROM (
+       |    SELECT doc_id, tk,
+       |      unnest(generate_series(0, CAST(ceil(len(tk) / $ParaTokens.0) AS INT) - 1)) AS i
+       |    FROM toks)),
+       |firsts AS (
+       |  SELECT md5(para) AS h, min(doc_id * 1000000 + para_ix) AS fr
+       |  FROM paras GROUP BY 1),
+       |kept AS (
+       |  SELECT p.doc_id, p.para_ix, p.para,
+       |    (p.doc_id * 1000000 + p.para_ix) = f.fr AS keep
+       |  FROM paras p JOIN firsts f ON md5(p.para) = f.h)
+       |SELECT doc_id, count(*) AS n_paras,
+       |  CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_kept,
+       |  string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY para_ix) AS cleaned_text
+       |FROM kept GROUP BY doc_id""".stripMargin
+}

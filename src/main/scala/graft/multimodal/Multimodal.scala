@@ -943,4 +943,99 @@ object Multimodal {
 
   private def outToInts(out: java.io.ByteArrayOutputStream): Array[Int] =
     out.toByteArray.map(_ & 0xFF)
+
+  // ---- JPEG metadata scan (marker walk, NO entropy decode) ----
+
+  /** JPEG frame metadata: dims/components/precision from the SOF
+    * marker, progressive flag, EXIF presence. */
+  case class JpegMeta(doc_id: Long, width: Int, height: Int,
+      n_components: Int, bits: Int, progressive: Boolean, has_exif: Boolean)
+
+  /** Synthesize a valid JPEG per document via the JDK's own ImageIO
+    * writer (like [[gifPayloads]]: writing a DCT+Huffman encoder twice
+    * is pointless; the metadata PARSER below stays independent). */
+  def jpegPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          md.reset()
+          val h = md.digest(text.getBytes("UTF-8"))
+          val w = 8 + Math.floorMod(id, 24).toInt
+          val ht = 8 + Math.floorMod(id / 7, 24).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          for (y <- 0 until ht; x <- 0 until w) {
+            img.setRGB(x, y, ((h(i % 16) & 0xFF) << 16) |
+              ((h((i + 5) % 16) & 0xFF) << 8) | (h((i + 11) % 16) & 0xFF))
+            i += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  def jpegPayloads(spark: SparkSession, dir: String): DataFrame =
+    jpegPayloads(Tables.documents(spark, dir))
+
+  /** REAL JPEG metadata extraction WITHOUT entropy decode — the
+    * marker-segment walk every at-scale image pipeline runs first
+    * (dims/format triage is orders cheaper than DCT decode, and most
+    * corpus images are filtered on metadata before any pixel work):
+    * SOI, then length-framed segments to the first SOF0–SOF15 frame
+    * header (height/width/components/precision; SOF2 ⇒ progressive),
+    * noting APP1 "Exif" presence. Entropy-coded bytes are never
+    * touched. Malformed streams drop the row. */
+  def decodeJpegMeta(payloadDf: DataFrame): Dataset[JpegMeta] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseJpegMeta(id, bytes) })
+  }
+
+  private[graft] def parseJpegMeta(id: Long, bytes: Array[Byte]): Option[JpegMeta] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1) // big-endian, unlike GIF/BMP
+    if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None // SOI
+    var pos = 2
+    var hasExif = false
+    while (pos + 4 <= bytes.length) {
+      if (u8(pos) != 0xFF) return None // marker alignment lost
+      var marker = u8(pos + 1)
+      // fill bytes: consecutive FFs pad before a marker
+      var p = pos + 1
+      while (marker == 0xFF && p + 1 < bytes.length) { p += 1; marker = u8(p) }
+      pos = p - 1
+      marker match {
+        case 0xD9 => return None                   // EOI before any frame
+        case m if m >= 0xD0 && m <= 0xD7 => pos += 2 // RSTn: no length
+        case 0x01 => pos += 2                       // TEM: no length
+        case m if m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+          // SOFn frame header: [len][bits][h][w][ncomp]
+          if (pos + 10 > bytes.length) return None
+          val bits = u8(pos + 4)
+          val h = u16(pos + 5); val w = u16(pos + 7)
+          val ncomp = u8(pos + 9)
+          if (w == 0 || h == 0 || ncomp == 0) return None
+          return Some(JpegMeta(id, w, h, ncomp, bits,
+            progressive = (m == 0xC2 || m == 0xC6 || m == 0xCA || m == 0xCE),
+            has_exif = hasExif))
+        case _ =>
+          if (pos + 4 > bytes.length) return None
+          val len = u16(pos + 2)
+          if (len < 2 || pos + 2 + len > bytes.length) return None
+          if (marker == 0xE1 && len >= 8 &&
+            new String(bytes, pos + 4, 4, "US-ASCII") == "Exif") hasExif = true
+          pos += 2 + len
+      }
+    }
+    None
+  }
 }

@@ -296,6 +296,44 @@ class MultimodalSpec extends AnyFunSuite {
       got.mean_b == base.mean_b)
   }
 
+  test("JPEG metadata scan: dims/components agree with ImageIO, no entropy decode") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta gamma"), (15L, "delta"),
+      (123L, "longer text with many words here")).toDF("doc_id", "text")
+    val payloads = Multimodal.jpegPayloads(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    payloads.foreach { case (id, bytes) =>
+      val ours = Multimodal.parseJpegMeta(id, bytes)
+        .getOrElse(fail(s"doc $id failed to parse"))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ours.width == ref.getWidth && ours.height == ref.getHeight)
+      assert(ours.n_components == 3 && ours.bits == 8)
+      // the JDK writer emits baseline (SOF0) JPEGs without EXIF
+      assert(!ours.progressive && !ours.has_exif)
+    }
+    // the parser reads ONLY marker headers: truncating the stream right
+    // after the SOF segment must still succeed (entropy bytes untouched)
+    val (id0, b0) = payloads.head
+    val sofEnd = {
+      var pos = 2; var end = -1
+      while (end < 0 && pos + 4 <= b0.length) {
+        val m = b0(pos + 1) & 0xFF
+        val len = ((b0(pos + 2) & 0xFF) << 8) | (b0(pos + 3) & 0xFF)
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+          end = pos + 2 + len
+        else pos += 2 + len
+      }
+      end
+    }
+    assert(sofEnd > 0)
+    assert(Multimodal.parseJpegMeta(id0, b0.take(sofEnd)).nonEmpty)
+    // malformed payloads drop the row, never the job
+    val corpus = Multimodal.jpegPayloads(spark, dir).limit(5)
+      .union(Seq((99L, "NOTAJPEG".getBytes)).toDF("doc_id", "payload"))
+    assert(Multimodal.decodeJpegMeta(corpus).count() == 5)
+    assert(Multimodal.parseJpegMeta(1L, b0.take(3)).isEmpty)
+  }
+
   test("audio features: pure tones land on analytic ZCR and spectral centroid") {
     import spark.implicits._
     // 16-bit mono sine exactly on a DFT bin (f = k·rate/N): no leakage,
