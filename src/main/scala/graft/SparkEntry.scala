@@ -96,6 +96,9 @@ object SparkEntry {
     "q83_auc" -> operators.Eval.qualityAuc,
     "q84_apply_cdc" -> operators.Cdc.customerApply,
     "q85_para_dedup" -> ((s, d) => dedup.Paragraphs.dedupParagraphs(s, d)),
+    "q86_profile_drift" -> operators.Monitor.customerDrift,
+    "q87_k_anonymity" -> operators.Monitor.customerKAnonymity,
+    "q88_key_skew" -> operators.Monitor.lineitemKeySkew,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -310,5 +313,8 @@ object SparkEntry {
     "q83_auc" -> operators.Eval.qualityAucSql,
     "q84_apply_cdc" -> operators.Cdc.customerApplySql,
     "q85_para_dedup" -> dedup.Paragraphs.dedupParagraphsSql,
+    "q86_profile_drift" -> operators.Monitor.customerDriftSql,
+    "q87_k_anonymity" -> operators.Monitor.customerKAnonymitySql,
+    "q88_key_skew" -> operators.Monitor.lineitemKeySkewSql,
   )
 }
