@@ -99,6 +99,8 @@ object SparkEntry {
     "q86_profile_drift" -> operators.Monitor.customerDrift,
     "q87_k_anonymity" -> operators.Monitor.customerKAnonymity,
     "q88_key_skew" -> operators.Monitor.lineitemKeySkew,
+    "q89_group_wls" -> operators.Regression.regressionByNation,
+    "q90_mrr" -> textstats.Bm25.mrr,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -316,5 +318,7 @@ object SparkEntry {
     "q86_profile_drift" -> operators.Monitor.customerDriftSql,
     "q87_k_anonymity" -> operators.Monitor.customerKAnonymitySql,
     "q88_key_skew" -> operators.Monitor.lineitemKeySkewSql,
+    "q89_group_wls" -> operators.Regression.regressionByNationSql,
+    "q90_mrr" -> textstats.Bm25.mrrSql,
   )
 }

@@ -207,4 +207,93 @@ object Regression {
        |  $R2Sql AS r2
        |FROM solved""".stripMargin
   }
+
+  // ---- q89: per-group WLS (thousands of independent fits, one pass) ----
+
+  /** Per-group WLS: the SAME one-pass sufficient statistics, keyed by
+    * `groups` — a million segment-level fits cost ONE map-side-combined
+    * aggregate (the shuffle carries 10 numbers per group) plus a
+    * projection-level Cramer solve; no per-group jobs, no driver loop.
+    * This is the grouped-model idiom (per-region elasticities,
+    * per-cohort trends) the reference would run as an R `group_by %>%
+    * do(lm(...))` loop. Groups too small or degenerate to identify the
+    * 3-parameter model (n < 3 or |det| below fixed-point resolution)
+    * yield NULL coefficients rather than garbage. */
+  def wlsFitBy(rows: DataFrame, groups: Seq[String]): DataFrame = {
+    val gcols = groups.map(col)
+    val stats = rows.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        Terms.map { case (n, t) =>
+          expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
+        }: _*)
+    val rec = stats.select(gcols ++ (col("n_rows") +: Terms.map { case (n, _) =>
+      expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
+    }): _*)
+    val guard = s"n_rows >= 3 AND abs($DetSql) > 1.0 / $FixedScale"
+    rec
+      .select(gcols ++ Seq(col("n_rows"),
+        col("sw"), col("sy"), col("sx1y"), col("sx2y"), col("syy"),
+        expr(s"CASE WHEN $guard THEN $Det0Sql / $DetSql END").as("b0"),
+        expr(s"CASE WHEN $guard THEN $Det1Sql / $DetSql END").as("b1"),
+        expr(s"CASE WHEN $guard THEN $Det2Sql / $DetSql END").as("b2")): _*)
+      .select(gcols ++ Seq(col("n_rows"),
+        expr("round(b0, 6) + 0.0").as("b_intercept"),
+        expr("round(b1, 6) + 0.0").as("b_x1"),
+        expr("round(b2, 6) + 0.0").as("b_x2"),
+        expr(s"CASE WHEN b0 IS NOT NULL THEN $R2Sql END").as("r2")): _*)
+  }
+
+  /** q89: the q32 analysis fit per customer nation — 25 independent
+    * models from one aggregate pass. */
+  def regressionByNation(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).cast("double").as("w"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("double").as("nf"),
+        sum(expr("CAST(floor(o_totalprice * 100.0) AS DECIMAL(38,0))")).as("spi"))
+    val rows = base
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("w"),
+        (col("nf") / col("w")).as("y"),
+        (col("c_acctbal") / 1000.0).as("x1"),
+        (col("spi").cast("double") / 100.0 / col("w") / 100000.0).as("x2"))
+    wlsFitBy(rows, Seq("c_nationkey"))
+  }
+
+  val regressionByNationSql: String = {
+    val sums = Terms.map { case (n, t) =>
+      s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0)) AS ${n}_i"
+    }.mkString(",\n  ")
+    val rec = Terms.map { case (n, _) =>
+      s"CAST(${n}_i AS DOUBLE) / $FixedScale AS $n"
+    }.mkString(",\n  ")
+    val guard = s"n_rows >= 3 AND abs($DetSql) > 1.0 / $FixedScale"
+    s"""WITH base AS (
+       |  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS w,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS nf,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spi
+       |  FROM orders GROUP BY o_custkey),
+       |rws AS (
+       |  SELECT c_nationkey, w, nf / w AS y, c_acctbal / 1000.0 AS x1,
+       |    CAST(spi AS DOUBLE) / 100.0 / w / 100000.0 AS x2
+       |  FROM base JOIN customer ON o_custkey = c_custkey),
+       |sums AS (SELECT c_nationkey, count(*) AS n_rows,
+       |  $sums
+       |FROM rws GROUP BY c_nationkey),
+       |rec AS (SELECT c_nationkey, n_rows,
+       |  $rec
+       |FROM sums),
+       |solved AS (SELECT c_nationkey, n_rows, sw, sy, sx1y, sx2y, syy,
+       |  CASE WHEN $guard THEN $Det0Sql / $DetSql END AS b0,
+       |  CASE WHEN $guard THEN $Det1Sql / $DetSql END AS b1,
+       |  CASE WHEN $guard THEN $Det2Sql / $DetSql END AS b2
+       |FROM rec)
+       |SELECT c_nationkey, n_rows,
+       |  round(b0, 6) + 0.0 AS b_intercept,
+       |  round(b1, 6) + 0.0 AS b_x1,
+       |  round(b2, 6) + 0.0 AS b_x2,
+       |  CASE WHEN b0 IS NOT NULL THEN $R2Sql END AS r2
+       |FROM solved""".stripMargin
+  }
 }

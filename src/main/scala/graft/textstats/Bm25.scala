@@ -80,6 +80,41 @@ object Bm25 {
     search(docs, deriveQueries(docs))
   }
 
+  /** q90: Mean Reciprocal Rank of the q82 run — the retrieval-eval
+    * loop. Relevance is structural: each query was derived FROM a
+    * document ([[deriveQueries]]), so that document is the known-item
+    * target and `doc_id == qid` marks the hit. MRR = mean over queries
+    * of 1/rank-of-target (0 when the target missed the top-k), in
+    * exact micro fixed point (`1e6 div rk`, summed as Longs, one floor
+    * division at the end — identical in the twin). One aggregate over
+    * the top-k frame; query count is dimension-grade. */
+  def mrr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = deriveQueries(docs)
+    val res = search(docs, queries)
+    val nq = queries.select("qid").distinct().count() // workload dimension
+    res.agg(
+      sum(when(col("doc_id") === col("qid"), expr("1000000 div rk"))
+        .otherwise(lit(0L))).as("rr_sum"),
+      sum(when(col("doc_id") === col("qid"), 1L).otherwise(0L)).as("n_hits"))
+      .selectExpr(s"CAST($nq AS BIGINT) AS n_queries", "n_hits",
+        s"rr_sum div $nq AS mrr_micro")
+  }
+
+  // lazy: textually references bm25Sql, which is defined below
+  lazy val mrrSql: String =
+    s"""WITH res AS (
+       |${bm25Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |nq AS (
+       |  SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id % 50 = 0)
+       |SELECT nq.n AS n_queries,
+       |  CAST(sum(CASE WHEN res.doc_id = res.qid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN res.doc_id = res.qid THEN 1000000 // res.rk ELSE 0 END) AS BIGINT)
+       |    // nq.n AS mrr_micro
+       |FROM res CROSS JOIN nq
+       |GROUP BY nq.n""".stripMargin
+
   val bm25Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

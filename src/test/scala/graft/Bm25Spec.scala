@@ -53,6 +53,27 @@ class Bm25Spec extends AnyFunSuite {
     assert(Set(1L, 2L, 3L, 4L).subsetOf(byDoc.keySet))
   }
 
+  test("q90 MRR agrees exactly with a driver-side recompute from the q82 run") {
+    // NOTE the testdata vocabulary is ~100 common words, so query terms
+    // are corpus-wide and the known-item target rarely tops the list —
+    // MRR is LOW here by corpus construction, which is exactly what the
+    // metric is for; the spec asserts exact agreement, not retrieval
+    // quality
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val queries = Bm25.deriveQueries(docs)
+    val res = Bm25.search(docs, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nq = queries.select("qid").distinct().count()
+    val want = res.collect { case (q, d, rk) if q == d => 1000000L / rk }.sum / nq
+    val wantHits = res.count { case (q, d, _) => q == d }
+    val r = Bm25.mrr(spark, dir).head
+    assert(r.getLong(0) == nq)
+    assert(r.getLong(1) == wantHits.toLong)
+    assert(r.getLong(2) == want)
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+  }
+
   test("q82 over testdata: k bounded, scores positive, ranks deterministic") {
     val df = Bm25.bm25(spark, "/root/testdata/sf0.001").cache()
     val agg = df.groupBy("qid").agg(count(lit(1)).as("n"), max("rk").as("mx"))

@@ -38,6 +38,48 @@ class RegressionSpec extends AnyFunSuite {
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"r2 ${r.getDouble(4)}")
   }
 
+  test("grouped WLS recovers DIFFERENT planted models per group exactly") {
+    // group g gets y = g + (g+1)·x1 − 0.25·g·x2: each group's fit must
+    // return ITS OWN coefficients — proof the fits are independent
+    val rows = Tables.customer(spark, dir)
+      .select(
+        (col("c_custkey") % 3).cast("long").as("g"),
+        (col("c_custkey") % 7 + 1).cast("double").as("w"),
+        (col("c_acctbal") / 1000.0).as("x1"),
+        (col("c_custkey") % 13).cast("double").as("x2"))
+      .withColumn("y",
+        col("g") + (col("g") + 1) * col("x1") - lit(0.25) * col("g") * col("x2"))
+    val fits = Regression.wlsFitBy(rows, Seq("g")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    (0L to 2L).foreach { g =>
+      val (b0, b1, b2) = fits(g)
+      assert(math.abs(b0 - g) < 1e-4, s"g=$g intercept $b0")
+      assert(math.abs(b1 - (g + 1)) < 1e-4, s"g=$g b_x1 $b1")
+      assert(math.abs(b2 + 0.25 * g) < 1e-4, s"g=$g b_x2 $b2")
+    }
+  }
+
+  test("grouped WLS guards degenerate groups with NULLs, not garbage") {
+    import spark.implicits._
+    // group 'tiny' has 2 rows (underdetermined), 'flat' has constant x1
+    // AND constant x2 (singular); 'ok' is well-posed
+    val rows = (
+      Seq(("tiny", 1.0, 1.0, 1.0, 1.0), ("tiny", 1.0, 2.0, 1.0, 2.0)) ++
+      (1 to 20).map(i => ("flat", 1.0, 5.0, 7.0, i.toDouble)) ++
+      (1 to 20).map(i => ("ok", 1.0, i.toDouble, (i * i % 11).toDouble, 1.0 + 2.0 * i))
+    ).toDF("g", "w", "x1", "x2", "y")
+    val fits = Regression.wlsFitBy(rows, Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fits("tiny").isNullAt(2) && fits("flat").isNullAt(2))
+    assert(!fits("ok").isNullAt(2) && math.abs(fits("ok").getDouble(3) - 2.0) < 1e-4)
+  }
+
+  test("q89 per-nation fits: 25 rows, each well-posed at this SF") {
+    val fits = Regression.regressionByNation(spark, dir)
+    assert(fits.count() == 25)
+    assert(fits.filter(col("b_intercept").isNull).count() == 0)
+  }
+
   test("engine-side solve matches the driver-side solve used by IRLS") {
     val rows = Regression.regressionRows(spark, dir)
     val engine = Regression.wlsFit(rows).head()
