@@ -101,6 +101,7 @@ object SparkEntry {
     "q88_key_skew" -> operators.Monitor.lineitemKeySkew,
     "q89_group_wls" -> operators.Regression.regressionByNation,
     "q90_mrr" -> textstats.Bm25.mrr,
+    "q91_chi_square" -> operators.Independence.customerChiSquare,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -320,5 +321,6 @@ object SparkEntry {
     "q88_key_skew" -> operators.Monitor.lineitemKeySkewSql,
     "q89_group_wls" -> operators.Regression.regressionByNationSql,
     "q90_mrr" -> textstats.Bm25.mrrSql,
+    "q91_chi_square" -> operators.Independence.customerChiSquareSql,
   )
 }

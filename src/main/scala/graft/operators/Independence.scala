@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Chi-square independence test + Cramér's V — the categorical
+  * counterpart of q68's correlation matrix: are two discrete columns
+  * associated, and how strongly? The EDA/monitoring check behind
+  * "did the segment mix shift by region" questions (and the drift
+  * alarm [[Monitor.profileDrift]] can't see, because marginals alone
+  * stay flat when the JOINT distribution moves).
+  *
+  * Exactness: with O = observed cell count, rT/cT = margins, n =
+  * total, each cell's chi-square term (O − rT·cT/n)²/(rT·cT/n)
+  * clears to the ratio d²/(n·rT·cT) with d = O·n − rT·cT, an exact
+  * Long (|d| ≤ n² — exact through n < 3e9). The per-cell term is then
+  * ONE shared-text double chain (d·d, three divisions, ·1e6, floor):
+  * every step is a deterministic IEEE op on identical operands in
+  * identical order, so the floored Long is bit-equal on both engines,
+  * and the SUM of those Longs is order-free — the per-cell floor at
+  * 1e-6 is the documented fixed-point definition of the statistic.
+  * (d² stays an EXACT double while n² < 2^26.5 ≈ 9.5e7 rows; past
+  * that the term still matches cross-engine — same rounding — but to
+  * keep d² exact swap the chain to DECIMAL(38,0), the q68 technique.)
+  * ZERO cells contribute too (O=0 ⇒ term = rT·cT/n): the cell
+  * universe is the margin cross join, not the observed groupBy.
+  * Cramér's V = sqrt(χ²/(n·min(r−1,c−1))) — sqrt of an
+  * integer-derived double is correctly rounded IEEE on both engines,
+  * so round-6 equality holds.
+  *
+  * Scale shape: ONE map-side-combined cell count over the fact, two
+  * dimension-grade margin aggregates, and a margin×margin cross join
+  * (r·c rows — dimension-grade by definition for categoricals) left-
+  * joined with the observed cells. */
+object Independence {
+
+  /** Chi-square independence of two categorical columns.
+    * @return one row: (n_rows, n_a, n_b, dof, chi2_micro, cramers_v). */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("av"), col(b).as("bv"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("av").agg(sum("o").as("rt"))
+    val rb = cells.groupBy("bv").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"), count(lit(1)).as("n_observed"))
+    // margin cross join = the FULL cell universe (zero cells included)
+    val universe = ra.crossJoin(rb).crossJoin(broadcast(n))
+      .join(cells, Seq("av", "bv"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    universe
+      .agg(
+        max(col("n")).as("n_rows"),
+        count_distinct(col("av")).as("n_a"),
+        count_distinct(col("bv")).as("n_b"),
+        sum(expr("CAST(floor(CAST(o * n - rt * ct AS DOUBLE)" +
+          " * CAST(o * n - rt * ct AS DOUBLE)" +
+          " / CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) / CAST(ct AS DOUBLE)" +
+          " * 1000000.0) AS BIGINT)")).as("chi2_micro"))
+      .selectExpr("n_rows", "n_a", "n_b",
+        "(n_a - 1) * (n_b - 1) AS dof", "chi2_micro",
+        "round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)" +
+          " / (CAST(n_rows AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)" +
+          " + 0.0 AS cramers_v")
+  }
+
+  /** q91: is market segment independent of nation across customers? */
+  def customerChiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquare(Tables.customer(spark, dir), "c_mktsegment", "c_nationkey")
+
+  val customerChiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS av, c_nationkey AS bv, count(*) AS o
+      |  FROM customer GROUP BY 1, 2),
+      |ra AS (SELECT av, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |rb AS (SELECT bv, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |uni AS (
+      |  SELECT ra.av, rb.bv, ra.rt, rb.ct, tot.n,
+      |    coalesce(cells.o, 0) AS o
+      |  FROM ra CROSS JOIN rb CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.av = ra.av AND cells.bv = rb.bv),
+      |agg AS (
+      |  SELECT max(n) AS n_rows,
+      |    count(DISTINCT av) AS n_a, count(DISTINCT bv) AS n_b,
+      |    CAST(sum(CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
+      |      * CAST(o * n - rt * ct AS DOUBLE)
+      |      / CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) / CAST(ct AS DOUBLE)
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS chi2_micro
+      |  FROM uni)
+      |SELECT n_rows, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof, chi2_micro,
+      |  round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+      |    / (CAST(n_rows AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)
+      |  + 0.0 AS cramers_v
+      |FROM agg""".stripMargin
+}
