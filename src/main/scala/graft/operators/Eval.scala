@@ -31,11 +31,17 @@ import graft.textstats.QualityModel
   */
 object Eval {
 
-  /** Exact AUC of `score` predicting binary `label` (0/1).
+  /** Exact AUC of `score` predicting binary `label` (0/1). Rows with
+    * a NULL score or label are excluded up front (the standard eval
+    * convention — and necessary for parity, since Spark sorts NULLs
+    * first where DuckDB sorts them last, which would silently shift
+    * every cumulative rank).
     * @return one row: (n_pos, n_neg, auc_micro) — auc_micro NULL when
     *         a class is empty (AUC undefined). */
   def aucMicro(df: DataFrame, score: String, label: String): DataFrame = {
-    val byScore = df.groupBy(col(score).as("s"))
+    val byScore = df
+      .filter(col(score).isNotNull && col(label).isNotNull)
+      .groupBy(col(score).as("s"))
       .agg(sum(col(label).cast("long")).as("np"), count(lit(1)).as("nt"))
     // cumulative count of strictly-smaller scores; the global window
     // runs over the value-level aggregate (distinct scores), not rows

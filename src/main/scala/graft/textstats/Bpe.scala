@@ -72,9 +72,13 @@ object Bpe {
 
   /** Explode words into their initial character-symbol frame
     * (word, rn, sym) — the `sequence`+`substring` formulation shared
-    * verbatim with the oracle. */
+    * verbatim with the oracle. Empty words are dropped BEFORE the
+    * sequence: Spark's `sequence(1, 0)` descends ([1, 0]) where
+    * DuckDB's `generate_series(1, 0)` is empty — an empty string (a
+    * double-space artifact upstream) would silently diverge the two
+    * engines without this guard. */
   def charSymbols(vocab: DataFrame): DataFrame =
-    vocab
+    vocab.filter(col("word") =!= "")
       .select(col("word"), explode(expr("sequence(1, length(word))")).as("rn"))
       .select(col("word"), col("rn"), expr("substring(word, rn, 1)").as("sym"))
 
@@ -167,7 +171,7 @@ object Bpe {
     s"""WITH words AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  GROUP BY 1),
+       |  WHERE word <> '' GROUP BY 1),
        |s0 AS (
        |  SELECT word, rn, substr(word, CAST(rn AS INT), 1) AS sym FROM (
        |    SELECT word, unnest(generate_series(1, length(word))) AS rn

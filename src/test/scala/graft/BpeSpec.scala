@@ -101,6 +101,13 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want, s"got $got, want $want")
   }
 
+  test("empty words (double-space artifacts) drop instead of diverging engines") {
+    // Spark's sequence(1, 0) DESCENDS where DuckDB's generate_series
+    // is empty — charSymbols must never reach it
+    val got = segment(Seq("", "ab"), Seq(("a", "b")))
+    assert(got == Map("ab" -> ((1L, "ab"))))
+  }
+
   test("trainer stops when no pair repeats; trained merges segment their corpus") {
     import spark.implicits._
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")

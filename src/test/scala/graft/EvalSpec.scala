@@ -41,6 +41,15 @@ class EvalSpec extends AnyFunSuite {
     assert(auc.contains(refAuc(rows)))
   }
 
+  test("NULL scores and labels are excluded, not ranked") {
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, java.lang.Integer)](
+      (10L, 1), (9L, 1), (2L, 0), (1L, 0), (null, 0), (5L, null))
+    val r = Eval.aucMicro(rows.toDF("s", "y"), "s", "y").head
+    // identical to the 4-row clean input: perfect separation
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1000000L)))
+  }
+
   test("single-class input yields NULL AUC, not a crash or a fake 0.5") {
     assert(run(Seq((1L, 1), (2L, 1)))._3.isEmpty)
     assert(run(Seq((1L, 0), (2L, 0)))._3.isEmpty)
