@@ -1000,6 +1000,55 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => parseJpegMeta(id, bytes) })
   }
 
+  // ---- mixed-format triage: sniff + dispatch over a heterogeneous corpus ----
+
+  /** Magic-byte container sniff — the first-pass router a real corpus
+    * needs, because TAR shards and crawl dumps interleave formats. */
+  private[graft] def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    if (bytes.length < 12) None
+    else if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') Some("png")
+    else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8') Some("gif")
+    else if (u8(0) == 'B' && u8(1) == 'M') Some("bmp")
+    else if (u8(0) == 0xFF && u8(1) == 0xD8) Some("jpeg")
+    else if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E') Some("wav")
+    else None
+  }
+
+  /** Normalized triage row for any image container. */
+  case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int)
+
+  /** A deliberately HETEROGENEOUS payload corpus: each document's
+    * format is chosen by doc_id % 4 across BMP/PNG/GIF/JPEG — the
+    * mixed-shard shape [[decodeImageMeta]] exists for. */
+  def mixedImagePayloads(docs: DataFrame): DataFrame = {
+    def part(rem: Int, build: DataFrame => DataFrame) =
+      build(docs.filter(col("doc_id") % 4 === rem))
+    part(0, bmpPayloads).unionByName(part(1, pngPayloads))
+      .unionByName(part(2, gifPayloads)).unionByName(part(3, jpegPayloads))
+  }
+
+  /** Sniff-and-dispatch decode over a mixed corpus: route each payload
+    * by magic bytes to its real parser, normalize to (doc_id, format,
+    * width, height). Unknown containers and corrupt streams drop the
+    * row — per-partition dispatch, no per-format corpus passes. */
+  def decodeImageMeta(payloadDf: DataFrame): Dataset[ImageMeta] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        sniffFormat(bytes).flatMap {
+          case "bmp" => parseBmp(id, bytes).map(m => ImageMeta(id, "bmp", m.width, m.height))
+          case "png" => parsePng(id, bytes).map(m => ImageMeta(id, "png", m.width, m.height))
+          case "gif" => parseGif(id, bytes).map(m => ImageMeta(id, "gif", m.width, m.height))
+          case "jpeg" => parseJpegMeta(id, bytes).map(m => ImageMeta(id, "jpeg", m.width, m.height))
+          case _ => None // wav etc.: not an image
+        }
+      })
+  }
+
   private[graft] def parseJpegMeta(id: Long, bytes: Array[Byte]): Option[JpegMeta] = {
     def u8(i: Int) = bytes(i) & 0xFF
     def u16(i: Int) = (u8(i) << 8) | u8(i + 1) // big-endian, unlike GIF/BMP

@@ -334,6 +334,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseJpegMeta(1L, b0.take(3)).isEmpty)
   }
 
+  test("mixed-format triage: sniff routes every payload to the right parser") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).limit(40)
+    val mixed = Multimodal.mixedImagePayloads(docs)
+      .union(Seq((999L, "NOTANIMAGE".getBytes)).toDF("doc_id", "payload"))
+    val got = Multimodal.decodeImageMeta(mixed).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got.size == 40) // the junk row dropped, nothing else
+    got.values.foreach { m =>
+      // format must agree with the builder's doc_id % 4 routing
+      val want = Seq("bmp", "png", "gif", "jpeg")(Math.floorMod(m.doc_id, 4).toInt)
+      assert(m.format == want, s"doc ${m.doc_id}: ${m.format} != $want")
+      // dims must match the specific builder's doc_id recipe
+      val (ww, wh) =
+        if (m.format == "gif" || m.format == "jpeg")
+          (8 + Math.floorMod(m.doc_id, 24).toInt, 8 + Math.floorMod(m.doc_id / 7, 24).toInt)
+        else
+          (4 + Math.floorMod(m.doc_id, 13).toInt, 3 + Math.floorMod(m.doc_id, 7).toInt)
+      assert(m.width == ww && m.height == wh,
+        s"doc ${m.doc_id} ${m.format}: ${m.width}x${m.height} != ${ww}x$wh")
+    }
+    // a WAV container is sniffed but correctly NOT an image
+    val wav = Multimodal.wavPayloads(docs.limit(1))
+    assert(Multimodal.decodeImageMeta(wav).count() == 0)
+  }
+
   test("audio features: pure tones land on analytic ZCR and spectral centroid") {
     import spark.implicits._
     // 16-bit mono sine exactly on a DFT bin (f = k·rate/N): no leakage,
