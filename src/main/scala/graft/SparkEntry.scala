@@ -102,6 +102,7 @@ object SparkEntry {
     "q89_group_wls" -> operators.Regression.regressionByNation,
     "q90_mrr" -> textstats.Bm25.mrr,
     "q91_chi_square" -> operators.Independence.customerChiSquare,
+    "q92_pseudonymize" -> operators.Privacy.tokenJoin,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -322,5 +323,6 @@ object SparkEntry {
     "q89_group_wls" -> operators.Regression.regressionByNationSql,
     "q90_mrr" -> textstats.Bm25.mrrSql,
     "q91_chi_square" -> operators.Independence.customerChiSquareSql,
+    "q92_pseudonymize" -> operators.Privacy.tokenJoinSql,
   )
 }
