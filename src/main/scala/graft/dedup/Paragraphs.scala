@@ -33,7 +33,14 @@ object Paragraphs {
 
   /** Paragraph dedup over (doc_id, text).
     * @return (doc_id, n_paras, n_kept, cleaned_text) — cleaned_text
-    *         NULL when every paragraph was a repeat. */
+    *         NULL when every paragraph was a repeat.
+    * @note texts are assumed non-empty (the documents schema
+    *       guarantees n_chars > 0). An empty text would yield a single
+    *       EMPTY paragraph, and if that paragraph were the kept global
+    *       first, Spark's `nullif(array_join(...), '')` and DuckDB's
+    *       `string_agg` would disagree on '' vs NULL — pre-filter
+    *       empty texts before calling on a corpus that can carry
+    *       them. */
   def dedupParagraphs(docs: DataFrame): DataFrame = {
     val paras = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))

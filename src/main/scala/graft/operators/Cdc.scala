@@ -35,7 +35,10 @@ object Cdc {
     * @param base    snapshot with `key` + `cols`
     * @param changes feed with `key`, `lsn` (LONG, unique per key),
     *                `op` ('I' | 'U' | 'D'), and `cols` payload
-    * @return the next snapshot: `key` + `cols`. */
+    * @return the next snapshot: `key` + `cols`.
+    * @note `_ck`, `_op`, `_payload`, `_base` are reserved internal
+    *       names — a payload column with one of those names would
+    *       collide; rename before calling. */
   def applyChanges(base: DataFrame, changes: DataFrame,
       key: String, cols: Seq[String]): DataFrame = {
     val latest = changes.groupBy(col(key).as("_ck"))

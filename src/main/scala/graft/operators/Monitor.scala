@@ -36,7 +36,11 @@ object Monitor {
     * (exact ppm), distinct-count ratio (ppm), and a drift flag when
     * the null rate moved more than [[DriftPpm]].
     * @return (column_name, null_ppm_old, null_ppm_new, distinct_old,
-    *         distinct_new, flagged). */
+    *         distinct_new, flagged).
+    * @note `cols` must exist in BOTH snapshots (the caller names the
+    *       columns to watch); a column added or removed between
+    *       versions is a SCHEMA change — catch it by diffing
+    *       `df.columns` before profiling, not here. */
   def profileDrift(oldSnap: DataFrame, newSnap: DataFrame,
       cols: Seq[String]): DataFrame = {
     val o = profileOf(oldSnap, cols)

@@ -31,7 +31,11 @@ object Privacy {
 
   val Salt = "graft-r7"
 
-  /** Stable pseudonym token for a column under `salt`. */
+  /** Stable pseudonym token for a column under `salt`.
+    * @note tokens hash the column's STRING rendering — stable within
+    *       an engine for strings and integers (the registered usage);
+    *       float renderings are not part of the cross-engine contract
+    *       (bucket or fix-point a float before tokenizing it). */
   def token(c: Column, salt: String = Salt): Column =
     when(c.isNotNull,
       substring(md5(concat(lit(salt), lit(":"), c.cast("string"))), 1, 16))

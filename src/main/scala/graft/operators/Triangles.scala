@@ -45,7 +45,9 @@ object Triangles {
     *              guarantees one row per edge with `a < b` (q77's
     *              support aggregate already does) — one exchange saved.
     * @return (`id`, `degree`, `n_triangles`, `clustering_ppm`).
-    */
+    * @note endpoint ids must be non-null: a null endpoint is not an
+    *       edge — drop such rows upstream (the cleanup path would
+    *       silently group them under the null key). */
   def triangles(edges: DataFrame, assumeCanonical: Boolean = false): DataFrame = {
     // the edge list feeds degree counting, orientation, and the closure
     // probe — persist it (and the degree dim) so an expensive upstream
