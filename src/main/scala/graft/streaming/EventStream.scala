@@ -236,6 +236,25 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Hourly distinct-user estimates per event type — the streaming
+    * twin of [[graft.operators.Sketches]]' HLL profiling: exact
+    * distinct counting over a stream needs per-key state proportional
+    * to the key universe, while `approx_count_distinct`'s HLL++ sketch
+    * is CONSTANT memory per (window, type) group and merges across
+    * micro-batches and partitions — the only shape that runs forever
+    * at 100 TB/day. Watermark bounds how long a window's sketch stays
+    * in state; `rsd` is the standard-error knob (2% default, ~1 KB per
+    * group). */
+  def windowedDistinctUsers(events: DataFrame, watermark: String = "10 minutes",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("approx_users"), col("n_events"))
+
   case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -35,6 +35,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed distinct users: streaming HLL tracks exact distinct within 3 rsd") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"), col("user_id"))
+    val feed = events.as[(Timestamp, String, Long)].collect().sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val q = EventStream.windowedDistinctUsers(
+      input.toDF().toDF("ts", "event_type", "user_id")).writeStream
+      .format("memory").queryName("wdu").outputMode("update").start()
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // update mode re-emits refined rows: keep each group's LAST emission
+      val got = spark.table("wdu")
+        .groupBy("hour_start", "event_type")
+        .agg(last("approx_users").as("approx_users"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val exact = events
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count_distinct(col("user_id")).as("d")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.keySet == exact.keySet)
+      exact.foreach { case (k, d) =>
+        val est = got(k).toDouble
+        assert(math.abs(est - d) <= math.max(3.0, 3 * 0.02 * d),
+          s"window $k: est $est vs exact $d")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sessionize splits on gap and aggregates per session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
