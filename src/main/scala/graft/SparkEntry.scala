@@ -103,6 +103,7 @@ object SparkEntry {
     "q90_mrr" -> textstats.Bm25.mrr,
     "q91_chi_square" -> operators.Independence.customerChiSquare,
     "q92_pseudonymize" -> operators.Privacy.tokenJoin,
+    "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdf,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -324,5 +325,6 @@ object SparkEntry {
     "q90_mrr" -> textstats.Bm25.mrrSql,
     "q91_chi_square" -> operators.Independence.customerChiSquareSql,
     "q92_pseudonymize" -> operators.Privacy.tokenJoinSql,
+    "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdfSql,
   )
 }
