@@ -104,6 +104,7 @@ object SparkEntry {
     "q91_chi_square" -> operators.Independence.customerChiSquare,
     "q92_pseudonymize" -> operators.Privacy.tokenJoin,
     "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdf,
+    "q94_glm_inference" -> operators.Regression.glmInferenceQ,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -326,5 +327,6 @@ object SparkEntry {
     "q91_chi_square" -> operators.Independence.customerChiSquareSql,
     "q92_pseudonymize" -> operators.Privacy.tokenJoinSql,
     "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdfSql,
+    "q94_glm_inference" -> operators.Regression.glmInferenceSql,
   )
 }

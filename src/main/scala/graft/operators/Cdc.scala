@@ -85,6 +85,16 @@ object Cdc {
       feed, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
   }
 
+  /** DuckDB twin. NOTE an engine asymmetry the registered feed never
+    * exercises: Spark reduces each key with ONE atomic
+    * `max_by(struct(...), lsn)` (all payload columns come from the same
+    * winning change), while the twin's per-column `arg_max` SKIPS rows
+    * whose value argument is NULL — on a feed where the highest-lsn
+    * I/U change carried NULL payload fields, the twin would stitch
+    * columns from DIFFERENT changes. Safe here because only deletes
+    * carry NULL payloads and those rows are filtered before the
+    * stitch; a generic twin would pack the payload into a single
+    * arg_max over a struct instead. */
   val customerApplySql: String =
     """WITH base AS (
       |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) + 0.0 AS c_acctbal

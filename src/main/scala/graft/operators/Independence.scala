@@ -37,9 +37,20 @@ import graft.Tables
 object Independence {
 
   /** Chi-square independence of two categorical columns.
+    *
+    * NULL convention: rows where EITHER column is NULL are excluded up
+    * front (the [[Eval]] convention — a missing level is not a level).
+    * Without the filter, NULL keys would form observed groups whose
+    * counts enter the margins and n, but the equi left-join back
+    * (NULL = NULL is false) would see their O as 0 — silently inflating
+    * the statistic — and count_distinct would drop the NULL level from
+    * dof. The SQL twin carries the same WHERE.
+    *
     * @return one row: (n_rows, n_a, n_b, dof, chi2_micro, cramers_v). */
   def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
-    val cells = df.groupBy(col(a).as("av"), col(b).as("bv"))
+    val cells = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).as("av"), col(b).as("bv"))
       .agg(count(lit(1)).as("o"))
     val ra = cells.groupBy("av").agg(sum("o").as("rt"))
     val rb = cells.groupBy("bv").agg(sum("o").as("ct"))
@@ -71,7 +82,9 @@ object Independence {
   val customerChiSquareSql: String =
     """WITH cells AS (
       |  SELECT c_mktsegment AS av, c_nationkey AS bv, count(*) AS o
-      |  FROM customer GROUP BY 1, 2),
+      |  FROM customer
+      |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+      |  GROUP BY 1, 2),
       |ra AS (SELECT av, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
       |rb AS (SELECT bv, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),

@@ -29,19 +29,28 @@ import graft.Tables
   */
 object Privacy {
 
-  val Salt = "graft-r7"
+  /** Demo salt for the REGISTERED q92 parity query only — published in
+    * source, so it provides zero secrecy. The public API deliberately
+    * has NO default salt: 'the salt is the secret' only holds when the
+    * caller supplies one out-of-band, and a source-published default
+    * over low-entropy identifiers (sequential custkeys) would make
+    * tokens trivially enumerable. */
+  private[graft] val DemoSalt = "graft-r7"
 
-  /** Stable pseudonym token for a column under `salt`.
+  /** Stable pseudonym token for a column under the CALLER-PROVIDED
+    * `salt` (a secret — do not hardcode it next to the data it
+    * protects; rotate it to break linkage between releases).
     * @note tokens hash the column's STRING rendering — stable within
     *       an engine for strings and integers (the registered usage);
     *       float renderings are not part of the cross-engine contract
     *       (bucket or fix-point a float before tokenizing it). */
-  def token(c: Column, salt: String = Salt): Column =
+  def token(c: Column, salt: String): Column =
     when(c.isNotNull,
       substring(md5(concat(lit(salt), lit(":"), c.cast("string"))), 1, 16))
 
-  /** Tokenize `cols` in place; every other column passes through. */
-  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String = Salt): DataFrame =
+  /** Tokenize `cols` in place under the caller's secret `salt`; every
+    * other column passes through. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, token(col(c), salt)))
 
   /** q92: the customer↔orders join run ENTIRELY in token space —
@@ -51,10 +60,10 @@ object Privacy {
   def tokenJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = pseudonymize(
       Tables.customer(spark, dir).select("c_custkey", "c_name"),
-      Seq("c_custkey", "c_name"))
+      Seq("c_custkey", "c_name"), DemoSalt)
     val ord = pseudonymize(
       Tables.orders(spark, dir).select("o_custkey", "o_totalprice"),
-      Seq("o_custkey"))
+      Seq("o_custkey"), DemoSalt)
     cust.join(ord, col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_custkey").as("token_custkey"), col("c_name").as("token_name"))
       .agg(count(lit(1)).as("n_orders"),
@@ -64,11 +73,11 @@ object Privacy {
 
   val tokenJoinSql: String =
     s"""WITH cust AS (
-       |  SELECT substr(md5('$Salt:' || c_custkey::VARCHAR), 1, 16) AS c_custkey,
-       |    substr(md5('$Salt:' || c_name), 1, 16) AS c_name
+       |  SELECT substr(md5('$DemoSalt:' || c_custkey::VARCHAR), 1, 16) AS c_custkey,
+       |    substr(md5('$DemoSalt:' || c_name), 1, 16) AS c_name
        |  FROM customer),
        |ord AS (
-       |  SELECT substr(md5('$Salt:' || o_custkey::VARCHAR), 1, 16) AS o_custkey,
+       |  SELECT substr(md5('$DemoSalt:' || o_custkey::VARCHAR), 1, 16) AS o_custkey,
        |    o_totalprice
        |  FROM orders)
        |SELECT cust.c_custkey AS token_custkey, cust.c_name AS token_name,

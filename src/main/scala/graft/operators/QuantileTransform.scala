@@ -30,11 +30,27 @@ import graft.Tables
 object QuantileTransform {
 
   /** CDF transform table for a cardinality-bounded column.
+    *
+    * Integrality is ENFORCED, not assumed: the value is cast to long
+    * only behind a `floor(v) = v` guard — a non-integral value raises
+    * at execution instead of silently truncating (Spark cast truncates
+    * toward zero, DuckDB CAST rounds: an unguarded cast of a continuous
+    * column would both diverge from the twin and collapse distinct
+    * values). Pre-quantize continuous columns (e.g.
+    * [[Binning.quantileCutBins]] or fixed-point rounding) before
+    * calling.
+    *
     * @return (value, n_rows, cdf_ppm) — one row per distinct value,
     *         cdf_ppm the midrank CDF in [0, 1e6]. */
   def cdfTable(df: DataFrame, column: String): DataFrame = {
-    val byValue = df.filter(col(column).isNotNull)
-      .groupBy(col(column).cast("long").as("value"))
+    val c = col(column)
+    val byValue = df.filter(c.isNotNull)
+      .groupBy(
+        when(c === floor(c), c.cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"QuantileTransform.cdfTable: non-integral value in '$column': "),
+            c.cast("string"), lit(" — quantize the column first"))))
+          .as("value"))
       .agg(count(lit(1)).as("n_rows"))
     val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, -1)
     byValue

@@ -243,6 +243,206 @@ object Regression {
         expr(s"CASE WHEN b0 IS NOT NULL THEN $R2Sql END").as("r2")): _*)
   }
 
+  // ---- q94: GLM inference table (SE / t / p + dispersion) ----
+  //
+  // The reference's analysis deliverable is the tidy coefficient table
+  // WITH standard errors and p-values
+  // (/root/reference/run_analysis.Rmd:110-117:
+  // `summary(ma_quasi)$coefficients[,"Std. Error"]`, `[,"Pr(>|t|)"]`).
+  // This section emits that table from a fully DECLARATIVE IRLS chain:
+  // each iteration cross-joins the 1-row coefficient frame back onto the
+  // analysis rows (no driver collect anywhere), recomputes the working
+  // response/weights, and re-runs the one-pass fixed-point WLS. The
+  // whole fit is `iters`+2 map-side-combined aggregates whose shuffles
+  // each carry ~10 numbers — the same scale shape as q32.
+  //
+  // Cross-engine discipline (SURVEY.md §5): every formula below is a
+  // SHARED TEXT fragment run by both Spark and DuckDB. μ is snapped to
+  // a 1e-9 grid right after the logistic link, because `exp` is the one
+  // libm call whose last bit may differ between engines — after the
+  // snap, every downstream double is bitwise identical, and the
+  // per-iteration coefficients (solved from DECIMAL(38,0) fixed-point
+  // sums via shared Cramer text) stay bitwise equal through the chain.
+
+  /** Linear predictor from the joined 1-row coefficient frame. */
+  private val EtaSql = "b0 + b1 * x1 + b2 * x2"
+
+  /** Logistic mean SNAPPED to a 1e-9 grid (engine `exp` may differ in
+    * the last ulp; the snap absorbs it) and clamped away from {0,1} so
+    * a saturated μ can't zero the IRLS weight. Type discipline: the
+    * explicit CAST AS DOUBLE and e-notation literals keep BOTH engines
+    * in DOUBLE — Spark's floor(DOUBLE) returns BIGINT, and an unguarded
+    * `floor(...)/1000000000.0` would run the snap (and everything
+    * downstream of μ) in exact DECIMAL on Spark while DuckDB stays in
+    * DOUBLE, rounding products differently in the last ulp. */
+  private val MuSnapSql =
+    "least(greatest(CAST(floor((1.0 / (1.0 + exp(-(eta)))) * 1e9 + 0.5) AS DOUBLE) / 1e9, 1e-9), 1.0 - 1e-9)"
+
+  /** IRLS working weight w·μ(1−μ) and working response z = η+(y−μ)/μ(1−μ). */
+  private val WorkWSql = "w * (mu * (1.0 - mu))"
+  private val WorkYSql = "eta + (y - mu) / (mu * (1.0 - mu))"
+
+  /** Pearson dispersion (quasibinomial φ): Σ w(y−μ)²/μ(1−μ) over n−p. */
+  private val PhiSql = "sprs / (CAST(n_rows AS DOUBLE) - 3.0)"
+
+  /** Diagonal cofactors of the symmetric X'WX (for (X'WX)⁻¹_jj = cof/det). */
+  private val Cof0Sql = "sx11 * sx22 - sx12 * sx12"
+  private val Cof1Sql = "sw * sx22 - sx2 * sx2"
+  private val Cof2Sql = "sw * sx11 - sx1 * sx1"
+  private def seSql(cof: String): String = s"sqrt(phi * (($cof) / $DetSql))"
+
+  /** Two-sided p-value under the normal approximation:
+    * p = erfc(|t|/√2), erfc via Abramowitz–Stegun 7.1.26 (|err| ≤
+    * 1.5e-7 — below the round-6 output grid). R's summary.glm uses the
+    * t-distribution with n−p df; at the reference's n (hundreds+) the
+    * two differ below 1e-4 — documented approximation, not drift. */
+  private def pSql(t: String): String = {
+    val x = s"(abs($t) / 1.4142135623730951)"
+    val u = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"(((((1.061405429 * $u - 1.453152027) * $u + 1.421413741) * $u - 0.284496736) * $u + 0.254829592) * $u * exp(-($x * $x)))"
+  }
+
+  /** Inference-pass sums: X'WX at the FINAL IRLS weights (wm) plus the
+    * Pearson statistic on the ORIGINAL (w, y). Same fixed-point
+    * DECIMAL(38,0) discipline as [[Terms]]. */
+  private val InfSums: Seq[(String, String)] = Seq(
+    "sw" -> "wm",
+    "sx1" -> "wm * x1",
+    "sx2" -> "wm * x2",
+    "sx11" -> "wm * x1 * x1",
+    "sx12" -> "wm * x1 * x2",
+    "sx22" -> "wm * x2 * x2",
+    "sprs" -> "w * (y - mu) * (y - mu) / (mu * (1.0 - mu))",
+  )
+
+  /** Unrounded 1-row coefficient frame from sufficient stats (shared
+    * Cramer text — bitwise-identical solve on both engines). */
+  private def solveCoefs(stats: DataFrame): DataFrame =
+    recover(stats).selectExpr(
+      s"$Det0Sql / $DetSql AS b0",
+      s"$Det1Sql / $DetSql AS b1",
+      s"$Det2Sql / $DetSql AS b2")
+
+  /** (w,x1,x2,y) × 1-row coefs → + (eta, mu) via the shared fragments. */
+  private def linked(rows: DataFrame, coefs: DataFrame): DataFrame =
+    rows.crossJoin(coefs)
+      .selectExpr("w", "x1", "x2", "y", s"$EtaSql AS eta")
+      .selectExpr("w", "x1", "x2", "y", "eta", s"$MuSnapSql AS mu")
+
+  /** Quasibinomial GLM inference table: one tidy row per coefficient —
+    * (term, estimate, std_error, t_value, p_value, dispersion, n_rows),
+    * the `summary(glm)$coefficients` deliverable. Declarative end to
+    * end: `iters` IRLS refits (each a cross-join + one-pass aggregate)
+    * then one inference pass at the final β computing X'WX, the Pearson
+    * φ, SEs from the cofactor diagonal, and erfc p-values. */
+  def glmInference(rows: DataFrame, iters: Int = 6): DataFrame = {
+    var b = solveCoefs(sufficientStats(rows)) // linear-probability warm start
+    for (_ <- 0 until iters) {
+      val working = linked(rows, b)
+        .selectExpr(s"$WorkWSql AS w", "x1", "x2", s"$WorkYSql AS y")
+      b = solveCoefs(sufficientStats(working))
+    }
+    val infRows = linked(rows, b)
+      .selectExpr(s"$WorkWSql AS wm", "w", "x1", "x2", "y", "mu")
+    val stats = infRows.agg(
+      count(lit(1)).as("n_rows"),
+      InfSums.map { case (n, t) =>
+        expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
+      }: _*)
+    val rec = stats.select(col("n_rows") +: InfSums.map { case (n, _) =>
+      expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
+    }: _*)
+    rec.crossJoin(b)
+      .selectExpr("n_rows", "b0", "b1", "b2", s"$PhiSql AS phi",
+        "sw", "sx1", "sx2", "sx11", "sx12", "sx22")
+      .selectExpr("n_rows", "b0", "b1", "b2", "phi",
+        s"${seSql(Cof0Sql)} AS se0", s"${seSql(Cof1Sql)} AS se1", s"${seSql(Cof2Sql)} AS se2")
+      .selectExpr("n_rows", "phi",
+        "stack(3, 'intercept', b0, se0, b0 / se0, 'x1', b1, se1, b1 / se1, 'x2', b2, se2, b2 / se2) AS (term, est, se, tv)")
+      .selectExpr("term",
+        "round(est, 6) + 0.0 AS estimate",
+        "round(se, 6) + 0.0 AS std_error",
+        "round(tv, 6) + 0.0 AS t_value",
+        s"round(${pSql("tv")}, 6) + 0.0 AS p_value",
+        "round(phi, 6) + 0.0 AS dispersion",
+        "n_rows")
+  }
+
+  /** q94: the inference table for the q32 analysis frame. */
+  def glmInferenceQ(spark: SparkSession, dir: String): DataFrame =
+    glmInference(regressionRows(spark, dir), iters = 6)
+
+  /** DuckDB twin: the SAME iteration chain as a generated CTE cascade —
+    * every per-row/solve/inference formula is the same text fragment
+    * Spark runs, so the table hash-matches bitwise. */
+  val glmInferenceSql: String = {
+    def sumsSql(terms: Seq[(String, String)]): String = terms.map { case (n, t) =>
+      s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0)) AS ${n}_i"
+    }.mkString(",\n  ")
+    def recSql(terms: Seq[(String, String)]): String = terms.map { case (n, _) =>
+      s"CAST(${n}_i AS DOUBLE) / $FixedScale AS $n"
+    }.mkString(",\n  ")
+    val iterCtes = (1 to 6).map { k =>
+      s"""wrk$k AS (
+         |  SELECT $WorkWSql AS w, x1, x2, $WorkYSql AS y
+         |  FROM (SELECT w, x1, x2, y, eta, $MuSnapSql AS mu
+         |        FROM (SELECT r.w, r.x1, r.x2, r.y, $EtaSql AS eta
+         |              FROM rws r CROSS JOIN c${k - 1}))),
+         |s$k AS (SELECT count(*) AS n_rows,
+         |  ${sumsSql(Terms)}
+         |FROM wrk$k),
+         |r$k AS (SELECT n_rows,
+         |  ${recSql(Terms)}
+         |FROM s$k),
+         |c$k AS (SELECT $Det0Sql / $DetSql AS b0, $Det1Sql / $DetSql AS b1, $Det2Sql / $DetSql AS b2 FROM r$k)"""
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS w,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS nf,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spi
+       |  FROM orders GROUP BY o_custkey),
+       |rws AS (
+       |  SELECT w, nf / w AS y, c_acctbal / 1000.0 AS x1,
+       |    CAST(spi AS DOUBLE) / 100.0 / w / 100000.0 AS x2
+       |  FROM base JOIN customer ON o_custkey = c_custkey),
+       |s0 AS (SELECT count(*) AS n_rows,
+       |  ${sumsSql(Terms)}
+       |FROM rws),
+       |r0 AS (SELECT n_rows,
+       |  ${recSql(Terms)}
+       |FROM s0),
+       |c0 AS (SELECT $Det0Sql / $DetSql AS b0, $Det1Sql / $DetSql AS b1, $Det2Sql / $DetSql AS b2 FROM r0),
+       |$iterCtes,
+       |infw AS (
+       |  SELECT $WorkWSql AS wm, w, x1, x2, y, mu
+       |  FROM (SELECT w, x1, x2, y, eta, $MuSnapSql AS mu
+       |        FROM (SELECT r.w, r.x1, r.x2, r.y, $EtaSql AS eta
+       |              FROM rws r CROSS JOIN c6))),
+       |infs AS (SELECT count(*) AS n_rows,
+       |  ${sumsSql(InfSums)}
+       |FROM infw),
+       |infr AS (SELECT n_rows,
+       |  ${recSql(InfSums)}
+       |FROM infs),
+       |inf AS (SELECT n_rows, b0, b1, b2, $PhiSql AS phi, sw, sx1, sx2, sx11, sx12, sx22
+       |        FROM infr CROSS JOIN c6),
+       |inf2 AS (SELECT n_rows, b0, b1, b2, phi,
+       |  ${seSql(Cof0Sql)} AS se0, ${seSql(Cof1Sql)} AS se1, ${seSql(Cof2Sql)} AS se2
+       |FROM inf),
+       |tidy AS (
+       |  SELECT 'intercept' AS term, b0 AS est, se0 AS se, b0 / se0 AS tv, phi, n_rows FROM inf2
+       |  UNION ALL SELECT 'x1', b1, se1, b1 / se1, phi, n_rows FROM inf2
+       |  UNION ALL SELECT 'x2', b2, se2, b2 / se2, phi, n_rows FROM inf2)
+       |SELECT term,
+       |  round(est, 6) + 0.0 AS estimate,
+       |  round(se, 6) + 0.0 AS std_error,
+       |  round(tv, 6) + 0.0 AS t_value,
+       |  round(${pSql("tv")}, 6) + 0.0 AS p_value,
+       |  round(phi, 6) + 0.0 AS dispersion,
+       |  n_rows
+       |FROM tidy""".stripMargin
+  }
+
   /** q89: the q32 analysis fit per customer nation — 25 independent
     * models from one aggregate pass. */
   def regressionByNation(spark: SparkSession, dir: String): DataFrame = {

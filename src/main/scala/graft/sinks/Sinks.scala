@@ -66,10 +66,23 @@ object Sinks {
     * append is a parallel Spark write) — same exposure as the
     * reference; run loads per-key-batch under a scheduler that retries.
     *
-    * The key set crosses the driver: keys are partition-grade values
-    * (counties, dates) — bounded by design, not data-sized. */
+    * PRECONDITION — the key column must be DIMENSION-GRADE. The
+    * distinct key set crosses the driver (the collect below feeds the
+    * parameterized deletes), so `keyCol` must be a partition-grade
+    * value (county, date, tenant) whose cardinality is bounded by
+    * design, never a data-sized id (custkey, event id): a data-sized
+    * key set would both OOM the driver and issue millions of DELETEs.
+    * The guard is enforced: more than `maxKeys` distinct keys aborts
+    * the load BEFORE anything is collected in full or deleted. Raise
+    * `maxKeys` explicitly (the escape hatch) only for a key you have
+    * verified is bounded — if you find yourself raising it past ~1e6,
+    * the key is not partition-grade and the right tool is
+    * [[KeyedOverwriteSink]] on parquet or a staged MERGE. */
   object JdbcKeyedOverwrite {
     private val Ident = "^[A-Za-z_][A-Za-z0-9_.]*$".r
+
+    /** Default cap on the distinct-key set (see precondition above). */
+    val DefaultMaxKeys = 100000
 
     private[graft] def requireIdent(s: String): String = {
       require(Ident.matches(s), s"unsafe SQL identifier: $s")
@@ -77,7 +90,8 @@ object Sinks {
     }
 
     def write(df: DataFrame, url: String, table: String, keyCol: String,
-        options: Map[String, String] = Map.empty): Unit = {
+        options: Map[String, String] = Map.empty,
+        maxKeys: Int = DefaultMaxKeys): Unit = {
       requireIdent(table); requireIdent(keyCol)
       // one materialization: the key set collected here and the rows
       // appended below must come from the SAME evaluation, or a source
@@ -85,7 +99,15 @@ object Sinks {
       // doesn't match the appended rows
       val pinned = df.persist()
       try {
-        val keys = pinned.select(keyCol).distinct().collect().map(_.get(0))
+        // limit(maxKeys+1) bounds the driver transfer BEFORE the guard
+        // fires: a data-sized key column costs one truncated collect,
+        // not an OOM
+        val keys = pinned.select(keyCol).distinct()
+          .limit(maxKeys + 1).collect().map(_.get(0))
+        require(keys.length <= maxKeys,
+          s"JdbcKeyedOverwrite: > $maxKeys distinct '$keyCol' keys — " +
+            "not a dimension-grade key (see scaladoc; raise maxKeys only " +
+            "for a verified-bounded key)")
         val conn = java.sql.DriverManager.getConnection(url,
           graft.sources.Jdbc.props(options))
         try {

@@ -16,7 +16,7 @@ class PrivacySpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(Some("alice"), Some("alice"), Some("bob"), None)
       .toDF("v")
-    val t1 = df.select(Privacy.token(col("v")).as("t")).collect().map(r =>
+    val t1 = df.select(Privacy.token(col("v"), "spec-salt").as("t")).collect().map(r =>
       if (r.isNullAt(0)) null else r.getString(0))
     assert(t1(0) == t1(1))               // stable: equal in, equal out
     assert(t1(0) != t1(2))               // distinct in, distinct out

@@ -100,6 +100,85 @@ class RegressionSpec extends AnyFunSuite {
       && math.abs(a.b2 - b.b2) < 1e-6)
   }
 
+  test("q94 glmInference matches an independent full-precision IRLS on a planted GLM") {
+    import spark.implicits._
+    // planted quasibinomial data: deterministic covariates, mean from a
+    // known β, deterministic over/under-shoot noise (no Random — the
+    // same rows rebuild identically everywhere)
+    val bTrue = (-0.4, 0.8, -0.6)
+    val data = (0 until 400).map { i =>
+      val w = (5 + i % 20).toDouble
+      val x1 = ((i * 7) % 23).toDouble / 23.0 * 4.0 - 2.0
+      val x2 = ((i * 13) % 17).toDouble / 17.0 * 2.0 - 1.0
+      val mu = 1.0 / (1.0 + math.exp(-(bTrue._1 + bTrue._2 * x1 + bTrue._3 * x2)))
+      val y = math.min(0.98, math.max(0.02, mu + 0.15 * math.sin(i * 1.7)))
+      (w, x1, x2, y)
+    }
+    // independent reference: plain-double IRLS (no fixed point, no μ
+    // snap) run to fixed point, then the textbook inference formulas
+    def solve(rows: Seq[(Double, Double, Double, Double)]): (Double, Double, Double) = {
+      var (sw, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y) =
+        (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      rows.foreach { case (w, x1, x2, y) =>
+        sw += w; sx1 += w * x1; sx2 += w * x2
+        sx11 += w * x1 * x1; sx12 += w * x1 * x2; sx22 += w * x2 * x2
+        sy += w * y; sx1y += w * x1 * y; sx2y += w * x2 * y
+      }
+      val det = sw * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+      val d0 = sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+      val d1 = sw * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+      val d2 = sw * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+      (d0 / det, d1 / det, d2 / det)
+    }
+    var b = solve(data)
+    for (_ <- 0 until 25) {
+      val working = data.map { case (w, x1, x2, y) =>
+        val eta = b._1 + b._2 * x1 + b._3 * x2
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        (w * mu * (1.0 - mu), x1, x2, eta + (y - mu) / (mu * (1.0 - mu)))
+      }
+      b = solve(working)
+    }
+    // inference at the fixed point
+    var (sw, sx1, sx2, sx11, sx12, sx22, prs) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    data.foreach { case (w, x1, x2, y) =>
+      val mu = 1.0 / (1.0 + math.exp(-(b._1 + b._2 * x1 + b._3 * x2)))
+      val wm = w * mu * (1.0 - mu)
+      sw += wm; sx1 += wm * x1; sx2 += wm * x2
+      sx11 += wm * x1 * x1; sx12 += wm * x1 * x2; sx22 += wm * x2 * x2
+      prs += w * (y - mu) * (y - mu) / (mu * (1.0 - mu))
+    }
+    val det = sw * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+    val phi = prs / (data.size - 3).toDouble
+    val seRef = Seq(
+      math.sqrt(phi * (sx11 * sx22 - sx12 * sx12) / det),
+      math.sqrt(phi * (sw * sx22 - sx2 * sx2) / det),
+      math.sqrt(phi * (sw * sx11 - sx1 * sx1) / det))
+
+    val got = Regression.glmInference(data.toDF("w", "x1", "x2", "y"), iters = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bRef = Seq(b._1, b._2, b._3)
+    Seq("intercept", "x1", "x2").zipWithIndex.foreach { case (term, j) =>
+      val r = got(term)
+      assert(math.abs(r.getDouble(1) - bRef(j)) < 1e-3, s"$term estimate ${r.getDouble(1)} vs ${bRef(j)}")
+      assert(math.abs(r.getDouble(2) - seRef(j)) < 1e-3, s"$term se ${r.getDouble(2)} vs ${seRef(j)}")
+      assert(math.abs(r.getDouble(3) - bRef(j) / seRef(j)) < 2e-2, s"$term t")
+      assert(math.abs(r.getDouble(5) - phi) < 1e-3, s"dispersion ${r.getDouble(5)} vs $phi")
+      assert(r.getLong(6) == 400)
+      val p = r.getDouble(4)
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // recovery: the planted coefficients are inside ~noise distance
+    assert(math.abs(bRef(0) - bTrue._1) < 0.3 && math.abs(bRef(1) - bTrue._2) < 0.3
+      && math.abs(bRef(2) - bTrue._3) < 0.3)
+    // strong effects carry small p; p is monotone-decreasing in |t|
+    val byT = Seq("intercept", "x1", "x2").map(t => (math.abs(got(t).getDouble(3)), got(t).getDouble(4)))
+    byT.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Seq(pLo, pHi) => assert(pHi <= pLo + 1e-12)
+      case _ =>
+    }
+  }
+
   test("IRLS quasibinomial satisfies the intercept score equation Σw(y−μ)≈0") {
     val rows = Regression.regressionRows(spark, dir).cache()
     val fit = Regression.glmQuasibinomial(rows)

@@ -12,12 +12,28 @@ class Round7PlanSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  /** Window lines that partition by nothing (global single-partition
-    * sort) — the hot-key wall the scaladocs promise to avoid. */
-  private def globalWindows(p: String): Seq[String] =
-    p.linesIterator.filter(l =>
-      l.contains("Window") && l.contains("windowspecdefinition") &&
-        !l.contains("partitionBy")).toSeq
+  /** Window nodes that partition by nothing (global single-partition
+    * sort) — the hot-key wall the scaladocs promise to avoid. Checked
+    * on the optimized LOGICAL plan (AQE wraps the physical tree, so
+    * collect() there can miss inner nodes). */
+  private def globalWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w.simpleString(100)
+    }
+
+  test("event operators carry no global single-partition window") {
+    // the value-level operators (q93/q83/q68) are the documented
+    // exception; every EVENT-grade operator must partition its windows
+    val eventPlans = Seq(
+      "q50_transitions" -> operators.Events.transitions(spark, dir),
+      "q44_rolling" -> operators.Events.rollingStats(spark, dir),
+      "q76_funnel" -> operators.Funnel.windowFunnel(spark, dir),
+      "q80_attribution" -> operators.Attribution.lastTouch(spark, dir))
+    eventPlans.foreach { case (name, df) =>
+      assert(globalWindows(df).isEmpty, s"$name has a global window")
+    }
+  }
 
   test("q80 attribution: the running-touch window partitions by user, never global") {
     val p = plan(operators.Attribution.lastTouch(spark, dir))
