@@ -105,6 +105,7 @@ object SparkEntry {
     "q92_pseudonymize" -> operators.Privacy.tokenJoin,
     "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdf,
     "q94_glm_inference" -> operators.Regression.glmInferenceQ,
+    "q95_group_glm" -> operators.Regression.groupGlm,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -328,5 +329,6 @@ object SparkEntry {
     "q92_pseudonymize" -> operators.Privacy.tokenJoinSql,
     "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdfSql,
     "q94_glm_inference" -> operators.Regression.glmInferenceSql,
+    "q95_group_glm" -> operators.Regression.groupGlmSql,
   )
 }

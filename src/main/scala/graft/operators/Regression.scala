@@ -282,14 +282,17 @@ object Regression {
   private val WorkWSql = "w * (mu * (1.0 - mu))"
   private val WorkYSql = "eta + (y - mu) / (mu * (1.0 - mu))"
 
-  /** Pearson dispersion (quasibinomial φ): Σ w(y−μ)²/μ(1−μ) over n−p. */
-  private val PhiSql = "sprs / (CAST(n_rows AS DOUBLE) - 3.0)"
+  /** Pearson dispersion (quasibinomial φ): Σ w(y−μ)²/μ(1−μ) over n−p.
+    * nullif keeps a saturated group (n = p = 3) at NULL dispersion
+    * instead of an ANSI divide-by-zero. */
+  private val PhiSql = "sprs / nullif(CAST(n_rows AS DOUBLE) - 3.0, 0.0)"
 
   /** Diagonal cofactors of the symmetric X'WX (for (X'WX)⁻¹_jj = cof/det). */
   private val Cof0Sql = "sx11 * sx22 - sx12 * sx12"
   private val Cof1Sql = "sw * sx22 - sx2 * sx2"
   private val Cof2Sql = "sw * sx11 - sx1 * sx1"
-  private def seSql(cof: String): String = s"sqrt(phi * (($cof) / $DetSql))"
+  private def seSql(cof: String): String =
+    s"sqrt(phi * (($cof) / nullif($DetSql, 0.0)))"
 
   /** Two-sided p-value under the normal approximation:
     * p = erfc(|t|/√2), erfc via Abramowitz–Stegun 7.1.26 (|err| ≤
@@ -443,23 +446,27 @@ object Regression {
        |FROM tidy""".stripMargin
   }
 
-  /** q89: the q32 analysis fit per customer nation — 25 independent
-    * models from one aggregate pass. */
-  def regressionByNation(spark: SparkSession, dir: String): DataFrame = {
+  /** The q32 analysis frame keyed by customer nation (shared by q89 and
+    * q95). */
+  private def nationRows(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).cast("double").as("w"),
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("double").as("nf"),
         sum(expr("CAST(floor(o_totalprice * 100.0) AS DECIMAL(38,0))")).as("spi"))
-    val rows = base
+    base
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey"), col("w"),
         (col("nf") / col("w")).as("y"),
         (col("c_acctbal") / 1000.0).as("x1"),
         (col("spi").cast("double") / 100.0 / col("w") / 100000.0).as("x2"))
-    wlsFitBy(rows, Seq("c_nationkey"))
   }
+
+  /** q89: the q32 analysis fit per customer nation — 25 independent
+    * models from one aggregate pass. */
+  def regressionByNation(spark: SparkSession, dir: String): DataFrame =
+    wlsFitBy(nationRows(spark, dir), Seq("c_nationkey"))
 
   val regressionByNationSql: String = {
     val sums = Terms.map { case (n, t) =>
@@ -495,5 +502,164 @@ object Regression {
        |  round(b2, 6) + 0.0 AS b_x2,
        |  CASE WHEN b0 IS NOT NULL THEN $R2Sql END AS r2
        |FROM solved""".stripMargin
+  }
+
+  // ---- q95: per-group quasibinomial GLM (grouped IRLS, no driver loop) ----
+  //
+  // q89 gives thousands of per-group LINEAR fits in one pass; q95
+  // completes them to the reference's actual family
+  // (run_analysis.Rmd:80-98 fits ONE quasibinomial model — a
+  // segment-level user fits one per group). Shape: each IRLS iteration
+  // is one keyed sufficient-stats aggregate (shuffle carries ~10
+  // numbers per group) + one equi-join of the rows against the
+  // group-level coefficient frame (dimension-grade — broadcast at
+  // nation/segment cardinality, shuffle join with AQE beyond). No
+  // driver loop, no per-group jobs: a million groups iterate together.
+  // Degenerate groups (n < 3 or singular X'WX) carry NULL coefficients
+  // from the warm start onward — their working rows are NULL and stay
+  // NULL, never garbage.
+
+  /** Guarded identifiability condition shared by q89/q95 and both
+    * engines. */
+  private val GuardSql = s"n_rows >= 3 AND abs($DetSql) > 1.0 / $FixedScale"
+
+  private def keyedStats(rows: DataFrame, groups: Seq[String]): DataFrame =
+    rows.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        Terms.map { case (n, t) =>
+          expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
+        }: _*)
+
+  /** Per-group guarded solve → (groups, b0, b1, b2), unrounded. The
+    * nullif on the divisor matters beyond taste: once the iteration
+    * chain is composed, Catalyst collapses the projections and its
+    * codegen subexpression elimination may hoist these divisions OUT of
+    * their CASE guards — an eagerly evaluated det=0 division is an ANSI
+    * runtime error unless the denominator is intrinsically safe. */
+  private def keyedSolve(stats: DataFrame, groups: Seq[String]): DataFrame =
+    stats
+      .select(groups.map(col) ++ (col("n_rows") +: Terms.map { case (n, _) =>
+        expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
+      }): _*)
+      .select(groups.map(col) ++ Seq(
+        expr(s"CASE WHEN $GuardSql THEN $Det0Sql / nullif($DetSql, 0.0) END").as("b0"),
+        expr(s"CASE WHEN $GuardSql THEN $Det1Sql / nullif($DetSql, 0.0) END").as("b1"),
+        expr(s"CASE WHEN $GuardSql THEN $Det2Sql / nullif($DetSql, 0.0) END").as("b2")): _*)
+
+  /** rows ⋈ per-group coefs → + (eta, mu) via the shared fragments. */
+  private def linkedBy(rows: DataFrame, coefs: DataFrame, groups: Seq[String]): DataFrame =
+    rows.join(coefs, groups)
+      .selectExpr(groups ++ Seq("w", "x1", "x2", "y", s"$EtaSql AS eta"): _*)
+      .selectExpr(groups ++ Seq("w", "x1", "x2", "y", "eta", s"$MuSnapSql AS mu"): _*)
+
+  /** Per-group quasibinomial GLM with inference: one tidy row per group
+    * — (groups, n_rows, b_intercept, b_x1, b_x2, se_intercept, se_x1,
+    * se_x2, dispersion). Same μ-snap/fixed-point discipline as
+    * [[glmInference]], keyed. */
+  def glmQuasibinomialBy(rows: DataFrame, groups: Seq[String], iters: Int = 4): DataFrame = {
+    var b = keyedSolve(keyedStats(rows, groups), groups) // LPM warm start
+    for (_ <- 0 until iters) {
+      val working = linkedBy(rows, b, groups)
+        .selectExpr(groups ++ Seq(s"$WorkWSql AS w", "x1", "x2", s"$WorkYSql AS y"): _*)
+      b = keyedSolve(keyedStats(working, groups), groups)
+    }
+    val infRows = linkedBy(rows, b, groups)
+      .selectExpr(groups ++ Seq(s"$WorkWSql AS wm", "w", "x1", "x2", "y", "mu"): _*)
+    val stats = infRows.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        InfSums.map { case (n, t) =>
+          expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
+        }: _*)
+    val rec = stats.select(groups.map(col) ++ (col("n_rows") +: InfSums.map { case (n, _) =>
+      expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
+    }): _*)
+    rec.join(b, groups)
+      .selectExpr(groups ++ Seq("n_rows", "b0", "b1", "b2", s"$PhiSql AS phi",
+        "sw", "sx1", "sx2", "sx11", "sx12", "sx22"): _*)
+      .selectExpr(groups ++ Seq("n_rows", "b0", "b1", "b2", "phi",
+        s"${seSql(Cof0Sql)} AS se0", s"${seSql(Cof1Sql)} AS se1", s"${seSql(Cof2Sql)} AS se2"): _*)
+      .selectExpr(groups ++ Seq("n_rows",
+        "round(b0, 6) + 0.0 AS b_intercept",
+        "round(b1, 6) + 0.0 AS b_x1",
+        "round(b2, 6) + 0.0 AS b_x2",
+        "round(se0, 6) + 0.0 AS se_intercept",
+        "round(se1, 6) + 0.0 AS se_x1",
+        "round(se2, 6) + 0.0 AS se_x2",
+        "round(phi, 6) + 0.0 AS dispersion"): _*)
+  }
+
+  /** q95: the per-nation quasibinomial fits for the q32 analysis frame. */
+  def groupGlm(spark: SparkSession, dir: String): DataFrame =
+    glmQuasibinomialBy(nationRows(spark, dir), Seq("c_nationkey"), iters = 4)
+
+  /** DuckDB twin of [[groupGlm]]: the keyed CTE cascade from the same
+    * shared fragments — grouped sums, guarded solves, USING joins. */
+  val groupGlmSql: String = {
+    def sumsSql(terms: Seq[(String, String)]): String = terms.map { case (n, t) =>
+      s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0)) AS ${n}_i"
+    }.mkString(",\n  ")
+    def recSql(terms: Seq[(String, String)]): String = terms.map { case (n, _) =>
+      s"CAST(${n}_i AS DOUBLE) / $FixedScale AS $n"
+    }.mkString(",\n  ")
+    def solveCte(k: Int, src: String): String =
+      s"""r$k AS (SELECT c_nationkey, n_rows,
+         |  ${recSql(Terms)}
+         |FROM $src),
+         |c$k AS (SELECT c_nationkey,
+         |  CASE WHEN $GuardSql THEN $Det0Sql / nullif($DetSql, 0.0) END AS b0,
+         |  CASE WHEN $GuardSql THEN $Det1Sql / nullif($DetSql, 0.0) END AS b1,
+         |  CASE WHEN $GuardSql THEN $Det2Sql / nullif($DetSql, 0.0) END AS b2
+         |FROM r$k)"""
+    val iterCtes = (1 to 4).map { k =>
+      s"""wrk$k AS (
+         |  SELECT c_nationkey, $WorkWSql AS w, x1, x2, $WorkYSql AS y
+         |  FROM (SELECT c_nationkey, w, x1, x2, y, eta, $MuSnapSql AS mu
+         |        FROM (SELECT r.c_nationkey, r.w, r.x1, r.x2, r.y, $EtaSql AS eta
+         |              FROM rws r JOIN c${k - 1} USING (c_nationkey)))),
+         |s$k AS (SELECT c_nationkey, count(*) AS n_rows,
+         |  ${sumsSql(Terms)}
+         |FROM wrk$k GROUP BY c_nationkey),
+         |${solveCte(k, s"s$k")}"""
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS w,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS nf,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spi
+       |  FROM orders GROUP BY o_custkey),
+       |rws AS (
+       |  SELECT c_nationkey, w, nf / w AS y, c_acctbal / 1000.0 AS x1,
+       |    CAST(spi AS DOUBLE) / 100.0 / w / 100000.0 AS x2
+       |  FROM base JOIN customer ON o_custkey = c_custkey),
+       |s0 AS (SELECT c_nationkey, count(*) AS n_rows,
+       |  ${sumsSql(Terms)}
+       |FROM rws GROUP BY c_nationkey),
+       |${solveCte(0, "s0")},
+       |$iterCtes,
+       |infw AS (
+       |  SELECT c_nationkey, $WorkWSql AS wm, w, x1, x2, y, mu
+       |  FROM (SELECT c_nationkey, w, x1, x2, y, eta, $MuSnapSql AS mu
+       |        FROM (SELECT r.c_nationkey, r.w, r.x1, r.x2, r.y, $EtaSql AS eta
+       |              FROM rws r JOIN c4 USING (c_nationkey)))),
+       |infs AS (SELECT c_nationkey, count(*) AS n_rows,
+       |  ${sumsSql(InfSums)}
+       |FROM infw GROUP BY c_nationkey),
+       |infr AS (SELECT c_nationkey, n_rows,
+       |  ${recSql(InfSums)}
+       |FROM infs),
+       |inf AS (SELECT c_nationkey, n_rows, b0, b1, b2, $PhiSql AS phi,
+       |  sw, sx1, sx2, sx11, sx12, sx22
+       |FROM infr JOIN c4 USING (c_nationkey)),
+       |inf2 AS (SELECT c_nationkey, n_rows, b0, b1, b2, phi,
+       |  ${seSql(Cof0Sql)} AS se0, ${seSql(Cof1Sql)} AS se1, ${seSql(Cof2Sql)} AS se2
+       |FROM inf)
+       |SELECT c_nationkey, n_rows,
+       |  round(b0, 6) + 0.0 AS b_intercept,
+       |  round(b1, 6) + 0.0 AS b_x1,
+       |  round(b2, 6) + 0.0 AS b_x2,
+       |  round(se0, 6) + 0.0 AS se_intercept,
+       |  round(se1, 6) + 0.0 AS se_x1,
+       |  round(se2, 6) + 0.0 AS se_x2,
+       |  round(phi, 6) + 0.0 AS dispersion
+       |FROM inf2""".stripMargin
   }
 }

@@ -179,6 +179,36 @@ class RegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q95 glmQuasibinomialBy recovers a DIFFERENT planted GLM per group") {
+    import spark.implicits._
+    // noise-free logistic data: group g has β = (-0.2·g, 0.5+0.3·g,
+    // -0.4). y = μ exactly, so each group's IRLS must converge to ITS
+    // OWN β and the dispersion/SEs must collapse to ~0. A 'flat' group
+    // with constant covariates must yield NULLs, not garbage.
+    val rows = (0 until 2).flatMap { g =>
+      (0 until 150).map { i =>
+        val w = (3 + i % 5).toDouble
+        val x1 = ((i * 7) % 23).toDouble / 23.0 * 4.0 - 2.0
+        val x2 = ((i * 13) % 17).toDouble / 17.0 * 2.0 - 1.0
+        val mu = 1.0 / (1.0 + math.exp(-(-0.2 * g + (0.5 + 0.3 * g) * x1 - 0.4 * x2)))
+        (g.toLong, w, x1, x2, mu)
+      }
+    } ++ (0 until 10).map(i => (9L, 1.0, 2.0, 3.0, 0.5))
+    val fits = Regression.glmQuasibinomialBy(
+        rows.toDF("g", "w", "x1", "x2", "y"), Seq("g"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 1L).foreach { g =>
+      val r = fits(g)
+      assert(math.abs(r.getDouble(2) - (-0.2 * g)) < 1e-3, s"g=$g b0 ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(3) - (0.5 + 0.3 * g)) < 1e-3, s"g=$g b1 ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4) - (-0.4)) < 1e-3, s"g=$g b2 ${r.getDouble(4)}")
+      assert(r.getDouble(8) < 1e-3, s"g=$g dispersion ${r.getDouble(8)}") // exact data
+      assert(r.getDouble(5) < 1e-2, s"g=$g se0 ${r.getDouble(5)}")
+    }
+    assert(fits(9L).isNullAt(2) && fits(9L).isNullAt(5), "degenerate group must be NULL")
+    assert(fits(9L).getLong(1) == 10) // but its row count is still real
+  }
+
   test("IRLS quasibinomial satisfies the intercept score equation Σw(y−μ)≈0") {
     val rows = Regression.regressionRows(spark, dir).cache()
     val fit = Regression.glmQuasibinomial(rows)
