@@ -236,6 +236,77 @@ class SourceSinkSpec extends AnyFunSuite {
     df.unpersist(); df2.unpersist()
   }
 
+  test("GeoJsonSink: lines round-trip source→sink→source preserves geometry and properties") {
+    import org.apache.spark.sql.types.StructType
+    val path = tmp()
+    Files.writeString(java.nio.file.Path.of(path, "f.geojsonl"), Seq(
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[3.5,-4.25]},"properties":{"name":"pt","pop":7}}""",
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[10.5,0],[0,10.25],[0,0]]]},"properties":{"name":"tri","pop":1}}""",
+      """{"type":"Feature","geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[5,0],[5,5],[0,5],[0,0]]],[[[8,8],[12,8],[12,12],[8,12],[8,8]]]]},"properties":{"name":"two","pop":2}}""",
+    ).mkString("\n"))
+    val schema = StructType.fromDDL("name string, pop int")
+    val first = sources.GeoJson.readLines(spark, path, schema)
+      .filter(col(sources.GeoJson.RescueCol).isNull).cache()
+    val out = tmp()
+    sinks.GeoJsonSink.writeLines(first, out, Seq("name", "pop"))
+    val second = sources.GeoJson.readLines(spark, out, schema).cache()
+    assert(second.filter(col(sources.GeoJson.RescueCol).isNotNull).count() == 0)
+    assert(second.count() == 3)
+    def ringsByName(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Seq[Double], Seq[Double])]] =
+      df.filter(col("rings").isNotNull).select("name", "rings").collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(ring =>
+          (ring.getSeq[Double](0), ring.getSeq[Double](1)))
+      }.toMap
+    // geometry equality: ring coordinates round-trip bit-exactly
+    assert(ringsByName(second) == ringsByName(first))
+    val pt = second.filter(col("geometry_type") === "Point").head
+    assert(pt.getDouble(pt.fieldIndex("px")) == 3.5 && pt.getDouble(pt.fieldIndex("py")) == -4.25)
+    assert(second.select("name", "pop").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      == Set(("pt", 7), ("tri", 1), ("two", 2)))
+    // the multipolygon was ring-normalized at ingest; its export carries
+    // the same rings, so containment semantics survive the round trip
+    val two = second.filter(col("name") === "two")
+    assert(two.filter(operators.Geo.pointInRings(col("rings"), lit(9.0), lit(9.0))).count() == 1)
+    assert(two.filter(operators.Geo.pointInRings(col("rings"), lit(6.5), lit(6.5))).count() == 0)
+    first.unpersist(); second.unpersist()
+  }
+
+  test("GeoJsonSink: FeatureCollection round-trip, null geometry, reproducible bytes") {
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+    val path = tmp()
+    Files.writeString(java.nio.file.Path.of(path, "shapes.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[10,0],[0,10],[0,0]]]},"properties":{"name":"tri"}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"name":"pt"}}]}""".stripMargin)
+    val schema = StructType.fromDDL("name string")
+    val first = sources.GeoJson.readCollection(spark, path, schema)
+      .filter(col(sources.GeoJson.RescueCol).isNull).cache()
+    val out = tmp()
+    sinks.GeoJsonSink.writeCollection(first, out, Seq("name"))
+    val second = sources.GeoJson.readCollection(spark, out, schema)
+    assert(second.filter(col(sources.GeoJson.RescueCol).isNotNull).count() == 0)
+    assert(second.select("name").collect().map(_.getString(0)).toSet == Set("tri", "pt"))
+    // byte-reproducible artifact: a second write produces identical text
+    def docText(dir: String): String = {
+      val f = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).head
+      Files.readAllLines(f.toPath).asScala.mkString("\n")
+    }
+    val out2 = tmp()
+    sinks.GeoJsonSink.writeCollection(first, out2, Seq("name"))
+    assert(docText(out) == docText(out2))
+    // a geometry-less row exports as RFC 7946 "geometry": null
+    val bare = first.limit(1)
+      .withColumn("geometry_type", lit(null).cast("string"))
+      .withColumn("px", lit(null).cast("double"))
+      .withColumn("py", lit(null).cast("double"))
+      .withColumn("rings", lit(null).cast(first.schema("rings").dataType))
+    val out3 = tmp()
+    sinks.GeoJsonSink.writeLines(bare, out3, Seq("name"))
+    assert(docText(out3).contains("\"geometry\":null"))
+    first.unpersist()
+  }
+
   test("HtmlTables: header-matched extraction across files with different column orders") {
     import org.apache.spark.sql.types.StructType
     val path = tmp()
