@@ -65,4 +65,47 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("pagerankUntil stops early on an already-converged graph") {
+    import spark.implicits._
+    // 8-ring, both directions: d=2 everywhere and Scale/8 divides
+    // evenly, so the uniform start IS the exact integer fixed point —
+    // round 1's delta is 0 and the loop must stop immediately
+    val ring = (0L until 8L).flatMap(i =>
+      Seq((i, (i + 1) % 8), ((i + 1) % 8, i))).toDF("src", "dst")
+    val (ranks, rounds) = Graph.pagerankUntil(ring, maxIters = 20, tol = 0L)
+    assert(rounds == 1, s"expected early stop, ran $rounds rounds")
+    val vals = ranks.select("centrality").as[Long].collect()
+    assert(vals.toSet == Set(Graph.Scale / 8)) // still uniform and exact
+  }
+
+  test("pagerankUntil matches fixed-depth pagerank at equal depth") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val fixed = Graph.pagerank(edges, iters = 4).as[(Long, Long)].collect().toMap
+    // tol = -1: unreachable, so exactly maxIters rounds run
+    val (ranks, rounds) = Graph.pagerankUntil(edges, maxIters = 4, tol = -1L)
+    assert(rounds == 4)
+    assert(ranks.as[(Long, Long)].collect().toMap == fixed)
+  }
+
+  test("redistribution conserves total mass where the plain variant leaks it") {
+    import spark.implicits._
+    // chain a→b→c: c is dangling and holds substantial mass, so the
+    // plain variant evaporates a large share each round
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val iters = 5
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("centrality")).head.getLong(0)
+    val plain = total(Graph.pagerank(edges, iters))
+    val redist = total(Graph.pagerankRedistribute(edges, iters))
+    val n = 3L; val e = 2L
+    val floorBound = iters * (e + 3 * n + 20) // per-round integer-floor leak
+    assert(redist <= Graph.Scale)
+    assert(redist >= Graph.Scale - floorBound,
+      s"redistributed total $redist leaked more than floors allow")
+    // the plain variant must have lost real mass (the dangling share),
+    // orders of magnitude beyond floor leakage
+    assert(plain < redist - Graph.Scale / 10)
+  }
 }
