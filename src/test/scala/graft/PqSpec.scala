@@ -21,6 +21,31 @@ class PqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("persisted indexes reproduce identical artifacts and identical top-k") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val emb = Tables.embeddings(spark, dir)
+    // PQ codebooks round-trip: structural equality and identical encoding
+    val books = Pq.fit(emb)
+    ann.IndexStore.saveCodebooks(spark, books, s"$tmp/books")
+    val books2 = ann.IndexStore.loadCodebooks(spark, s"$tmp/books")
+    assert(books2 == books)
+    val enc1 = Pq.encode(emb, books).collect().map(_.toSeq).toSet
+    val enc2 = Pq.encode(emb, books2).collect().map(_.toSeq).toSet
+    assert(enc1 == enc2)
+    // IVF centroids round-trip: identical top-k from the persisted index
+    val cents = Ann.fitCentroids(emb)
+    ann.IndexStore.saveCentroids(spark, cents, s"$tmp/cents")
+    val cents2 = ann.IndexStore.loadCentroids(spark, s"$tmp/cents")
+    assert(cents2 == cents)
+    val topk1 = Ann.annIvf(emb, cents).collect().map(_.toSeq).toSet
+    val topk2 = Ann.annIvf(emb, cents2).collect().map(_.toSeq).toSet
+    assert(topk1 == topk2 && topk1.nonEmpty)
+    // a wrong artifact fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      ann.IndexStore.loadCentroids(spark, s"$tmp/books")
+    }
+  }
+
   test("codes cover the corpus: one wide row per vector, codes in [0, Ks)") {
     val emb = Tables.embeddings(spark, dir)
     val codes = Pq.encode(emb, Pq.fit(emb)).cache()
