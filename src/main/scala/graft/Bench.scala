@@ -21,16 +21,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Constant-cost canary: 2e7-row codegen'd hash aggregate, ~0.1–0.2 s
-    * warm on a healthy 32-thread session, independent of SF_DIR. */
-  def canary(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    spark.range(0, 20000000, 1, 32)
-      .selectExpr("id % 1000003 AS k", "id * 2654435761 AS v")
-      .groupBy("k").sum("v")
-      .write.mode("overwrite").format("noop").save()
-    (System.nanoTime() - t0) / 1e9
-  }
+  /** Constant-cost canary: 2e7-row codegen'd hash aggregate (1e6
+    * distinct keys — exercises both the CPU and shuffle paths),
+    * independent of SF_DIR. min-of-2 like the queries, so one GC pause
+    * can't masquerade as machine degradation; see BASELINE.md for the
+    * healthy band. */
+  def canary(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000, 1, 32)
+        .selectExpr("id % 1000003 AS k", "id * 2654435761 AS v")
+        .groupBy("k").sum("v")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

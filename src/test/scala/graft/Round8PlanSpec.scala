@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the round-8 operators: the scale claims
+  * their scaladocs make, checked against the plans Spark actually
+  * builds. */
+class Round8PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q94 inference chain: hash aggregates only, all joins 1-row-broadcast grade") {
+    val p = physical(operators.Regression.glmInferenceQ(spark, dir))
+    // the sufficient-stats passes must be partial/final hash aggregates
+    // (map-side combinable), never sort-based
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"), "sufficient stats fell back to SortAggregate")
+    // the only non-equi joins in the chain are the deliberate 1-row
+    // coefficient-frame cross joins, which Spark plans as broadcast
+    // nested loops with a single-row build side — a cartesian product
+    // node would mean a real fact-side blowup
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian in q94")
+  }
+
+  test("q95 grouped chain: keyed hash aggregates, equi joins only") {
+    val df = operators.Regression.groupGlm(spark, dir)
+    val p = physical(df)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"), "q95 must join rows⋈coefs on the group key")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q95's coefficient join-back must be an equi join, not a nested loop")
+  }
+
+  test("q94/q95 outputs carry no NaN/Inf into the oracle surface") {
+    import org.apache.spark.sql.functions._
+    val inf = operators.Regression.glmInferenceQ(spark, dir).cache()
+    assert(inf.count() == 3)
+    Seq("estimate", "std_error", "t_value", "p_value", "dispersion").foreach { c =>
+      assert(inf.filter(col(c).isNull || isnan(col(c)) ||
+        col(c) === Double.PositiveInfinity || col(c) === Double.NegativeInfinity)
+        .count() == 0, s"q94 column $c has non-finite values")
+    }
+    inf.unpersist()
+    val grp = operators.Regression.groupGlm(spark, dir).cache()
+    assert(grp.count() == 25)
+    // sf0.001 nations are all well-posed: every fit identified
+    assert(grp.filter(col("b_intercept").isNull).count() == 0)
+    assert(grp.filter(isnan(col("dispersion"))).count() == 0)
+    grp.unpersist()
+  }
+}
