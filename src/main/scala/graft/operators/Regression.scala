@@ -339,13 +339,20 @@ object Regression {
     * then one inference pass at the final β computing X'WX, the Pearson
     * φ, SEs from the cofactor diagonal, and erfc p-values. */
   def glmInference(rows: DataFrame, iters: Int = 6): DataFrame = {
-    var b = solveCoefs(sufficientStats(rows)) // linear-probability warm start
+    // pin the analysis frame once: the chain re-reads it iters+2 times
+    // (warm start, each refit, inference pass), and recomputing the
+    // caller's source pipeline per pass would dominate the fit cost.
+    // localCheckpoint (the pagerank/q67 precedent) caches without the
+    // unpersist-scoping problem a persist would have on a returned
+    // lazy frame; blocks free when the result's lineage is collected.
+    val pinned = rows.localCheckpoint()
+    var b = solveCoefs(sufficientStats(pinned)) // linear-probability warm start
     for (_ <- 0 until iters) {
-      val working = linked(rows, b)
+      val working = linked(pinned, b)
         .selectExpr(s"$WorkWSql AS w", "x1", "x2", s"$WorkYSql AS y")
       b = solveCoefs(sufficientStats(working))
     }
-    val infRows = linked(rows, b)
+    val infRows = linked(pinned, b)
       .selectExpr(s"$WorkWSql AS wm", "w", "x1", "x2", "y", "mu")
     val stats = infRows.agg(
       count(lit(1)).as("n_rows"),
@@ -557,13 +564,14 @@ object Regression {
     * se_x2, dispersion). Same μ-snap/fixed-point discipline as
     * [[glmInference]], keyed. */
   def glmQuasibinomialBy(rows: DataFrame, groups: Seq[String], iters: Int = 4): DataFrame = {
-    var b = keyedSolve(keyedStats(rows, groups), groups) // LPM warm start
+    val pinned = rows.localCheckpoint() // see glmInference: iters+2 re-reads
+    var b = keyedSolve(keyedStats(pinned, groups), groups) // LPM warm start
     for (_ <- 0 until iters) {
-      val working = linkedBy(rows, b, groups)
+      val working = linkedBy(pinned, b, groups)
         .selectExpr(groups ++ Seq(s"$WorkWSql AS w", "x1", "x2", s"$WorkYSql AS y"): _*)
       b = keyedSolve(keyedStats(working, groups), groups)
     }
-    val infRows = linkedBy(rows, b, groups)
+    val infRows = linkedBy(pinned, b, groups)
       .selectExpr(groups ++ Seq(s"$WorkWSql AS wm", "w", "x1", "x2", "y", "mu"): _*)
     val stats = infRows.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
