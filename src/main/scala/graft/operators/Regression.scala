@@ -368,7 +368,7 @@ object Regression {
       .selectExpr("n_rows", "b0", "b1", "b2", "phi",
         s"${seSql(Cof0Sql)} AS se0", s"${seSql(Cof1Sql)} AS se1", s"${seSql(Cof2Sql)} AS se2")
       .selectExpr("n_rows", "phi",
-        "stack(3, 'intercept', b0, se0, b0 / se0, 'x1', b1, se1, b1 / se1, 'x2', b2, se2, b2 / se2) AS (term, est, se, tv)")
+        "stack(3, 'intercept', b0, se0, b0 / nullif(se0, 0.0), 'x1', b1, se1, b1 / nullif(se1, 0.0), 'x2', b2, se2, b2 / nullif(se2, 0.0)) AS (term, est, se, tv)")
       .selectExpr("term",
         "round(est, 6) + 0.0 AS estimate",
         "round(se, 6) + 0.0 AS std_error",
@@ -440,9 +440,9 @@ object Regression {
        |  ${seSql(Cof0Sql)} AS se0, ${seSql(Cof1Sql)} AS se1, ${seSql(Cof2Sql)} AS se2
        |FROM inf),
        |tidy AS (
-       |  SELECT 'intercept' AS term, b0 AS est, se0 AS se, b0 / se0 AS tv, phi, n_rows FROM inf2
-       |  UNION ALL SELECT 'x1', b1, se1, b1 / se1, phi, n_rows FROM inf2
-       |  UNION ALL SELECT 'x2', b2, se2, b2 / se2, phi, n_rows FROM inf2)
+       |  SELECT 'intercept' AS term, b0 AS est, se0 AS se, b0 / nullif(se0, 0.0) AS tv, phi, n_rows FROM inf2
+       |  UNION ALL SELECT 'x1', b1, se1, b1 / nullif(se1, 0.0), phi, n_rows FROM inf2
+       |  UNION ALL SELECT 'x2', b2, se2, b2 / nullif(se2, 0.0), phi, n_rows FROM inf2)
        |SELECT term,
        |  round(est, 6) + 0.0 AS estimate,
        |  round(se, 6) + 0.0 AS std_error,
@@ -593,6 +593,14 @@ object Regression {
         "round(se0, 6) + 0.0 AS se_intercept",
         "round(se1, 6) + 0.0 AS se_x1",
         "round(se2, 6) + 0.0 AS se_x2",
+        // exact t statistics — the screening key when thousands of
+        // segment fits come back (p is left to q94's ungrouped table:
+        // its normal approximation degrades at small per-group n).
+        // nullif: a saturated fit (zero dispersion ⇒ zero SE) gets a
+        // NULL t, not a divide-by-zero
+        "round(b0 / nullif(se0, 0.0), 6) + 0.0 AS t_intercept",
+        "round(b1 / nullif(se1, 0.0), 6) + 0.0 AS t_x1",
+        "round(b2 / nullif(se2, 0.0), 6) + 0.0 AS t_x2",
         "round(phi, 6) + 0.0 AS dispersion"): _*)
   }
 
@@ -667,6 +675,9 @@ object Regression {
        |  round(se0, 6) + 0.0 AS se_intercept,
        |  round(se1, 6) + 0.0 AS se_x1,
        |  round(se2, 6) + 0.0 AS se_x2,
+       |  round(b0 / nullif(se0, 0.0), 6) + 0.0 AS t_intercept,
+       |  round(b1 / nullif(se1, 0.0), 6) + 0.0 AS t_x1,
+       |  round(b2 / nullif(se2, 0.0), 6) + 0.0 AS t_x2,
        |  round(phi, 6) + 0.0 AS dispersion
        |FROM inf2""".stripMargin
   }

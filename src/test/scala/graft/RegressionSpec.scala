@@ -197,16 +197,24 @@ class RegressionSpec extends AnyFunSuite {
     val fits = Regression.glmQuasibinomialBy(
         rows.toDF("g", "w", "x1", "x2", "y"), Seq("g"), iters = 6)
       .collect().map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, c: String): Double = r.getDouble(r.fieldIndex(c))
     (0L to 1L).foreach { g =>
       val r = fits(g)
-      assert(math.abs(r.getDouble(2) - (-0.2 * g)) < 1e-3, s"g=$g b0 ${r.getDouble(2)}")
-      assert(math.abs(r.getDouble(3) - (0.5 + 0.3 * g)) < 1e-3, s"g=$g b1 ${r.getDouble(3)}")
-      assert(math.abs(r.getDouble(4) - (-0.4)) < 1e-3, s"g=$g b2 ${r.getDouble(4)}")
-      assert(r.getDouble(8) < 1e-3, s"g=$g dispersion ${r.getDouble(8)}") // exact data
-      assert(r.getDouble(5) < 1e-2, s"g=$g se0 ${r.getDouble(5)}")
+      assert(math.abs(d(r, "b_intercept") - (-0.2 * g)) < 1e-3, s"g=$g b0")
+      assert(math.abs(d(r, "b_x1") - (0.5 + 0.3 * g)) < 1e-3, s"g=$g b1")
+      assert(math.abs(d(r, "b_x2") - (-0.4)) < 1e-3, s"g=$g b2")
+      assert(d(r, "dispersion") < 1e-3, s"g=$g dispersion") // exact data
+      assert(d(r, "se_intercept") < 1e-2, s"g=$g se0")
+      // a fully saturated fit has zero SE — its t must be NULL, not a
+      // divide-by-zero or an Infinity
+      if (d(r, "se_intercept") == 0.0)
+        assert(r.isNullAt(r.fieldIndex("t_intercept")), s"g=$g t on zero SE")
     }
-    assert(fits(9L).isNullAt(2) && fits(9L).isNullAt(5), "degenerate group must be NULL")
-    assert(fits(9L).getLong(1) == 10) // but its row count is still real
+    val dead = fits(9L)
+    assert(dead.isNullAt(dead.fieldIndex("b_intercept"))
+      && dead.isNullAt(dead.fieldIndex("se_intercept"))
+      && dead.isNullAt(dead.fieldIndex("t_intercept")), "degenerate group must be NULL")
+    assert(dead.getLong(1) == 10) // but its row count is still real
   }
 
   test("IRLS quasibinomial satisfies the intercept score equation Σw(y−μ)≈0") {
