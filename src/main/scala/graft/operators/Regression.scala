@@ -67,9 +67,11 @@ object Regression {
   private val Det2Sql =
     "(sw * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2))"
   /** Weighted R² from the same sums: SSE = Σwy² − b·(X'Wy) (exact at the
-    * WLS optimum), SST = Σwy² − (Σwy)²/Σw. */
+    * WLS optimum), SST = Σwy² − (Σwy)²/Σw. nullif: a constant-y input
+    * has SST = 0 exactly — R² is undefined (NULL), not an ANSI
+    * divide-by-zero. */
   private val R2Sql =
-    "round(1.0 - (syy - (b0 * sy + b1 * sx1y + b2 * sx2y)) / (syy - sy * sy / sw), 6) + 0.0"
+    "round(1.0 - (syy - (b0 * sy + b1 * sx1y + b2 * sx2y)) / nullif(syy - sy * sy / sw, 0.0), 6) + 0.0"
 
   /** One-pass sufficient statistics over a prepared frame with double
     * columns (w, x1, x2, y): exact DECIMAL(38,0) fixed-point sums. */
@@ -219,23 +221,53 @@ object Regression {
     * do(lm(...))` loop. Groups too small or degenerate to identify the
     * 3-parameter model (n < 3 or |det| below fixed-point resolution)
     * yield NULL coefficients rather than garbage. */
-  def wlsFitBy(rows: DataFrame, groups: Seq[String]): DataFrame = {
-    val gcols = groups.map(col)
-    val stats = rows.groupBy(gcols: _*)
+  def wlsFitBy(rows: DataFrame, groups: Seq[String]): DataFrame =
+    wlsSolveState(wlsPartial(rows, groups), groups)
+
+  /** Per-group WLS sufficient statistics as MERGEABLE state — the
+    * incremental-model-maintenance surface ([[IncrementalAgg]]'s s12
+    * pattern composed with the q32 statistics): keep (n, X'WX, X'Wy)
+    * per group as exact DECIMAL(38,0) fixed-point sums, fold each new
+    * batch in with [[wlsPartial]] + [[wlsMerge]] (O(delta), touches
+    * the stored dimension-grade state and the batch only), and
+    * [[wlsSolveState]] re-derives coefficients on demand. The sums are
+    * associative + commutative integers, so incremental == full
+    * recompute EXACTLY, whatever the batch arrival order — a refreshed
+    * 100 TB-corpus model costs one delta aggregate, not a history scan. */
+  def wlsPartial(batch: DataFrame, groups: Seq[String]): DataFrame =
+    batch.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         Terms.map { case (n, t) =>
           expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
         }: _*)
+
+  /** Merge two state frames (either may be empty); see [[wlsPartial]]. */
+  def wlsMerge(a: DataFrame, b: DataFrame, groups: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groups.map(col): _*)
+      .agg(expr("CAST(sum(n_rows) AS BIGINT)").as("n_rows"),
+        Terms.map { case (n, _) =>
+          expr(s"CAST(sum(${n}_i) AS DECIMAL(38,0))").as(s"${n}_i")
+        }: _*)
+
+  /** Guarded per-group solve over a sufficient-statistics state frame
+    * (from [[wlsPartial]]/[[wlsMerge]] — or any stored copy of them). */
+  def wlsSolveState(stats: DataFrame, groups: Seq[String]): DataFrame = {
+    val gcols = groups.map(col)
     val rec = stats.select(gcols ++ (col("n_rows") +: Terms.map { case (n, _) =>
       expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
     }): _*)
+    // nullif on the divisors: Catalyst subexpression elimination may
+    // hoist these divisions out of their CASE guards when a caller
+    // composes this frame further — ANSI-fatal on a singular group
+    // unless the denominator is intrinsically safe (see keyedSolve)
     val guard = s"n_rows >= 3 AND abs($DetSql) > 1.0 / $FixedScale"
     rec
       .select(gcols ++ Seq(col("n_rows"),
         col("sw"), col("sy"), col("sx1y"), col("sx2y"), col("syy"),
-        expr(s"CASE WHEN $guard THEN $Det0Sql / $DetSql END").as("b0"),
-        expr(s"CASE WHEN $guard THEN $Det1Sql / $DetSql END").as("b1"),
-        expr(s"CASE WHEN $guard THEN $Det2Sql / $DetSql END").as("b2")): _*)
+        expr(s"CASE WHEN $guard THEN $Det0Sql / nullif($DetSql, 0.0) END").as("b0"),
+        expr(s"CASE WHEN $guard THEN $Det1Sql / nullif($DetSql, 0.0) END").as("b1"),
+        expr(s"CASE WHEN $guard THEN $Det2Sql / nullif($DetSql, 0.0) END").as("b2")): _*)
       .select(gcols ++ Seq(col("n_rows"),
         expr("round(b0, 6) + 0.0").as("b_intercept"),
         expr("round(b1, 6) + 0.0").as("b_x1"),
@@ -499,9 +531,9 @@ object Regression {
        |  $rec
        |FROM sums),
        |solved AS (SELECT c_nationkey, n_rows, sw, sy, sx1y, sx2y, syy,
-       |  CASE WHEN $guard THEN $Det0Sql / $DetSql END AS b0,
-       |  CASE WHEN $guard THEN $Det1Sql / $DetSql END AS b1,
-       |  CASE WHEN $guard THEN $Det2Sql / $DetSql END AS b2
+       |  CASE WHEN $guard THEN $Det0Sql / nullif($DetSql, 0.0) END AS b0,
+       |  CASE WHEN $guard THEN $Det1Sql / nullif($DetSql, 0.0) END AS b1,
+       |  CASE WHEN $guard THEN $Det2Sql / nullif($DetSql, 0.0) END AS b2
        |FROM rec)
        |SELECT c_nationkey, n_rows,
        |  round(b0, 6) + 0.0 AS b_intercept,

@@ -91,6 +91,44 @@ class RegressionSpec extends AnyFunSuite {
     assert(engine.getLong(0) == driver.n)
   }
 
+  test("incremental WLS: scrambled batch folds equal the full recompute EXACTLY") {
+    import spark.implicits._
+    val all = (0 until 90).map { i =>
+      (i % 3, (1 + i % 5).toDouble, (i % 11).toDouble / 3.0,
+        (i % 7).toDouble, 1.5 + 0.7 * (i % 11) / 3.0 - 0.2 * (i % 7) + (i % 13) * 0.01)
+    }
+    val full = all.toDF("g", "w", "x1", "x2", "y")
+    // batches arrive out of order and unevenly sized
+    val batches = Seq(all.drop(60), all.take(20), all.slice(20, 60))
+      .map(_.toDF("g", "w", "x1", "x2", "y"))
+    val state = batches.map(Regression.wlsPartial(_, Seq("g")))
+      .reduce(Regression.wlsMerge(_, _, Seq("g")))
+    val inc = Regression.wlsSolveState(state, Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    val direct = Regression.wlsFitBy(full, Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    assert(inc == direct) // bitwise: integer sums are order-free
+    // empty-delta identity
+    val empty = Regression.wlsPartial(full.filter(lit(false)), Seq("g"))
+    val state2 = Regression.wlsMerge(state, empty, Seq("g"))
+    val inc2 = Regression.wlsSolveState(state2, Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    assert(inc2 == direct)
+  }
+
+  test("constant-y input: NULL r2, not a divide-by-zero") {
+    import spark.implicits._
+    // y identical everywhere: SST = 0 exactly, so R² is undefined —
+    // the fit must still return (b0 = y, slopes ≈ 0) with r2 NULL
+    val rows = (1 to 30)
+      .map(i => (1.0, i.toDouble, (i * i % 7).toDouble, 4.25))
+      .toDF("w", "x1", "x2", "y")
+    val fit = Regression.wlsFit(rows).head()
+    assert(math.abs(fit.getDouble(1) - 4.25) < 1e-4)
+    assert(math.abs(fit.getDouble(2)) < 1e-4 && math.abs(fit.getDouble(3)) < 1e-4)
+    assert(fit.isNullAt(4), "r2 must be NULL on zero SST")
+  }
+
   test("uniformly scaling all weights leaves the fit unchanged") {
     val rows = Regression.regressionRows(spark, dir)
     val scaled = rows.withColumn("w", col("w") * 4.0)
