@@ -70,8 +70,10 @@ object Independence {
           " * 1000000.0) AS BIGINT)")).as("chi2_micro"))
       .selectExpr("n_rows", "n_a", "n_b",
         "(n_a - 1) * (n_b - 1) AS dof", "chi2_micro",
+        // nullif: V is undefined when either variable has one level
+        // (dof 0) — NULL, not an ANSI divide-by-zero
         "round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)" +
-          " / (CAST(n_rows AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)" +
+          " / nullif(CAST(n_rows AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE), 0.0)), 6)" +
           " + 0.0 AS cramers_v")
   }
 
@@ -103,7 +105,7 @@ object Independence {
       |  FROM uni)
       |SELECT n_rows, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof, chi2_micro,
       |  round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
-      |    / (CAST(n_rows AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)
+      |    / nullif(CAST(n_rows AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE), 0.0)), 6)
       |  + 0.0 AS cramers_v
       |FROM agg""".stripMargin
 }
