@@ -57,11 +57,14 @@ object Correlation {
         Seq((s"s_v${a}_v$b", s"v$a * v$b"), (s"s_r${a}_r$b", s"r$a * r$b"))
       }
 
-  /** Shared ρ text over recovered double sums (round-4, −0.0-proofed). */
+  /** Shared ρ text over recovered double sums (round-4, −0.0-proofed).
+    * nullif: a zero-variance column has no defined correlation — NULL,
+    * not an ANSI divide-by-zero (integer-snapped sums make the zero
+    * EXACT, so this is reachable, unlike float-noise variances). */
   private def rhoSql(sa: String, sb: String, sab: String,
       saa: String, sbb: String): String =
     s"round((nd * $sab - $sa * $sb) / " +
-      s"(sqrt(nd * $saa - $sa * $sa) * sqrt(nd * $sbb - $sb * $sb)), 4) + 0.0"
+      s"nullif(sqrt(nd * $saa - $sa * $sa) * sqrt(nd * $sbb - $sb * $sb), 0.0), 4) + 0.0"
 
   /** 2·avgRank per distinct value of `src` (integer; window over the
     * value-level aggregate — cardinality-bounded, never row-bounded). */

@@ -59,6 +59,19 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getLong(r.head.fieldIndex("n_rows")) == 2)
   }
 
+  test("corrMatrix: zero-variance column yields NULL correlations, not a throw") {
+    // integer-snapped sums make a constant column's variance EXACTLY 0
+    val df = (1 to 30).map(i =>
+      (5.0, (i % 7).toDouble / 10.0, (i % 3).toDouble / 100.0))
+      .toDF("l_quantity", "l_discount", "l_tax")
+    val rows = Correlation.corrMatrix(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val qd = rows(("quantity", "discount"))
+    assert(qd.isNullAt(qd.fieldIndex("pearson_r")), "r undefined vs a constant")
+    val dt = rows(("discount", "tax"))
+    assert(!dt.isNullAt(dt.fieldIndex("pearson_r")), "well-posed pair intact")
+  }
+
   test("wlsFitBy: empty input yields an empty frame; glmQuasibinomialBy too") {
     val e = Seq.empty[(Long, Double, Double, Double, Double)]
       .toDF("g", "w", "x1", "x2", "y")

@@ -538,6 +538,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming model state: Regression.wlsPartial over a stream equals the batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the s15 model-maintenance state is mergeable sufficient
+    // statistics, so the SAME wlsPartial() code runs as a continuously
+    // maintained streaming aggregate; solving the streamed state must
+    // give bitwise the coefficients of the batch fit
+    val rows = (0 until 60).map { i =>
+      (i % 2, (1 + i % 4).toDouble, (i % 9).toDouble / 4.0,
+        (i % 5).toDouble, 0.5 + 1.25 * (i % 9) / 4.0 - 0.75 * (i % 5))
+    }
+    val input = MemoryStream[(Int, Double, Double, Double, Double)]
+    val q = operators.Regression.wlsPartial(
+        input.toDF().toDF("g", "w", "x1", "x2", "y"), Seq("g"))
+      .writeStream.format("memory").queryName("wls_state")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(25)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = operators.Regression.wlsSolveState(
+          spark.table("wls_state"), Seq("g"))
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      val want = operators.Regression.wlsFitBy(
+          rows.toDF("g", "w", "x1", "x2", "y"), Seq("g"))
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming SCD-2: ordered replay reproduces the batch operator's closed versions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
