@@ -106,6 +106,9 @@ object SparkEntry {
     "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdf,
     "q94_glm_inference" -> operators.Regression.glmInferenceQ,
     "q95_group_glm" -> operators.Regression.groupGlm,
+    "q96_welch_ttest" -> operators.Hypothesis.orderTTest,
+    "q97_mann_whitney" -> operators.Hypothesis.lineitemMwu,
+    "q98_anova_f" -> operators.Hypothesis.orderAnova,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -330,5 +333,8 @@ object SparkEntry {
     "q93_quantile_cdf" -> operators.QuantileTransform.quantityCdfSql,
     "q94_glm_inference" -> operators.Regression.glmInferenceSql,
     "q95_group_glm" -> operators.Regression.groupGlmSql,
+    "q96_welch_ttest" -> operators.Hypothesis.orderTTestSql,
+    "q97_mann_whitney" -> operators.Hypothesis.lineitemMwuSql,
+    "q98_anova_f" -> operators.Hypothesis.orderAnovaSql,
   )
 }

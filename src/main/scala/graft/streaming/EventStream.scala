@@ -433,4 +433,38 @@ object EventStream {
           out.iterator
       }
   }
+
+  // ---- streaming sessionization (twin of Events.sessionize / q18) ----
+
+  /** Streaming gap sessionization — the continuous twin of
+    * [[graft.operators.Events.sessionize]] built on Spark's native
+    * `session_window` (the engine merges/extends window state per key;
+    * no hand-rolled flatMapGroupsWithState needed — this is exactly
+    * the operator Structured Streaming ships for the job). A session
+    * closes, and emits ONCE (append mode), when the watermark passes
+    * its end: out-of-order events inside the watermark horizon merge
+    * into the right session; state per (user, open session) is dropped
+    * at close, so long-running ingest holds only the open sessions.
+    *
+    * Session fields match the batch operator: start/end are the
+    * observed min/max event times (NOT the window's `end`, which is
+    * last-event + gap). Boundary convention: `session_window` treats
+    * an event at EXACTLY gap distance as a new session (half-open
+    * [start, end) windows), where the batch operator's `> gapMs` keeps
+    * it — feed boundary-exact data to whichever semantics the pipeline
+    * standardized on; at sub-millisecond-free event data the two only
+    * differ on ties at exactly the gap.
+    *
+    * Input: streaming (ts TIMESTAMP, user_id LONG, value DOUBLE, ...). */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (round(sum(col("value")), 4) + 0.0).as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
 }

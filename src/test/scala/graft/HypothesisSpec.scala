@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import operators.Hypothesis
+
+/** Hypothesis-test operators vs hand-computed textbook values (the
+  * planted numbers below are verified by the definitional formulas —
+  * e.g. Mann–Whitney U by literally counting x>y pairs). Value-level
+  * oracle equivalence runs through graft.Verify. */
+class HypothesisSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+
+  // ---------------------------------------------------------------- Welch
+
+  private def welch(rows: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    Hypothesis.welchTTest(rows.toDF("g", "c", "x"), "g", "c", "A", "B", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("welch t and df match the textbook computation") {
+    // A = [10.5, 12.25, 11.0, 13.75] (m=11.875, s²=2.104167)
+    // B = [20.0, 18.5, 22.25]        (m=20.25,  s²=3.5625)
+    // t = -8.375/√(s²A/4 + s²B/3) = -6.3979, Welch–Satterthwaite df = 3.6826
+    val rows = Seq(10.5, 12.25, 11.0, 13.75).map(("g1", "A", _)) ++
+      Seq(20.0, 18.5, 22.25).map(("g1", "B", _))
+    val r = welch(rows)("g1")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 11.875 && r.getDouble(4) == 20.25)
+    assert(r.getDouble(5) == -6.3979)
+    assert(r.getDouble(6) == 3.6826)
+  }
+
+  test("welch: identical samples give t = 0; n < 2 side gives NULL t/df") {
+    val same = Seq(1.0, 2.0, 3.0)
+    val r = welch(same.map(("g1", "A", _)) ++ same.map(("g1", "B", _)))("g1")
+    assert(r.getDouble(5) == 0.0)
+    // one B observation: no variance on that side → NULL t and df
+    val r1 = welch(Seq(1.0, 2.0, 3.0).map(("g2", "A", _)) :+ ("g2", "B", 9.0))("g2")
+    assert(r1.isNullAt(5) && r1.isNullAt(6))
+    // zero pooled SE (both sides constant): t undefined → NULL, not ±Inf
+    val r0 = welch(Seq(5.0, 5.0).map(("g3", "A", _)) ++ Seq(7.0, 7.0).map(("g3", "B", _)))("g3")
+    assert(r0.isNullAt(5))
+  }
+
+  // --------------------------------------------------------- Mann–Whitney
+
+  private def mwu(rows: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    Hypothesis.mannWhitneyU(rows.toDF("g", "c", "x"), "g", "c", "X", "Y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("mann-whitney U equals the pair count; tie-corrected z matches") {
+    // X = [1,2,2,5], Y = [3,3,6]: U₁ = #(x>y) = 2 (only 5 beats the two 3s)
+    // σ² with Σ(t³−t) = 12 over N=7 → z = (2 − 6)/σ = −1.4402
+    val rows = Seq(1.0, 2.0, 2.0, 5.0).map(("g1", "X", _)) ++
+      Seq(3.0, 3.0, 6.0).map(("g1", "Y", _))
+    val r = mwu(rows)("g1")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == -1.4402)
+  }
+
+  test("mann-whitney: stochastically identical samples give z = 0") {
+    val rows = Seq(1.0, 2.0, 3.0).flatMap(v => Seq(("g1", "X", v), ("g1", "Y", v)))
+    val r = mwu(rows)("g1")
+    // U₁ = n₁n₂/2 by symmetry → z = 0; all-tied σ² stays positive here
+    assert(r.getDouble(3) == 4.5 && r.getDouble(4) == 0.0)
+  }
+
+  test("mann-whitney: fully tied single value has σ = 0 → NULL z") {
+    val rows = Seq(("g1", "X", 4.0), ("g1", "X", 4.0), ("g1", "Y", 4.0))
+    val r = mwu(rows)("g1")
+    assert(r.getDouble(3) == 1.0 && r.isNullAt(4))
+  }
+
+  // ---------------------------------------------------------------- ANOVA
+
+  test("anova F matches the exact textbook decomposition") {
+    import spark.implicits._
+    // [1,2,3], [4,5,6], [7,8,9]: SSB = 54, SSW = 6 → F = (54/2)/(6/6) = 27
+    val rows = Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)) ++
+      Seq(7, 8, 9).map(("c", _))
+    val df = rows.map { case (g, v) => (g, v.toDouble) }.toDF("g", "x")
+    val r = Hypothesis.anovaF(df, "g", "x").head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+    assert(r.getDouble(2) == 5.0)   // grand mean
+    assert(r.getDouble(3) == 27.0)  // F
+    assert(r.getDouble(4) == 0.9)   // η² = 54/60
+  }
+
+  test("anova: one group or zero within-variance degenerates to NULL F") {
+    import spark.implicits._
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x")
+    val r1 = Hypothesis.anovaF(one, "g", "x").head
+    assert(r1.getLong(0) == 1L && r1.isNullAt(3)) // k−1 = 0
+    // constant within groups: SSW = 0 → F undefined → NULL (not Inf)
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    val r0 = Hypothesis.anovaF(const, "g", "x").head
+    assert(r0.isNullAt(3) && r0.getDouble(4) == 1.0) // η² = 1 still defined
+  }
+}

@@ -668,4 +668,54 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming sessionization: watermark-closed sessions equal the batch q18 sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the registered q18 sessions (session_seq is an
+    // ordinal the streaming side has no business reproducing — key on
+    // the observable session identity instead)
+    val batch = operators.Events.sessionize(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))
+        -> r.getDouble(4)).toMap
+    // the data has no exact-30-minute inter-event gap (checked against
+    // the generator output), so the half-open session_window boundary
+    // and the batch operator's `> gap` split agree on every session
+    val feed = Tables.events(spark, dir)
+      .select(col("ts"), col("user_id").cast("long"), col("value"))
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStream.sessionizeStream(
+      input.toDF().toDF("ts", "user_id", "value"),
+      watermark = "45 days").writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // out-of-order replay across three micro-batches: the OLDEST
+      // third arrives AFTER the middle third — the 45-day watermark
+      // exceeds the table's whole 30-day span, so nothing is late and
+      // every late merge must land in the right session
+      val third = feed.length / 3
+      val (b1, rest) = feed.splitAt(third)
+      val (b2, b3) = rest.splitAt(third)
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b3.toSeq); q.processAllAvailable()
+      // sentinel far past every session end advances the watermark and
+      // flushes all real sessions (watermark set by batch N applies in
+      // batch N+1 — hence two sentinel batches)
+      val flushTs = feed.map(_._1.getTime).max + 90L * 86400000L
+      input.addData((new Timestamp(flushTs), -1L, 0.0)); q.processAllAvailable()
+      input.addData((new Timestamp(flushTs + 60000L), -1L, 0.0)); q.processAllAvailable()
+      val got = spark.table("sess").filter(col("user_id") >= 0L).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))
+          -> r.getDouble(4)).toMap
+      assert(got.keySet == batch.keySet)
+      // sums accumulate in arrival order vs the batch plan's scan order:
+      // identical sessions, last-ulp summation tolerance on the value
+      got.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-6) }
+    } finally q.stop()
+  }
 }
