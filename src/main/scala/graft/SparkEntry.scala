@@ -109,6 +109,8 @@ object SparkEntry {
     "q96_welch_ttest" -> operators.Hypothesis.orderTTest,
     "q97_mann_whitney" -> operators.Hypothesis.lineitemMwu,
     "q98_anova_f" -> operators.Hypothesis.orderAnova,
+    "q99_ks_test" -> operators.Hypothesis.lineitemKs,
+    "q100_bh_fdr" -> operators.Hypothesis.mwuBh,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -336,5 +338,7 @@ object SparkEntry {
     "q96_welch_ttest" -> operators.Hypothesis.orderTTestSql,
     "q97_mann_whitney" -> operators.Hypothesis.lineitemMwuSql,
     "q98_anova_f" -> operators.Hypothesis.orderAnovaSql,
+    "q99_ks_test" -> operators.Hypothesis.lineitemKsSql,
+    "q100_bh_fdr" -> operators.Hypothesis.mwuBhSql,
   )
 }

@@ -162,9 +162,14 @@ object Hypothesis {
     * meets the window: rank sums come from the cell counts directly,
     * so the plan is two cardinality-bounded aggregates + one window
     * over cells. */
-  def mannWhitneyU(df: DataFrame, groupCol: String, classCol: String,
-      clsX: String, clsY: String, valueCol: String): DataFrame = {
-    val cells = df
+  /** Value-level two-sample cell table (g, v, cx, cy): per (group,
+    * distinct value), how many X- and Y-class rows — the shared
+    * backbone of the rank (q97) and ECDF (q99) tests. ONE map-side-
+    * combined aggregate; everything after it is bounded by value
+    * cardinality, not row count. */
+  private def sampleCells(df: DataFrame, groupCol: String, classCol: String,
+      clsX: String, clsY: String, valueCol: String): DataFrame =
+    df
       .filter(col(classCol).isin(clsX, clsY) && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(classCol).as("cls"),
         col(valueCol).as("v"))
@@ -172,6 +177,10 @@ object Hypothesis {
       .agg(
         expr(s"CAST(sum(CASE WHEN cls = '$clsX' THEN 1 ELSE 0 END) AS BIGINT)").as("cx"),
         expr(s"CAST(sum(CASE WHEN cls = '$clsY' THEN 1 ELSE 0 END) AS BIGINT)").as("cy"))
+
+  def mannWhitneyU(df: DataFrame, groupCol: String, classCol: String,
+      clsX: String, clsY: String, valueCol: String): DataFrame = {
+    val cells = sampleCells(df, groupCol, classCol, clsX, clsY, valueCol)
       .withColumn("cnt", expr("cx + cy"))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -308,4 +317,164 @@ object Hypothesis {
        |SELECT k_groups, n_rows,
        |  ${AnovaSql.mkString(",\n  ")}
        |FROM recovered""".stripMargin
+
+  // ------------------------------------------------- Kolmogorov–Smirnov
+
+  /** Shared D / z chain over the exact integer numerator:
+    * D = max|c1·n2 − c2·n1| / (n1·n2) keeps the ECDF difference an
+    * exact BIGINT until the single final division. */
+  private val KsSql: Seq[String] = {
+    val n1d = "CAST(n_x AS DOUBLE)"
+    val n2d = "CAST(n_y AS DOUBLE)"
+    val d = s"CAST(dnum AS DOUBLE) / nullif($n1d * $n2d, 0e0)"
+    Seq(
+      s"round($d, 6) + 0.0 AS d_stat",
+      s"round($d * sqrt($n1d * $n2d / nullif($n1d + $n2d, 0e0)), 4) + 0.0 AS ks_z")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test of `valueCol` between `clsX`
+    * and `clsY` rows per `groupCol`: D = max |F̂x − F̂y| over the
+    * pooled support, plus the asymptotic z = D·√(n₁n₂/(n₁+n₂)).
+    * Returns (group, n_x, n_y, d_stat, ks_z); an empty side → NULL.
+    *
+    * Exactness: the supremum runs over the integer numerators
+    * |c1·n2 − c2·n1| (cumulative counts cross-multiplied — exact
+    * BIGINTs, max is order-free), so engines agree bit-for-bit before
+    * the one division. Precondition: n₁·n₂ < 2^63 per group (any
+    * per-group sample that fits a test fits this).
+    *
+    * Plan: the [[sampleCells]] aggregate, one cumulative window over
+    * cells (bounded by value cardinality — quantize continuous columns
+    * first, q47, at 100 TB), one group aggregate. */
+  def ksTest(df: DataFrame, groupCol: String, classCol: String,
+      clsX: String, clsY: String, valueCol: String): DataFrame = {
+    val cum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("g")
+    sampleCells(df, groupCol, classCol, clsX, clsY, valueCol)
+      .withColumn("c1", sum("cx").over(cum))
+      .withColumn("c2", sum("cy").over(cum))
+      .withColumn("n1", sum("cx").over(all))
+      .withColumn("n2", sum("cy").over(all))
+      .groupBy("g")
+      .agg(
+        expr("CAST(max(n1) AS BIGINT)").as("n_x"),
+        expr("CAST(max(n2) AS BIGINT)").as("n_y"),
+        expr("CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)").as("dnum"))
+      .selectExpr(Seq(s"g AS $groupCol", "n_x", "n_y") ++ KsSql: _*)
+  }
+
+  /** q99: returned vs accepted line quantity, distribution-level, per
+    * ship year — the ECDF companion of q97's rank test. */
+  def lineitemKs(spark: SparkSession, dir: String): DataFrame =
+    ksTest(
+      Tables.lineitem(spark, dir).withColumn("ship_yr", expr("year(l_shipdate)")),
+      "ship_yr", "l_returnflag", "R", "A", "l_quantity")
+
+  val lineitemKsSql: String =
+    s"""WITH cells AS (
+       |  SELECT g, v,
+       |    CAST(sum(CASE WHEN cls = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+       |    CAST(sum(CASE WHEN cls = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+       |  FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS g,
+       |          l_returnflag AS cls, l_quantity AS v
+       |        FROM lineitem
+       |        WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL)
+       |  GROUP BY g, v),
+       |cum AS (
+       |  SELECT g,
+       |    sum(cx) OVER (PARTITION BY g ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+       |    sum(cy) OVER (PARTITION BY g ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+       |    sum(cx) OVER (PARTITION BY g) AS n1,
+       |    sum(cy) OVER (PARTITION BY g) AS n2
+       |  FROM cells),
+       |agg AS (
+       |  SELECT g,
+       |    CAST(max(n1) AS BIGINT) AS n_x,
+       |    CAST(max(n2) AS BIGINT) AS n_y,
+       |    CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS dnum
+       |  FROM cum GROUP BY g)
+       |SELECT g AS ship_yr, n_x, n_y,
+       |  ${KsSql.mkString(",\n  ")}
+       |FROM agg""".stripMargin
+
+  // --------------------------------------------- Benjamini–Hochberg FDR
+
+  /** Two-sided normal p from a z statistic: p = erfc(|z|/√2) via
+    * Abramowitz–Stegun 7.1.26 (|err| ≤ 1.5e-7, below the round-6
+    * output grid) — the q94 shared-text chain; the input z is already
+    * round-4 snapped, so both engines start from the identical double. */
+  private def pSql(z: String): String = {
+    val x = s"(abs($z) / 1.4142135623730951)"
+    val u = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"(((((1.061405429 * $u - 1.453152027) * $u + 1.421413741) * $u - 0.284496736) * $u + 0.254829592) * $u * exp(-($x * $x)))"
+  }
+
+  /** Benjamini–Hochberg step-up q-values for a table of tests keyed by
+    * `keyCol` with a round-4-snapped z statistic in `zCol`:
+    * q_i = min_{j ≥ i}(p_j · m / j), clamped to 1 — the standard FDR
+    * control over a family of tests. NULL-z tests (degenerate groups)
+    * are excluded and do not count toward m. Returns
+    * (key, z, p_norm, rank_p, p_bh).
+    *
+    * The two windows are GLOBAL (rank over all tests, running min from
+    * the largest p down) — legitimate single-partition work because a
+    * test FAMILY is dimension-grade by construction (one row per
+    * hypothesis, not per observation); the observation-scale work
+    * happened upstream in whatever produced the z column. Determinism:
+    * p is bit-equal cross-engine (shared chain from a snapped input),
+    * ties broken by key. */
+  def bhAdjust(tests: DataFrame, keyCol: String, zCol: String): DataFrame = {
+    val withP = tests
+      .filter(col(zCol).isNotNull)
+      .withColumn("p_raw", expr(pSql(zCol)))
+    val m = Window.partitionBy()
+    val byP = Window.orderBy(col("p_raw"), col(keyCol))
+    val fromLargest = Window.orderBy(col("p_raw").desc, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP
+      .withColumn("m_tests", count(lit(1)).over(m))
+      .withColumn("rank_p", row_number().over(byP).cast("long"))
+      .withColumn("bh_raw", expr(
+        "p_raw * CAST(m_tests AS DOUBLE) / CAST(rank_p AS DOUBLE)"))
+      .withColumn("p_bh_min", min("bh_raw").over(fromLargest))
+      .selectExpr(keyCol, zCol,
+        "round(p_raw, 6) + 0.0 AS p_norm",
+        "rank_p",
+        "round(least(p_bh_min, 1e0), 6) + 0.0 AS p_bh")
+  }
+
+  /** q100: FDR-corrected per-year Mann–Whitney family — q97's seven
+    * yearly tests adjusted together (the multiple-comparisons step any
+    * per-segment scan of 10⁴ segments needs before reading its
+    * "significant" list). */
+  def mwuBh(spark: SparkSession, dir: String): DataFrame =
+    bhAdjust(lineitemMwu(spark, dir), "ship_yr", "z_u")
+
+  val mwuBhSql: String = {
+    val bhRaw = "p_raw * CAST(m_tests AS DOUBLE) / CAST(rank_p AS DOUBLE)"
+    s"""WITH mwu AS (
+       |${lineitemMwuSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |withp AS (
+       |  SELECT ship_yr, z_u, ${pSql("z_u")} AS p_raw
+       |  FROM mwu WHERE z_u IS NOT NULL),
+       |ranked AS (
+       |  SELECT ship_yr, z_u, p_raw,
+       |    CAST(count(*) OVER () AS BIGINT) AS m_tests,
+       |    CAST(row_number() OVER (ORDER BY p_raw, ship_yr) AS BIGINT) AS rank_p
+       |  FROM withp),
+       |mins AS (
+       |  SELECT ranked.*,
+       |    min($bhRaw) OVER (ORDER BY p_raw DESC, ship_yr DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_bh_min
+       |  FROM ranked)
+       |SELECT ship_yr, z_u,
+       |  round(p_raw, 6) + 0.0 AS p_norm,
+       |  rank_p,
+       |  round(least(p_bh_min, 1e0), 6) + 0.0 AS p_bh
+       |FROM mins""".stripMargin
+  }
 }

@@ -92,6 +92,67 @@ class HypothesisSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.9)   // η² = 54/60
   }
 
+  // ------------------------------------------------- Kolmogorov–Smirnov
+
+  private def ks(rows: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    Hypothesis.ksTest(rows.toDF("g", "c", "x"), "g", "c", "X", "Y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("ks D equals the hand-computed ECDF supremum") {
+    // X = [1,2,2,5], Y = [3,3,6]: at v=2, F̂x = 3/4 vs F̂y = 0 → D = 0.75
+    // (numerator max|c1·n2 − c2·n1| = |3·3 − 0·4| = 9 over n1·n2 = 12)
+    val rows = Seq(1.0, 2.0, 2.0, 5.0).map(("g1", "X", _)) ++
+      Seq(3.0, 3.0, 6.0).map(("g1", "Y", _))
+    val r = ks(rows)("g1")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.75)
+    // z = 0.75·√(12/7) = 0.982 at the round-4 grid
+    assert(math.abs(r.getDouble(4) - 0.75 * math.sqrt(12.0 / 7.0)) < 5e-5)
+  }
+
+  test("ks: identical samples give D = 0; empty side gives NULL") {
+    val same = Seq(1.0, 2.0, 3.0)
+    val r = ks(same.map(("g1", "X", _)) ++ same.map(("g1", "Y", _)))("g1")
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    val r0 = ks(Seq(1.0, 2.0).map(("g2", "X", _)))("g2")
+    assert(r0.getLong(2) == 0L && r0.isNullAt(3) && r0.isNullAt(4))
+  }
+
+  // --------------------------------------------- Benjamini–Hochberg FDR
+
+  test("bh q-values match a reference step-up computation and clamp at 1") {
+    import spark.implicits._
+    // z chosen so p spans the range; NULL z must be dropped from m
+    val tests = Seq(("t1", Some(3.5)), ("t2", Some(2.0)), ("t3", Some(0.5)),
+      ("t4", Some(0.1)), ("t5", None)).toDF("k", "z")
+    val out = Hypothesis.bhAdjust(tests, "k", "z").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(!out.contains("t5") && out.size == 4)
+    // reference BH over the operator's own p values (the spec checks
+    // the step-up window logic, not the erfc chain — that has its own
+    // q94 parity history)
+    val ps = out.toSeq.map { case (k, (p, _, _)) => (k, p) }.sortBy(t => (t._2, t._1))
+    val m = ps.size
+    val raw = ps.zipWithIndex.map { case ((k, p), i) => (k, p * m / (i + 1)) }
+    val qs = raw.scanRight(("", Double.MaxValue)) { case ((k, v), (_, acc)) =>
+      (k, math.min(v, acc))
+    }.dropRight(1).map { case (k, v) => k -> math.min(v, 1.0) }.toMap
+    // tolerance: the reference runs on round-6 p_norm, the operator on
+    // the unrounded p — up to m/rank·5e-7 apart
+    out.foreach { case (k, (_, _, qGot)) =>
+      assert(math.abs(qGot - qs(k)) < 5e-6, s"$k: $qGot vs ${qs(k)}")
+    }
+    // monotone in p-rank and clamped
+    val byRank = out.values.toSeq.sortBy(_._2).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    assert(byRank.forall(q => q >= 0.0 && q <= 1.0))
+    // t4 (z = 0.1) has p ≈ 0.92: its q is p·m/m = p itself (last rank)
+    assert(math.abs(out("t4")._1 - out("t4")._3) < 1e-6)
+  }
+
   test("anova: one group or zero within-variance degenerates to NULL F") {
     import spark.implicits._
     val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x")

@@ -147,4 +147,72 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(rate - f) < 0.02, s"fraction $f sampled at $rate")
     }
   }
+
+  test("welch t is invariant under affine shifts and flips sign when samples swap") {
+    import spark.implicits._
+    // 2-decimal values: the 1e2 snap is lossless, so the invariances
+    // hold EXACTLY at the round-4 output grid
+    val g = Gen.chooseNum(0, 20000).map(_ / 100.0)
+    val a = samples(g, 40)
+    val b = samples(g, 35)
+    def t(xs: Seq[Double], ys: Seq[Double]): (Double, Double) = {
+      val rows = xs.map(("g", "A", _)) ++ ys.map(("g", "B", _))
+      val r = operators.Hypothesis
+        .welchTTest(rows.toDF("g", "c", "x"), "g", "c", "A", "B", "x").head
+      (r.getDouble(5), r.getDouble(6))
+    }
+    val (t0, df0) = t(a, b)
+    // shift both samples by the same constant: t and df unchanged
+    val (t1, df1) = t(a.map(_ + 50.0), b.map(_ + 50.0))
+    assert(math.abs(t1 - t0) <= 2e-4 && math.abs(df1 - df0) <= 2e-4,
+      s"shift broke invariance: ($t0,$df0) vs ($t1,$df1)")
+    // swap the samples: t negates, df unchanged
+    val (t2, df2) = t(b, a)
+    assert(math.abs(t2 + t0) <= 2e-4 && math.abs(df2 - df0) <= 2e-4)
+  }
+
+  test("mann-whitney U identities: Ux + Uy = n1*n2, monotone-map invariance") {
+    import spark.implicits._
+    val g = Gen.chooseNum(1, 30).map(_.toDouble)
+    val xs = samples(g, 50)
+    val ys = samples(g, 45)
+    def u(clsX: String, clsY: String, f: Double => Double): (Double, Double) = {
+      val rows = xs.map(v => ("g", "X", f(v))) ++ ys.map(v => ("g", "Y", f(v)))
+      val r = operators.Hypothesis
+        .mannWhitneyU(rows.toDF("g", "c", "x"), "g", "c", clsX, clsY, "x").head
+      (r.getDouble(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4))
+    }
+    val (ux, zx) = u("X", "Y", identity)
+    val (uy, zy) = u("Y", "X", identity)
+    // U-sum identity (exact — both U are integer multiples of 0.5)
+    assert(ux + uy == xs.size.toDouble * ys.size,
+      s"Ux + Uy = ${ux + uy} != ${xs.size * ys.size}")
+    assert(math.abs(zx + zy) <= 2e-4, "z must negate under swap")
+    // U depends only on order: any strictly monotone map preserves it
+    val (um, zm) = u("X", "Y", v => v * v * v + 7.0)
+    assert(um == ux && math.abs(zm - zx) <= 2e-4)
+  }
+
+  test("ks D bounds and monotone-map invariance on random samples") {
+    import spark.implicits._
+    val g = Gen.chooseNum(1, 25).map(_.toDouble)
+    val xs = samples(g, 40)
+    val ys = samples(g, 40)
+    def d(f: Double => Double): Double = {
+      val rows = xs.map(v => ("g", "X", f(v))) ++ ys.map(v => ("g", "Y", f(v)))
+      operators.Hypothesis
+        .ksTest(rows.toDF("g", "c", "x"), "g", "c", "X", "Y", "x")
+        .head.getDouble(3)
+    }
+    val d0 = d(identity)
+    assert(d0 >= 0.0 && d0 <= 1.0)
+    // ECDF supremum is rank-only: strictly increasing maps preserve it
+    assert(d(v => v * 2.0 + 3.0) == d0)
+    // disjoint supports ⇒ D = 1 exactly
+    val rows = xs.map(v => ("g", "X", v)) ++ ys.map(v => ("g", "Y", v + 1000.0))
+    val d1 = operators.Hypothesis
+      .ksTest(rows.toDF("g", "c", "x"), "g", "c", "X", "Y", "x")
+      .head.getDouble(3)
+    assert(d1 == 1.0)
+  }
 }

