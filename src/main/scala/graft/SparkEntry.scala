@@ -111,6 +111,7 @@ object SparkEntry {
     "q98_anova_f" -> operators.Hypothesis.orderAnova,
     "q99_ks_test" -> operators.Hypothesis.lineitemKs,
     "q100_bh_fdr" -> operators.Hypothesis.mwuBh,
+    "q101_kendall" -> operators.Correlation.kendallMatrix,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -340,5 +341,6 @@ object SparkEntry {
     "q98_anova_f" -> operators.Hypothesis.orderAnovaSql,
     "q99_ks_test" -> operators.Hypothesis.lineitemKsSql,
     "q100_bh_fdr" -> operators.Hypothesis.mwuBhSql,
+    "q101_kendall" -> operators.Correlation.kendallMatrixSql,
   )
 }

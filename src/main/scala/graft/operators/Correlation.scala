@@ -112,6 +112,144 @@ object Correlation {
   def corrMatrix(spark: SparkSession, dir: String): DataFrame =
     corrMatrix(Tables.lineitem(spark, dir))
 
+  // ------------------------------------------------------------ Kendall τ-b
+
+  /** Shared τ-b / z text over recovered doubles. Inputs are exact
+    * integers recovered as doubles: sd = C−D, ta2d/tb2d = Σt(t−1) per
+    * marginal, ta3d/tb3d = Σt(t−1)(t−2), tavd/tbvd = Σt(t−1)(2t+5).
+    * z uses the standard tie-corrected var(S) (Kendall 1948):
+    * var(S) = (v0 − vt − vu)/18 + Σt(t−1)·Σu(u−1)/(2n(n−1))
+    *        + Σt(t−1)(t−2)·Σu(u−1)(u−2)/(9n(n−1)(n−2)). */
+  private val KendallSql: Seq[String] = {
+    val n0 = "nd * (nd - 1e0) / 2e0"
+    val varS = "(nd * (nd - 1e0) * (2e0 * nd + 5e0) - tavd - tbvd) / 18e0" +
+      " + ta2d * tb2d / nullif(2e0 * nd * (nd - 1e0), 0e0)" +
+      " + ta3d * tb3d / nullif(9e0 * nd * (nd - 1e0) * (nd - 2e0), 0e0)"
+    Seq(
+      "sd + 0.0 AS s_stat",
+      s"round(sd / nullif(sqrt(($n0 - ta2d / 2e0) * ($n0 - tb2d / 2e0)), 0e0), 6) + 0.0 AS tau_b",
+      s"round(sd / nullif(sqrt(greatest($varS, 0e0)), 0e0), 4) + 0.0 AS z_tau")
+  }
+
+  /** One-row (n_rows + recovered doubles) stats frame from a joint
+    * cell grid (va, vb, cnt). S comes from the cell-grid self-join
+    * restricted to va1 < va2 (strict — x-ties contribute nothing), so
+    * the pair count is quadratic in CELL count, never row count. Every
+    * product is decimal-first (CAST(· AS DECIMAL(38,0)) before the
+    * multiply), so counts stay exact past 2^31 rows per cell. */
+  private def kendallStats(pc: DataFrame): DataFrame = {
+    val c1 = pc.select(col("va").as("va1"), col("vb").as("vb1"), col("cnt").as("n1"))
+    val c2 = pc.select(col("va").as("va2"), col("vb").as("vb2"), col("cnt").as("n2"))
+    val sAgg = c1.join(broadcast(c2), col("va1") < col("va2")).agg(
+      expr("CAST(coalesce(sum(CAST(n1 AS DECIMAL(38,0)) * n2 *" +
+        " (CASE WHEN vb2 > vb1 THEN 1 WHEN vb2 < vb1 THEN -1 ELSE 0 END)), 0)" +
+        " AS DECIMAL(38,0))").as("s_raw"))
+    def margStats(side: String, vcol: String, p2: String, p3: String,
+        pv: String): DataFrame =
+      pc.groupBy(col(vcol)).agg(expr("CAST(sum(cnt) AS BIGINT)").as("t")).agg(
+        expr("CAST(sum(t) AS BIGINT)").as(s"n_$side"),
+        expr("CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS DECIMAL(38,0))").as(p2),
+        expr("CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2)) AS DECIMAL(38,0))").as(p3),
+        expr("CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS DECIMAL(38,0))").as(pv))
+    sAgg
+      .crossJoin(margStats("a", "va", "ta2", "ta3", "tav"))
+      .crossJoin(margStats("b", "vb", "tb2", "tb3", "tbv").drop("n_b"))
+      .selectExpr(
+        "n_a AS n_rows", "CAST(n_a AS DOUBLE) AS nd", "CAST(s_raw AS DOUBLE) AS sd",
+        "CAST(ta2 AS DOUBLE) AS ta2d", "CAST(tb2 AS DOUBLE) AS tb2d",
+        "CAST(ta3 AS DOUBLE) AS ta3d", "CAST(tb3 AS DOUBLE) AS tb3d",
+        "CAST(tav AS DOUBLE) AS tavd", "CAST(tbv AS DOUBLE) AS tbvd")
+  }
+
+  /** Kendall τ-b of `colA` vs `colB` with the tie-corrected normal z.
+    * Returns ONE row (n_rows, s_stat, tau_b, z_tau); n < 2 or a
+    * constant column → NULL τ (nullif, never an ANSI error).
+    *
+    * Exactness: S = C − D and all four tie sums are exact integers
+    * (cell counts cross-multiplied decimal-first; sign() never touches
+    * a double product), so both engines enter the shared τ/z text with
+    * bit-identical operands.
+    *
+    * Plan: ONE map-side-combined cell aggregate over the fact, then a
+    * self-join + three aggregates over the CELL grid. Everything after
+    * the scan is bounded by value-pair cardinality, not row count —
+    * the q68 rank-map precondition, squared: quantize continuous
+    * columns first (q47's binning) before asking for τ at 100 TB. */
+  def kendallTauB(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val pc = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("va"), col(colB).as("vb"))
+      .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
+    kendallStats(pc).selectExpr(Seq("n_rows") ++ KendallSql: _*)
+  }
+
+  /** q101: Kendall τ-b for the three q68 measure pairs in one fact
+    * scan — the triple grid (vq, vd, vt, cnt) is aggregated once and
+    * localCheckpointed (≤ |q|·|d|·|t| cells), then each pair's joint
+    * grid is a re-aggregate of the grid, never of the fact. Completes
+    * the association family: Pearson (linear), Spearman (monotone,
+    * rank), τ-b (monotone, concordance — the robust-to-outliers one
+    * the reference's EDA would reach for on ordinal measures). */
+  def kendallMatrix(fact: DataFrame): DataFrame = {
+    val grid = fact
+      .groupBy(VarNames.map { case (v, _) => col(SrcCols(v)).as(s"g$v") }: _*)
+      .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
+      .localCheckpoint(true) // cell grid: cardinality-bounded, reused 3×
+    val rows = VarPairs.map { case (a, b) =>
+      val pc = grid.groupBy(col(s"g$a").as("va"), col(s"g$b").as("vb"))
+        .agg(expr("CAST(sum(cnt) AS BIGINT)").as("cnt"))
+      kendallStats(pc).selectExpr(
+        Seq(s"'${VarNames.toMap.apply(a)}' AS var_a",
+          s"'${VarNames.toMap.apply(b)}' AS var_b", "n_rows") ++ KendallSql: _*)
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  def kendallMatrix(spark: SparkSession, dir: String): DataFrame =
+    kendallMatrix(Tables.lineitem(spark, dir))
+
+  /** DuckDB twin: same cell grids, same exact integer sums (HUGEINT
+    * products — DuckDB's exact wide integer — mirroring Spark's
+    * decimal-first products; both are exact so the recovered doubles
+    * are bit-identical), same shared τ/z text. */
+  val kendallMatrixSql: String = {
+    val pairCtes = VarPairs.map { case (a, b) =>
+      s"""pc_$a$b AS (
+         |  SELECT g$a AS va, g$b AS vb, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM grid GROUP BY 1, 2),
+         |s_$a$b AS (
+         |  SELECT CAST(coalesce(sum(CAST(c1.cnt AS HUGEINT) * c2.cnt *
+         |    (CASE WHEN c2.vb > c1.vb THEN 1 WHEN c2.vb < c1.vb THEN -1 ELSE 0 END)), 0)
+         |    AS DOUBLE) AS sd
+         |  FROM pc_$a$b c1 JOIN pc_$a$b c2 ON c1.va < c2.va),
+         |ma_$a$b AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS n_rows, CAST(sum(t) AS DOUBLE) AS nd,
+         |    CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS DOUBLE) AS ta2d,
+         |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS DOUBLE) AS ta3d,
+         |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS DOUBLE) AS tavd
+         |  FROM (SELECT va, CAST(sum(cnt) AS BIGINT) AS t FROM pc_$a$b GROUP BY 1)),
+         |mb_$a$b AS (
+         |  SELECT
+         |    CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS DOUBLE) AS tb2d,
+         |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS DOUBLE) AS tb3d,
+         |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS DOUBLE) AS tbvd
+         |  FROM (SELECT vb, CAST(sum(cnt) AS BIGINT) AS t FROM pc_$a$b GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    val rows = VarPairs.map { case (a, b) =>
+      s"""SELECT '${VarNames.toMap.apply(a)}' AS var_a,
+         |  '${VarNames.toMap.apply(b)}' AS var_b, n_rows,
+         |  ${KendallSql.mkString(",\n  ")}
+         |FROM s_$a$b, ma_$a$b, mb_$a$b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val gridCols = VarNames.map { case (v, _) => s"${SrcCols(v)} AS g$v" }
+      .mkString(", ")
+    s"""WITH grid AS (
+       |  SELECT $gridCols, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY 1, 2, 3),
+       |$pairCtes
+       |$rows""".stripMargin
+  }
+
   /** DuckDB twin: identical rank maps, identical snapped terms,
     * identical shared ρ text. */
   val corrMatrixSql: String = {

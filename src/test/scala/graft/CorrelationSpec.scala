@@ -60,6 +60,59 @@ class CorrelationSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(out.fieldIndex("pearson_r")) - 0.8286) < 0.001)
   }
 
+  test("kendall: classic no-tie permutation gives S = 6, tau = 0.6") {
+    import spark.implicits._
+    // x = 1..5 vs y = (2,1,4,3,5): C = 8, D = 2 → S = 6, n0 = 10
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val out = Correlation.kendallTauB(df, "x", "y").head()
+    assert(out.getDouble(out.fieldIndex("s_stat")) == 6.0)
+    assert(out.getDouble(out.fieldIndex("tau_b")) == 0.6)
+    // no ties: var(S) = n(n-1)(2n+5)/18 = 50/3, z = 6/sqrt(50/3)
+    assert(math.abs(out.getDouble(out.fieldIndex("z_tau")) - 1.4697) < 1e-9)
+  }
+
+  test("kendall: tie-corrected denominator on both margins") {
+    import spark.implicits._
+    // x = (1,1,2,2,3), y = (1,2,2,2,3): S = 6, Σt(t−1) = 4 (x), 6 (y)
+    // → τb = 6/√((10−2)(10−3)) = 0.801784
+    val df = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("x", "y")
+    val out = Correlation.kendallTauB(df, "x", "y").head()
+    assert(out.getDouble(out.fieldIndex("s_stat")) == 6.0)
+    assert(out.getDouble(out.fieldIndex("tau_b")) == 0.801784)
+    assert(out.getLong(out.fieldIndex("n_rows")) == 5L)
+  }
+
+  test("kendall: monotone → 1, anti-monotone → −1, constant → NULL") {
+    import spark.implicits._
+    val xs = (1 to 20).map(_.toDouble)
+    val up = Correlation.kendallTauB(
+      xs.map(x => (x, x * x * x)).toDF("x", "y"), "x", "y").head()
+    assert(up.getDouble(up.fieldIndex("tau_b")) == 1.0)
+    val down = Correlation.kendallTauB(
+      xs.map(x => (x, -x)).toDF("x", "y"), "x", "y").head()
+    assert(down.getDouble(down.fieldIndex("tau_b")) == -1.0)
+    val const = Correlation.kendallTauB(
+      xs.map(x => (x, 7.0)).toDF("x", "y"), "x", "y").head()
+    assert(const.isNullAt(const.fieldIndex("tau_b")))
+    assert(const.getDouble(const.fieldIndex("s_stat")) == 0.0)
+  }
+
+  test("q101 shape: 3 pairs, n preserved, fact scanned once") {
+    val li = Tables.lineitem(spark, dir)
+    val out = Correlation.kendallMatrix(li).cache()
+    assert(out.count() == 3)
+    assert(out.select("n_rows").distinct().head().getLong(0) == li.count())
+    // the triple grid is localCheckpointed: pair grids re-aggregate the
+    // materialized cells, never the parquet fact
+    val plan = Correlation.kendallMatrix(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("parquet"))
+    out.unpersist()
+  }
+
   test("q68 shape: 3 pairs, n preserved by the rank joins, one scan") {
     val li = Tables.lineitem(spark, dir)
     val out = Correlation.corrMatrix(li).cache()

@@ -343,6 +343,26 @@ class SourceSinkSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ORC round-trip: schema and values survive, partition pruning works") {
+    val path = tmp() + "/orc"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_shipdate"))
+    li.write.partitionBy("l_returnflag").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.count() == li.count())
+    // values: exact sum parity on the measure
+    val sumIn = li.agg(sum(expr("CAST(l_quantity * 100 AS BIGINT)"))).head().getLong(0)
+    val sumOut = back.agg(sum(expr("CAST(l_quantity * 100 AS BIGINT)"))).head().getLong(0)
+    assert(sumIn == sumOut)
+    // partition pruning: a returnflag filter must prune to one dir
+    val plan = back.filter(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("l_returnflag") && plan.contains("Scan orc"))
+    assert(back.filter(col("l_returnflag") === "R").count() ==
+      li.filter(col("l_returnflag") === "R").count())
+  }
+
   test("JsonLines: write -> readStrict round-trips the documents table") {
     val path = tmp() + "/out"
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
