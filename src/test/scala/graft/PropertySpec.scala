@@ -193,6 +193,35 @@ class PropertySpec extends AnyFunSuite {
     assert(um == ux && math.abs(zm - zx) <= 2e-4)
   }
 
+  test("kendall S and tau match a brute-force pairwise recompute on random data") {
+    import spark.implicits._
+    // small value range forces heavy ties on both margins
+    val g = Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(1, 8))
+      .map { case (x, y) => (x.toDouble, y.toDouble) }
+    val pts = samples(g, 60)
+    def sgn(d: Double): Int = if (d > 0) 1 else if (d < 0) -1 else 0
+    val sRef = (for {
+      i <- pts.indices; j <- pts.indices if i < j
+    } yield sgn(pts(j)._1 - pts(i)._1) * sgn(pts(j)._2 - pts(i)._2)).sum
+    def pairs(vs: Seq[Double]): Long = {
+      val t = vs.groupBy(identity).values.map(_.size.toLong)
+      t.map(c => c * (c - 1) / 2).sum
+    }
+    val n0 = pts.size.toLong * (pts.size - 1) / 2
+    val tauRef = sRef / math.sqrt(
+      (n0 - pairs(pts.map(_._1))).toDouble * (n0 - pairs(pts.map(_._2))))
+    val r = operators.Correlation
+      .kendallTauB(pts.toDF("x", "y"), "x", "y").head
+    assert(r.getDouble(r.fieldIndex("s_stat")) == sRef.toDouble,
+      s"S mismatch: ${r.getDouble(1)} vs $sRef")
+    assert(math.abs(r.getDouble(r.fieldIndex("tau_b")) - tauRef) <= 1e-6)
+    // monotone-map invariance: concordance is rank-only
+    val m = operators.Correlation.kendallTauB(
+      pts.map { case (x, y) => (x * x * x + 1, y * 7 - 3) }.toDF("x", "y"),
+      "x", "y").head
+    assert(m.getDouble(m.fieldIndex("s_stat")) == sRef.toDouble)
+  }
+
   test("ks D bounds and monotone-map invariance on random samples") {
     import spark.implicits._
     val g = Gen.chooseNum(1, 25).map(_.toDouble)

@@ -13,6 +13,18 @@ class Round8PlanSpec extends AnyFunSuite {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("q101 kendall: hash aggregates, broadcast cell-grid self-joins, no shuffled join") {
+    val p = physical(operators.Correlation.kendallMatrix(spark, dir))
+    assert(p.contains("HashAggregate"), "cell grids must be hash aggregates")
+    assert(!p.contains("SortAggregate"), "cell grid fell back to SortAggregate")
+    // the va1 < va2 self-join is DELIBERATELY a broadcast nested loop
+    // over the ≤|values|² cell grid; a sort-merge or shuffled hash join
+    // would mean Spark thinks a fact-sized frame is on one side
+    assert(!p.contains("SortMergeJoin"), "kendall self-join must not shuffle")
+    assert(!p.contains("ShuffledHashJoin"), "kendall self-join must not shuffle")
+    assert(!p.contains("Window"), "kendall needs no window at all")
+  }
+
   test("q94 inference chain: hash aggregates only, all joins 1-row-broadcast grade") {
     val p = physical(operators.Regression.glmInferenceQ(spark, dir))
     // the sufficient-stats passes must be partial/final hash aggregates
