@@ -112,6 +112,7 @@ object SparkEntry {
     "q99_ks_test" -> operators.Hypothesis.lineitemKs,
     "q100_bh_fdr" -> operators.Hypothesis.mwuBh,
     "q101_kendall" -> operators.Correlation.kendallMatrix,
+    "q102_theil_sen" -> operators.Robust.lineitemTheilSen,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -342,5 +343,6 @@ object SparkEntry {
     "q99_ks_test" -> operators.Hypothesis.lineitemKsSql,
     "q100_bh_fdr" -> operators.Hypothesis.mwuBhSql,
     "q101_kendall" -> operators.Correlation.kendallMatrixSql,
+    "q102_theil_sen" -> operators.Robust.lineitemTheilSenSql,
   )
 }

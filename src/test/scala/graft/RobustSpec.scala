@@ -82,4 +82,56 @@ class RobustSpec extends AnyFunSuite {
       (99L, "added", "")))
     // unchanged key 1 is absent
   }
+
+  test("q102: exact line survives 25% gross corruption; OLS does not") {
+    import spark.implicits._
+    // 15 points exactly on y = 2x + 3, plus 5 wildly corrupt rows
+    val clean = (1 to 15).map(i => ("g", i.toDouble, 2.0 * i + 3.0))
+    val dirty = (1 to 5).map(i => ("g", 100.0 + i, -5000.0 * i))
+    val df = (clean ++ dirty).toDF("g", "x", "y")
+    val ts = operators.Robust.theilSen(df, "g", "x", "y").head()
+    assert(ts.getDouble(ts.fieldIndex("slope")) == 2.0)
+    assert(ts.getDouble(ts.fieldIndex("intercept")) == 3.0)
+    assert(ts.getLong(ts.fieldIndex("n_rows")) == 20L)
+    // the least-squares slope on the same data is dragged far negative
+    val ols = df.agg(
+      (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("b")).head().getDouble(0)
+    assert(ols < 0.0, s"OLS should be corrupted, got $ols")
+  }
+
+  test("q102: weighted median matches brute-force over repeated points") {
+    import spark.implicits._
+    // duplicated points exercise the cell weights: brute force expands
+    val pts = Seq((1.0, 1.0), (1.0, 1.0), (2.0, 5.0), (3.0, 4.0),
+      (3.0, 4.0), (3.0, 4.0), (4.0, 6.0))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val allSlopes = (for {
+      i <- pts.indices; j <- pts.indices
+      if pts(i)._1 < pts(j)._1
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+    // lower weighted median over the expanded pair list
+    val bruteM = allSlopes((allSlopes.size - 1) / 2)
+    val expectM = { // smallest s with 2*rank >= total
+      val n = allSlopes.size
+      allSlopes.zipWithIndex.collectFirst {
+        case (s, i) if 2 * (i + 1) >= n => s }.get
+    }
+    assert(bruteM == expectM) // sanity on the two formulations
+    val ts = operators.Robust.theilSen(df, "g", "x", "y").head()
+    assert(ts.getDouble(ts.fieldIndex("slope")) ==
+      (math.rint(expectM * 1e6) / 1e6))
+  }
+
+  test("q102: constant-x group yields NULL fit, counts intact") {
+    import spark.implicits._
+    val df = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0), ("g", 5.0, 3.0),
+      ("h", 1.0, 1.0), ("h", 2.0, 3.0)).toDF("g", "x", "y")
+    val out = operators.Robust.theilSen(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").isNullAt(out("g").fieldIndex("slope")))
+    assert(out("g").isNullAt(out("g").fieldIndex("intercept")))
+    assert(out("g").getLong(out("g").fieldIndex("n_rows")) == 3L)
+    assert(out("h").getDouble(out("h").fieldIndex("slope")) == 2.0)
+    assert(out("h").getDouble(out("h").fieldIndex("intercept")) == -1.0)
+  }
 }
