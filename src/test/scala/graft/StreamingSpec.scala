@@ -17,6 +17,44 @@ class StreamingSpec extends AnyFunSuite {
   // stateful operator drops rows at-or-before the watermark
   def ts(minutes: Long): Timestamp = new Timestamp((24 * 60 + minutes) * 60000L)
 
+  test("ksDriftStream: closed-window alert equals the batch q99 ksTest exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    // baseline: uniform-ish cells over 1..4
+    val baseline = Map(1.0 -> 5L, 2.0 -> 5L, 3.0 -> 5L, 4.0 -> 5L)
+    // window 0 (minutes 0-59 after the ts() day offset): skewed sample
+    val w0 = Seq(1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 1.0, 3.0)
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = DriftStream.ksDriftStream(
+      input.toDF().toDF("ts", "v"), baseline, windowMs = 3600000L,
+      watermark = "5 minutes").writeStream
+      .format("memory").queryName("drift").outputMode("append").start()
+    try {
+      input.addData(w0.zipWithIndex.map { case (v, i) => (ts(i.toLong), v) })
+      q.processAllAvailable()
+      // advance the watermark far past window 0's end
+      input.addData(Seq((ts(200), 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(400), 2.0)))
+      q.processAllAvailable()
+      val alerts = spark.table("drift").collect()
+      assert(alerts.length >= 1, "window 0 should have closed and emitted")
+      val a = alerts.minBy(_.getTimestamp(0).getTime)
+      assert(a.getLong(a.fieldIndex("n_window")) == w0.size.toLong)
+      // parity: batch ksTest over the same rows vs the expanded baseline
+      val batchRows =
+        w0.map(v => ("w", "X", v)) ++
+          baseline.toSeq.flatMap { case (v, c) => Seq.fill(c.toInt)(("w", "Y", v)) }
+      val b = operators.Hypothesis
+        .ksTest(batchRows.toDF("g", "c", "v"), "g", "c", "X", "Y", "v").head()
+      assert(a.getDouble(a.fieldIndex("d_stat")) ==
+        b.getDouble(b.fieldIndex("d_stat")), "D must match batch q99")
+      assert(a.getDouble(a.fieldIndex("ks_z")) ==
+        b.getDouble(b.fieldIndex("ks_z")), "z must match batch q99")
+    } finally q.stop()
+  }
+
   test("windowedCounts over a memory stream matches batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
