@@ -113,6 +113,7 @@ object SparkEntry {
     "q100_bh_fdr" -> operators.Hypothesis.mwuBh,
     "q101_kendall" -> operators.Correlation.kendallMatrix,
     "q102_theil_sen" -> operators.Robust.lineitemTheilSen,
+    "q103_js_divergence" -> operators.Hypothesis.lineitemJs,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -344,5 +345,6 @@ object SparkEntry {
     "q100_bh_fdr" -> operators.Hypothesis.mwuBhSql,
     "q101_kendall" -> operators.Correlation.kendallMatrixSql,
     "q102_theil_sen" -> operators.Robust.lineitemTheilSenSql,
+    "q103_js_divergence" -> operators.Hypothesis.lineitemJsSql,
   )
 }

@@ -400,6 +400,106 @@ object Hypothesis {
        |  ${KsSql.mkString(",\n  ")}
        |FROM agg""".stripMargin
 
+  // --------------------------------------------- Jensen–Shannon divergence
+
+  /** Per-cell micro-terms of the two KL halves. The ln argument
+    * 2·t1/(t1+t2) is built from EXACT integer cross-products
+    * t1 = cx·n2, t2 = cy·n1 (decimal-first — exact past 2^31-row
+    * sides) recovered as doubles; the ln output is snapped to a 1e-9
+    * grid (engine ln can differ in the last ulp — the q94 exp
+    * discipline), the weighted term floored to an exact integer
+    * micro-unit (the q91 micro-sum move), and ONLY integers are
+    * summed — order-free on both engines. A zero cell contributes 0
+    * (the 0·ln 0 = 0 KL convention) via the CASE guard. */
+  private def jsTermSql(c: String, tNum: String): String = {
+    val ratio = s"2e0 * ${tNum}d / nullif(t1d + t2d, 0e0)"
+    val lnS = s"CAST(floor(ln($ratio) * 1e9 + 5e-1) AS DOUBLE) / 1e9"
+    s"CASE WHEN $c > 0 THEN CAST(floor(CAST($c AS DOUBLE) * ($lnS) * 1e9)" +
+      s" AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"
+  }
+
+  /** Shared final chain: JS = Σx/(2n₁) + Σy/(2n₂), in nats, de-scaled
+    * from micro-units; clamped at 0 (an all-equal pair of samples sums
+    * to exactly 0, but micro-flooring can leave it a hair negative).
+    * The clamp is a CASE, NOT greatest(): both engines' greatest()
+    * ignores NULLs, which would silently turn the empty-side NULL
+    * convention into 0. */
+  private val JsSql: Seq[String] = {
+    val raw = "CAST(sx AS DOUBLE) / nullif(2e0 * CAST(n_x AS DOUBLE), 0e0)" +
+      " + CAST(sy AS DOUBLE) / nullif(2e0 * CAST(n_y AS DOUBLE), 0e0)"
+    Seq(s"round((CASE WHEN ($raw) < 0e0 THEN 0e0 ELSE ($raw) END) / 1e9, 6)" +
+      " + 0.0 AS js_div")
+  }
+
+  /** Jensen–Shannon divergence (nats, ∈ [0, ln 2]) of `valueCol`
+    * between `clsX` and `clsY` rows per `groupCol` — the symmetric,
+    * always-finite distribution distance: JS = ½KL(P‖M) + ½KL(Q‖M),
+    * M = (P+Q)/2. Complements q99: KS sees the worst single ECDF gap,
+    * JS integrates mass displacement everywhere (the standard corpus-
+    * shift / language-drift measure for training-data monitoring).
+    * Returns (group, n_x, n_y, js_div); an empty side → 0 vs itself
+    * convention never arises (JS vs an empty sample is NULL via
+    * nullif).
+    *
+    * Plan: the [[sampleCells]] aggregate + per-group side totals over
+    * cells (cardinality-bounded windows) + one group aggregate —
+    * scan-priced like its q97/q99 siblings. */
+  def jsDivergence(df: DataFrame, groupCol: String, classCol: String,
+      clsX: String, clsY: String, valueCol: String): DataFrame = {
+    val all = Window.partitionBy("g")
+    sampleCells(df, groupCol, classCol, clsX, clsY, valueCol)
+      .withColumn("n1", sum("cx").over(all))
+      .withColumn("n2", sum("cy").over(all))
+      .withColumn("t1d", expr("CAST(CAST(cx AS DECIMAL(38,0)) * n2 AS DOUBLE)"))
+      .withColumn("t2d", expr("CAST(CAST(cy AS DECIMAL(38,0)) * n1 AS DOUBLE)"))
+      .groupBy("g")
+      .agg(
+        expr("CAST(max(n1) AS BIGINT)").as("n_x"),
+        expr("CAST(max(n2) AS BIGINT)").as("n_y"),
+        expr(s"CAST(sum(${jsTermSql("cx", "t1")}) AS DECIMAL(38,0))").as("sx"),
+        expr(s"CAST(sum(${jsTermSql("cy", "t2")}) AS DECIMAL(38,0))").as("sy"))
+      .selectExpr(Seq(s"g AS $groupCol", "n_x", "n_y") ++ JsSql: _*)
+  }
+
+  /** q103: how far apart are returned vs accepted quantity
+    * distributions, per ship year — the integrated-mass companion of
+    * q99's supremum. */
+  def lineitemJs(spark: SparkSession, dir: String): DataFrame =
+    jsDivergence(
+      Tables.lineitem(spark, dir).withColumn("ship_yr", expr("year(l_shipdate)")),
+      "ship_yr", "l_returnflag", "R", "A", "l_quantity")
+
+  val lineitemJsSql: String =
+    s"""WITH cells AS (
+       |  SELECT g, v,
+       |    CAST(sum(CASE WHEN cls = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+       |    CAST(sum(CASE WHEN cls = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+       |  FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS g,
+       |          l_returnflag AS cls, l_quantity AS v
+       |        FROM lineitem
+       |        WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL)
+       |  GROUP BY g, v),
+       |sided AS (
+       |  SELECT g, cx, cy,
+       |    sum(cx) OVER (PARTITION BY g) AS n1,
+       |    sum(cy) OVER (PARTITION BY g) AS n2
+       |  FROM cells),
+       |crossed AS (
+       |  SELECT g, cx, cy, n1, n2,
+       |    CAST(CAST(cx AS HUGEINT) * n2 AS DOUBLE) AS t1d,
+       |    CAST(CAST(cy AS HUGEINT) * n1 AS DOUBLE) AS t2d
+       |  FROM sided),
+       |agg AS (
+       |  SELECT g,
+       |    CAST(max(n1) AS BIGINT) AS n_x,
+       |    CAST(max(n2) AS BIGINT) AS n_y,
+       |    CAST(sum(${jsTermSql("cx", "t1")}) AS DECIMAL(38,0)) AS sx,
+       |    CAST(sum(${jsTermSql("cy", "t2")}) AS DECIMAL(38,0)) AS sy
+       |  FROM crossed GROUP BY g)
+       |SELECT g AS ship_yr, n_x, n_y,
+       |  ${JsSql.mkString(",\n  ")}
+       |FROM agg""".stripMargin
+
   // --------------------------------------------- Benjamini–Hochberg FDR
 
   /** Two-sided normal p from a z statistic: p = erfc(|z|/√2) via

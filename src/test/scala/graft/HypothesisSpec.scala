@@ -120,6 +120,46 @@ class HypothesisSpec extends AnyFunSuite {
     assert(r0.getLong(2) == 0L && r0.isNullAt(3) && r0.isNullAt(4))
   }
 
+  // --------------------------------------------- Jensen–Shannon divergence
+
+  private def js(rows: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    Hypothesis.jsDivergence(rows.toDF("g", "c", "x"), "g", "c", "X", "Y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("js: identical → 0, disjoint → ln 2, symmetric, matches brute force") {
+    val same = Seq(1.0, 2.0, 2.0, 3.0)
+    val r0 = js(same.map(("g1", "X", _)) ++ same.map(("g1", "Y", _)))("g1")
+    assert(r0.getDouble(r0.fieldIndex("js_div")) == 0.0)
+    // disjoint supports: JS = ln 2 exactly
+    val rd = js(Seq(1.0, 2.0).map(("g2", "X", _)) ++
+      Seq(9.0, 10.0).map(("g2", "Y", _)))("g2")
+    assert(rd.getDouble(rd.fieldIndex("js_div")) == 0.693147)
+    // asymmetric sample, brute-force recompute + symmetry under swap
+    val xs = Seq(1.0, 1.0, 1.0, 2.0)
+    val ys = Seq(1.0, 2.0, 2.0, 2.0, 3.0)
+    def brute(a: Seq[Double], b: Seq[Double]): Double = {
+      val (na, nb) = (a.size.toDouble, b.size.toDouble)
+      val vals = (a ++ b).distinct
+      vals.map { v =>
+        val p = a.count(_ == v) / na
+        val q = b.count(_ == v) / nb
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (q > 0) q * math.log(q / m) else 0.0)
+      }.sum / 2
+    }
+    val fwd = js(xs.map(("g3", "X", _)) ++ ys.map(("g3", "Y", _)))("g3")
+    val v = fwd.getDouble(fwd.fieldIndex("js_div"))
+    assert(math.abs(v - brute(xs, ys)) < 2e-6, s"$v vs ${brute(xs, ys)}")
+    val bwd = js(ys.map(("g3", "X", _)) ++ xs.map(("g3", "Y", _)))("g3")
+    assert(bwd.getDouble(bwd.fieldIndex("js_div")) == v, "JS must be symmetric")
+    // empty side → NULL (divergence vs nothing is undefined, not 0)
+    val re = js(Seq(1.0, 2.0).map(("g4", "X", _)))("g4")
+    assert(re.isNullAt(re.fieldIndex("js_div")))
+  }
+
   // --------------------------------------------- Benjamini–Hochberg FDR
 
   test("bh q-values match a reference step-up computation and clamp at 1") {

@@ -80,7 +80,8 @@ class Round8PlanSpec extends AnyFunSuite {
     // is partitioned by the group key — never a global row-level window
     Seq(
       "q97" -> operators.Hypothesis.lineitemMwu(spark, dir),
-      "q99" -> operators.Hypothesis.lineitemKs(spark, dir)).foreach { case (n, df) =>
+      "q99" -> operators.Hypothesis.lineitemKs(spark, dir),
+      "q103" -> operators.Hypothesis.lineitemJs(spark, dir)).foreach { case (n, df) =>
       val p = physical(df)
       assert(p.contains("HashAggregate"), s"$n lost its cell aggregate")
       val windows = p.linesIterator.filter(_.contains("Window")).toSeq
