@@ -114,6 +114,7 @@ object SparkEntry {
     "q101_kendall" -> operators.Correlation.kendallMatrix,
     "q102_theil_sen" -> operators.Robust.lineitemTheilSen,
     "q103_js_divergence" -> operators.Hypothesis.lineitemJs,
+    "q104_mutual_info" -> operators.Independence.customerMutualInfo,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -346,5 +347,6 @@ object SparkEntry {
     "q101_kendall" -> operators.Correlation.kendallMatrixSql,
     "q102_theil_sen" -> operators.Robust.lineitemTheilSenSql,
     "q103_js_divergence" -> operators.Hypothesis.lineitemJsSql,
+    "q104_mutual_info" -> operators.Independence.customerMutualInfoSql,
   )
 }

@@ -59,4 +59,50 @@ class IndependenceSpec extends AnyFunSuite {
     assert(r.getLong(3) == (r.getLong(1) - 1) * (r.getLong(2) - 1))
     assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  private def mi(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    Independence.mutualInfo(rows.toDF("a", "b"), "a", "b").head()
+  }
+
+  test("q104: bijective dependence gives MI = H(A) = H(B), NMI = 1") {
+    // uniform 4-level bijection: H = ln 4 = 1.386294
+    val rows = Seq("w", "x", "y", "z").flatMap(v => Seq.fill(3)((v, v.toUpperCase)))
+    val r = mi(rows)
+    assert(r.getDouble(r.fieldIndex("h_a")) == 1.386294)
+    assert(r.getDouble(r.fieldIndex("h_b")) == 1.386294)
+    assert(r.getDouble(r.fieldIndex("mi")) == 1.386294)
+    assert(r.getDouble(r.fieldIndex("nmi")) == 1.0)
+  }
+
+  test("q104: exact product independence gives MI = 0; one-level margin NMI NULL") {
+    // joint = product of margins exactly: counts a×b = (2,4)⊗(1,3)
+    val rows = for {
+      (a, ca) <- Seq(("a1", 2), ("a2", 4))
+      (b, cb) <- Seq(("b1", 1), ("b2", 3))
+      _ <- 1 to (ca * cb)
+    } yield (a, b)
+    val r = mi(rows)
+    assert(r.getDouble(r.fieldIndex("mi")) == 0.0)
+    val one = mi(Seq(("a", "x"), ("a", "y"), ("a", "y")))
+    assert(one.getDouble(one.fieldIndex("h_a")) == 0.0)
+    assert(one.isNullAt(one.fieldIndex("nmi")))
+  }
+
+  test("q104: brute-force nats parity on a skewed planted table") {
+    val rows = Seq.fill(5)(("a", "x")) ++ Seq.fill(3)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(7)(("b", "z")) ++ Seq(("c", "z"))
+    val n = rows.size.toDouble
+    val obs = rows.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val rT = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val cT = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+    val want = obs.map { case ((a, b), o) =>
+      (o / n) * math.log(o * n / (rT(a) * cT(b)))
+    }.sum
+    val r = mi(rows)
+    assert(math.abs(r.getDouble(r.fieldIndex("mi")) - want) < 2e-6)
+    // data-processing bound: MI ≤ min(H)
+    assert(r.getDouble(r.fieldIndex("mi")) <=
+      math.min(r.getDouble(r.fieldIndex("h_a")), r.getDouble(r.fieldIndex("h_b"))) + 1e-9)
+  }
 }
