@@ -115,6 +115,7 @@ object SparkEntry {
     "q102_theil_sen" -> operators.Robust.lineitemTheilSen,
     "q103_js_divergence" -> operators.Hypothesis.lineitemJs,
     "q104_mutual_info" -> operators.Independence.customerMutualInfo,
+    "q105_cusum" -> operators.Changepoint.eventsCusum,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -348,5 +349,6 @@ object SparkEntry {
     "q102_theil_sen" -> operators.Robust.lineitemTheilSenSql,
     "q103_js_divergence" -> operators.Hypothesis.lineitemJsSql,
     "q104_mutual_info" -> operators.Independence.customerMutualInfoSql,
+    "q105_cusum" -> operators.Changepoint.eventsCusumSql,
   )
 }
