@@ -25,6 +25,33 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "kendall needs no window at all")
   }
 
+  test("q104 mutual info: hash aggregates, broadcast margin joins, no shuffled join") {
+    val p = physical(operators.Independence.customerMutualInfo(spark, dir))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"), "cell/margin aggregates fell back to sort")
+    assert(p.contains("BroadcastHashJoin"), "margin joins must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q104 must never shuffle a join: all frames are dimension-grade")
+    assert(!p.contains("Window"), "q104 needs no window")
+  }
+
+  test("q105 cusum: both window layers share ONE sort/exchange per pass") {
+    val df = operators.Changepoint.cusum(
+      Tables.events(spark, dir), "event_type", "ts", "event_id",
+      "value", 5000L, 500L, 20000L)
+    val p = physical(df)
+    // the prefix-sum layers all share one (partition, order) spec:
+    // Spark must plan ONE exchange + ONE sort feeding every Window
+    // operator — a second sort/shuffle would mean the layers broke
+    // the shared-spec chain
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    val sorts = p.linesIterator.count(_.contains("- Sort ["))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(windows >= 2 && windows <= 3, s"expected fused window layers, got $windows")
+    assert(sorts == 1, s"the shared spec must sort once, got $sorts")
+    assert(exchanges == 1, s"one shuffle for the series partitioning, got $exchanges")
+  }
+
   test("q94 inference chain: hash aggregates only, all joins 1-row-broadcast grade") {
     val p = physical(operators.Regression.glmInferenceQ(spark, dir))
     // the sufficient-stats passes must be partial/final hash aggregates
