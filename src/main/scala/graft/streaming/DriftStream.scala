@@ -58,6 +58,58 @@ object DriftStream {
     (r(d, 6), r(z, 4))
   }
 
+  // ------------------------------------------------------ streaming CUSUM
+
+  case class CusumEvent(ts: Timestamp, g: String, seq: Long, v: Double)
+  case class CusumState(sUp: Long, sDn: Long, lastSeq: Long)
+  case class CusumAlarm(g: String, ts: Timestamp, seq: Long,
+      s_up: Double, s_dn: Double, dir: String)
+
+  /** Streaming CUSUM — the continuous twin of
+    * [[graft.operators.Changepoint.cusum]]: per series, carry
+    * (S⁺, S⁻) as TWO Longs of state (constant per key — the recursion
+    * needs nothing else) and emit an alarm row the moment either side
+    * crosses h. Same integer-cent arithmetic as batch, so an ordered
+    * replay reproduces the batch operator's alarm set exactly
+    * (StreamingSpec parity).
+    *
+    * Ordering: the recursion is order-sensitive, so correctness needs
+    * per-key IN-ORDER delivery — feed it a per-key-ordered source (a
+    * partitioned log's contract) and a monotone `seq`; out-of-order
+    * rows are DROPPED with their seq recorded nowhere (a late row
+    * cannot be retro-folded into a running CUSUM — document upstream
+    * reordering buffers if the feed needs them). State is 3 Longs per
+    * series: bounded by the series dimension, run-forever safe. */
+  def cusumStream(events: Dataset[CusumEvent], targetCents: Long,
+      kCents: Long, hCents: Long): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g, rows, state) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
+          val alarms = rows.toSeq.sortBy(_.seq).flatMap { e =>
+            if (e.seq <= st.lastSeq) None // out-of-order: dropped
+            else {
+              val xc = math.floor(e.v * 100.0).toLong
+              val su = math.max(0L, st.sUp + (xc - targetCents - kCents))
+              val sd = math.max(0L, st.sDn + (targetCents - kCents - xc))
+              st = CusumState(su, sd, e.seq)
+              if (su > hCents || sd > hCents) {
+                val dir =
+                  if (su > hCents && sd > hCents) "both"
+                  else if (su > hCents) "up" else "down"
+                Some(CusumAlarm(g, e.ts, e.seq,
+                  su.toDouble / 100.0, sd.toDouble / 100.0, dir))
+              } else None
+            }
+          }
+          state.update(st)
+          alarms.iterator
+      }
+  }
+
   /** KS drift alerts per tumbling event-time window. Input: streaming
     * frame with (ts TIMESTAMP, v DOUBLE) — project upstream. Output
     * (append): one row per CLOSED window (window_start, n_window,

@@ -55,6 +55,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusumStream: ordered replay reproduces the batch q105 alarm set exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    import graft.streaming.DriftStream.CusumEvent
+    val dir001 = "/root/testdata/sf0.001"
+    val (t, k, h) = (5000L, 1500L, 20000L)
+    // batch truth: alarm rows keyed by (series, tie)
+    val batch = operators.Changepoint.cusum(
+      Tables.events(spark, dir001), "event_type", "ts", "event_id",
+      "value", t, k, h)
+      .filter(col("alarm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("tie"))) ->
+        (r.getLong(r.fieldIndex("s_up")), r.getLong(r.fieldIndex("s_dn")),
+          r.getString(r.fieldIndex("dir"))))
+      .toMap
+    // replay in per-key order (ts, event_id) across three micro-batches
+    val feed = Tables.events(spark, dir001)
+      .select(col("ts"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => CusumEvent(r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.seq))
+    val input = MemoryStream[CusumEvent]
+    val q = DriftStream.cusumStream(input.toDS(), t, k, h).writeStream
+      .format("memory").queryName("cusum_alarms").outputMode("append").start()
+    try {
+      feed.grouped(math.max(1, feed.length / 3)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("cusum_alarms").collect()
+        .map(r => (r.getString(0), r.getLong(r.fieldIndex("seq"))) ->
+          (math.round(r.getDouble(r.fieldIndex("s_up")) * 100),
+            math.round(r.getDouble(r.fieldIndex("s_dn")) * 100),
+            r.getString(r.fieldIndex("dir"))))
+        .toMap
+      assert(got.size == batch.size,
+        s"alarm count ${got.size} != batch ${batch.size}")
+      assert(got == batch, "streaming alarms must equal the batch alarm rows")
+    } finally q.stop()
+  }
+
   test("windowedCounts over a memory stream matches batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
