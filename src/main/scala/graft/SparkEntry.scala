@@ -116,6 +116,8 @@ object SparkEntry {
     "q103_js_divergence" -> operators.Hypothesis.lineitemJs,
     "q104_mutual_info" -> operators.Independence.customerMutualInfo,
     "q105_cusum" -> operators.Changepoint.eventsCusum,
+    "q106_partial_corr" -> operators.Correlation.partialCorr,
+    "q107_benford" -> operators.Monitor.ordersBenford,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -350,5 +352,7 @@ object SparkEntry {
     "q103_js_divergence" -> operators.Hypothesis.lineitemJsSql,
     "q104_mutual_info" -> operators.Independence.customerMutualInfoSql,
     "q105_cusum" -> operators.Changepoint.eventsCusumSql,
+    "q106_partial_corr" -> operators.Correlation.partialCorrSql,
+    "q107_benford" -> operators.Monitor.ordersBenfordSql,
   )
 }

@@ -112,6 +112,124 @@ object Correlation {
   def corrMatrix(spark: SparkSession, dir: String): DataFrame =
     corrMatrix(Tables.lineitem(spark, dir))
 
+  // ------------------------------------------------------ partial correlation
+
+  /** Raw (unrounded) ρ text — the same chain as [[rhoSql]] without the
+    * display round, for use INSIDE further shared-text arithmetic. */
+  private def rhoRawSql(sa: String, sb: String, sab: String,
+      saa: String, sbb: String): String =
+    s"((nd * $sab - $sa * $sb) / " +
+      s"nullif(sqrt(nd * $saa - $sa * $sa) * sqrt(nd * $sbb - $sb * $sb), 0.0))"
+
+  /** q106: first-order partial correlations — for each measure pair,
+    * the Pearson correlation CONTROLLING for the third measure:
+    * r_ab·c = (r_ab − r_ac·r_bc) / √((1 − r_ac²)(1 − r_bc²)).
+    * The "is the association real or routed through z?" answer that
+    * raw correlation can't give (the reference's regression adjusts
+    * for covariates for exactly this reason — this is the
+    * correlation-matrix view of the same adjustment).
+    *
+    * Cost: ZERO new passes — the same 19 exact fixed-point sums from
+    * [[corrMatrix]]'s single aggregate, fanned out through a longer
+    * shared-text chain (raw unrounded ρ's composed then rounded once
+    * at the end, identical text both engines). NULL propagation: a
+    * zero-variance variable NULLs its raw ρ (the q68 rule) and hence
+    * every partial r touching it; an EXACTLY-singular partialled
+    * variance hits the nullif. A merely near-singular control
+    * (|ρ| → 1 up to fp) amplifies noise instead — the standard
+    * partial-correlation conditioning hazard, the caller's statistics
+    * problem, not an engine artifact. */
+  def partialCorr(fact: DataFrame): DataFrame = {
+    val prep0 = fact.select(SrcCols.values.toSeq.map(col): _*)
+    val prep = VarNames.foldLeft(prep0) { case (df, (v, _)) =>
+      df.join(broadcast(rankMap(fact, SrcCols(v))
+          .withColumnRenamed("v", s"_v$v").withColumnRenamed("r2", s"r$v")),
+        col(SrcCols(v)) === col(s"_v$v"))
+    }.select(
+      VarNames.map { case (v, _) =>
+        expr(s"floor(${SrcCols(v)} * $ValScale.0)").as(s"v$v")
+      } ++ VarNames.map { case (v, _) => col(s"r$v") }: _*)
+    val stats = prep.agg(
+      count(lit(1)).as("n_rows"),
+      TermExprs.map { case (n, t) =>
+        expr(s"CAST(sum(CAST(floor($t) AS DECIMAL(38,0))) AS DECIMAL(38,0))").as(n)
+      }: _*)
+      .localCheckpoint(true)
+    val recovered = stats.select(
+      col("n_rows") +: expr("CAST(n_rows AS DOUBLE)").as("nd") +:
+        TermExprs.map { case (n, _) => expr(s"CAST($n AS DOUBLE)").as(n) }: _*)
+    val rows = VarPairs.map { case (a, b) =>
+      val c = Seq("q", "d", "t").filterNot(v => v == a || v == b).head
+      def rho(x: String, y: String) = {
+        val (p, q) = if (Seq("q", "d", "t").indexOf(x) < Seq("q", "d", "t").indexOf(y))
+          (x, y) else (y, x)
+        rhoRawSql(s"s_v$p", s"s_v$q", s"s_v${p}_v$q", s"s_v${p}_v$p", s"s_v${q}_v$q")
+      }
+      val (rab, rac, rbc) = (rho(a, b), rho(a, c), rho(b, c))
+      recovered.selectExpr(
+        s"'${VarNames.toMap.apply(a)}' AS var_a",
+        s"'${VarNames.toMap.apply(b)}' AS var_b",
+        s"'${VarNames.toMap.apply(c)}' AS ctrl",
+        "n_rows",
+        s"round(($rab - $rac * $rbc) /" +
+          s" nullif(sqrt((1e0 - $rac * $rac) * (1e0 - $rbc * $rbc)), 0e0), 4)" +
+          " + 0.0 AS partial_r")
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  def partialCorr(spark: SparkSession, dir: String): DataFrame =
+    partialCorr(Tables.lineitem(spark, dir))
+
+  /** DuckDB twin: q68's CTE chain with the partial-r fan-out. */
+  val partialCorrSql: String = {
+    val rankCtes = VarNames.map { case (v, _) =>
+      s"""rm$v AS (
+         |  SELECT v, CAST(2 * cumex + cnt + 1 AS DOUBLE) AS r$v FROM (
+         |    SELECT v, cnt, coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumex
+         |    FROM (SELECT ${SrcCols(v)} AS v, count(*) AS cnt
+         |          FROM lineitem GROUP BY 1)))""".stripMargin
+    }.mkString(",\n")
+    val prepCols = (VarNames.map { case (v, _) =>
+      s"floor(${SrcCols(v)} * $ValScale.0) AS v$v"
+    } ++ VarNames.map { case (v, _) => s"rm$v.r$v AS r$v" }).mkString(", ")
+    val joins = VarNames.map { case (v, _) =>
+      s"JOIN rm$v ON ${SrcCols(v)} = rm$v.v"
+    }.mkString(" ")
+    val sums = TermExprs.map { case (n, t) =>
+      s"CAST(sum(CAST(floor($t) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS $n"
+    }.mkString(",\n    ")
+    val recov = TermExprs.map { case (n, _) => s"CAST($n AS DOUBLE) AS $n" }
+      .mkString(", ")
+    val rows = VarPairs.map { case (a, b) =>
+      val c = Seq("q", "d", "t").filterNot(v => v == a || v == b).head
+      def rho(x: String, y: String) = {
+        val (p, q) = if (Seq("q", "d", "t").indexOf(x) < Seq("q", "d", "t").indexOf(y))
+          (x, y) else (y, x)
+        rhoRawSql(s"s_v$p", s"s_v$q", s"s_v${p}_v$q", s"s_v${p}_v$p", s"s_v${q}_v$q")
+      }
+      val (rab, rac, rbc) = (rho(a, b), rho(a, c), rho(b, c))
+      s"""SELECT '${VarNames.toMap.apply(a)}' AS var_a,
+         |  '${VarNames.toMap.apply(b)}' AS var_b,
+         |  '${VarNames.toMap.apply(c)}' AS ctrl, n_rows,
+         |  round(($rab - $rac * $rbc) /
+         |    nullif(sqrt((1e0 - $rac * $rac) * (1e0 - $rbc * $rbc)), 0e0), 4)
+         |  + 0.0 AS partial_r""".stripMargin + "\nFROM recovered"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH
+       |$rankCtes,
+       |prep AS (
+       |  SELECT $prepCols FROM lineitem $joins),
+       |stats AS (
+       |  SELECT count(*) AS n_rows,
+       |    $sums
+       |  FROM prep),
+       |recovered AS (
+       |  SELECT n_rows, CAST(n_rows AS DOUBLE) AS nd, $recov FROM stats)
+       |$rows""".stripMargin
+  }
+
   // ------------------------------------------------------------ Kendall τ-b
 
   /** Shared τ-b / z text over recovered doubles. Inputs are exact

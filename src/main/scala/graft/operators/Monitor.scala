@@ -158,6 +158,83 @@ object Monitor {
         "n_singletons * 1000000 div n_keys AS p_singleton_ppm")
   }
 
+  // ----------------------------------------------------------- Benford audit
+
+  /** Benford expected first-digit shares log₁₀(1 + 1/d), as 6-decimal
+    * LITERALS (they sum to exactly 1.000000): no runtime
+    * transcendental, so the only doubles in the chain are exact-
+    * integer ratios and these shared constants. */
+  val BenfordShares: Seq[(Int, String)] = Seq(
+    1 -> "3.01030e-1", 2 -> "1.76091e-1", 3 -> "1.24939e-1",
+    4 -> "9.6910e-2", 5 -> "7.9181e-2", 6 -> "6.6947e-2",
+    7 -> "5.7992e-2", 8 -> "5.1153e-2", 9 -> "4.5757e-2")
+
+  /** q107: Benford's-law first-digit audit of a positive measure — the
+    * classic fabricated-numbers screen (organically-grown magnitudes
+    * follow log₁₀(1+1/d); keyed-in or synthesized ones don't). Returns
+    * one row per digit 1–9 (zero-count digits included via the literal
+    * spine): (digit, n_obs, obs_share, benford_share, dev_abs).
+    *
+    * Exactness: the first significant digit is taken from the STRING
+    * head of the positive integer cents — pure integer/string ops,
+    * no log₁₀ at runtime (a power-of-10 boundary value would be a
+    * last-ulp parity coin-flip); expected shares are shared literals;
+    * obs_share divides exact BIGINTs in shared text. Rows with
+    * value ≤ 0 are excluded (no first significant digit).
+    *
+    * Plan: one scan → 9-row digit aggregate, broadcast-joined to the
+    * 9-row spine — scan-priced, dimension-grade everywhere after. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val obs = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(expr(s"CAST(floor($valueCol * 1e2) AS BIGINT)").as("xc"))
+      .filter(col("xc") > 0)
+      .withColumn("digit", expr("CAST(substring(CAST(xc AS STRING), 1, 1) AS INT)"))
+      .groupBy("digit").agg(expr("CAST(count(1) AS BIGINT)").as("n_obs"))
+    val spine = spark.range(1, 10)
+      .selectExpr("CAST(id AS INT) AS digit",
+        s"CASE CAST(id AS INT) ${BenfordShares.map { case (d, s) =>
+          s"WHEN $d THEN $s" }.mkString(" ")} END AS benford_share")
+    val tot = obs.agg(expr("CAST(sum(n_obs) AS BIGINT)").as("n"))
+    spine.join(obs, Seq("digit"), "left").crossJoin(broadcast(tot))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .selectExpr("digit", "n_obs", "benford_share",
+        "CAST(n_obs AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0e0) AS share_raw")
+      .selectExpr("digit", "n_obs",
+        "round(share_raw, 6) + 0.0 AS obs_share",
+        "benford_share",
+        "round(abs(share_raw - benford_share), 6) + 0.0 AS dev_abs")
+  }
+
+  /** q107: do order totals look organically generated? */
+  def ordersBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordAudit(Tables.orders(spark, dir), "o_totalprice")
+
+  val ordersBenfordSql: String = {
+    val values = BenfordShares.map { case (d, s) => s"($d, $s)" }.mkString(", ")
+    s"""WITH obs AS (
+       |  SELECT CAST(substring(CAST(xc AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM (SELECT CAST(floor(o_totalprice * 1e2) AS BIGINT) AS xc
+       |        FROM orders
+       |        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+       |  WHERE xc > 0 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+       |spine(digit, benford_share) AS (VALUES $values),
+       |joined AS (
+       |  SELECT spine.digit, coalesce(obs.n_obs, 0) AS n_obs,
+       |    spine.benford_share,
+       |    CAST(coalesce(obs.n_obs, 0) AS DOUBLE)
+       |      / nullif(CAST(tot.n AS DOUBLE), 0e0) AS share_raw
+       |  FROM spine LEFT JOIN obs ON spine.digit = obs.digit CROSS JOIN tot)
+       |SELECT digit, n_obs,
+       |  round(share_raw, 6) + 0.0 AS obs_share,
+       |  benford_share,
+       |  round(abs(share_raw - benford_share), 6) + 0.0 AS dev_abs
+       |FROM joined""".stripMargin
+  }
+
   /** q88: skew profile of the lineitem order key — the fact-side join
     * key every q2-style analysis shuffles on. */
   def lineitemKeySkew(spark: SparkSession, dir: String): DataFrame =

@@ -113,6 +113,49 @@ class CorrelationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q106: confounder-driven association vanishes when partialled out") {
+    // quantity and discount both driven by tax (the confounder) plus
+    // independent deterministic "noise": raw r high, partial r ≈ 0
+    val rows = (1 to 40).map { i =>
+      val z = i.toDouble                   // confounder (tax)
+      val nx = ((i * 37) % 11) - 5.0       // noise ⟂ z (period 11)
+      val ny = ((i * 23) % 7) - 3.0        // noise ⟂ z (period 7)
+      (z * 2 + nx, (z * 3 + ny) / 1e4, z / 1e2)
+    }
+    val out = Correlation.corrMatrix(facts(rows))
+      .filter(col("var_a") === "quantity" && col("var_b") === "discount").head()
+    val raw = out.getDouble(out.fieldIndex("pearson_r"))
+    assert(raw > 0.95, s"confounded raw r should be high, got $raw")
+    val part = Correlation.partialCorr(facts(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val pqd = part(("quantity", "discount"))
+    assert(pqd.getString(pqd.fieldIndex("ctrl")) == "tax")
+    val pr = pqd.getDouble(pqd.fieldIndex("partial_r"))
+    assert(math.abs(pr) < 0.3, s"partialling out tax should kill it, got $pr")
+    // algebraic parity with the raw matrix: r_ab·c from the rounded
+    // r's agrees with the operator to the rounding tolerance
+    val m = Correlation.corrMatrix(facts(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(r.fieldIndex("pearson_r"))).toMap
+    val (rab, rac, rbc) =
+      (m(("quantity", "discount")), m(("quantity", "tax")), m(("discount", "tax")))
+    val want = (rab - rac * rbc) / math.sqrt((1 - rac * rac) * (1 - rbc * rbc))
+    assert(math.abs(pr - want) < 5e-3, s"$pr vs recomputed $want")
+  }
+
+  test("q106: zero-variance control propagates NULL (undefined adjustment)") {
+    // tax constant: r_qt and r_dt are NULL (q68 zero-variance rule) →
+    // the (quantity, discount | tax) adjustment is undefined → NULL
+    val rows = (1 to 20).map { i =>
+      (i.toDouble, ((i * 7) % 5).toDouble / 1e4, 0.04)
+    }
+    val part = Correlation.partialCorr(facts(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val pqd = part(("quantity", "discount"))
+    assert(pqd.getString(pqd.fieldIndex("ctrl")) == "tax")
+    assert(pqd.isNullAt(pqd.fieldIndex("partial_r")))
+  }
+
   test("q68 shape: 3 pairs, n preserved by the rank joins, one scan") {
     val li = Tables.lineitem(spark, dir)
     val out = Correlation.corrMatrix(li).cache()

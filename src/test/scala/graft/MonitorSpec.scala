@@ -52,4 +52,34 @@ class MonitorSpec extends AnyFunSuite {
     assert(sk.getLong(1) == li.select("l_orderkey").distinct().count())
     assert(sk.getLong(3) >= 1L && sk.getLong(3) <= 1000000L) // top share sane
   }
+
+  test("q107 benford: exact shares on planted digits, spine covers gaps, ≤0 excluded") {
+    import spark.implicits._
+    // 3 values starting with digit 1, 1 with digit 5; zero/negative noise
+    val df = Seq(1.0, 12.34, 0.19, 5.0, 0.0, -3.0).toDF("v")
+    val out = Monitor.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 9, "all 9 digits present via the spine")
+    assert(out(1).getLong(1) == 3L && out(5).getLong(1) == 1L)
+    assert(out(1).getDouble(out(1).fieldIndex("obs_share")) == 0.75)
+    assert(out(2).getLong(1) == 0L, "zero-count digit surfaces with n_obs = 0")
+    assert(out(2).getDouble(out(2).fieldIndex("obs_share")) == 0.0)
+    // dev_abs = |share − benford| exactly at the rounded grid
+    assert(out(1).getDouble(out(1).fieldIndex("dev_abs")) == 0.44897)
+    assert(out(9).getDouble(out(9).fieldIndex("dev_abs")) == 0.045757)
+    // expected shares are the published constants and sum to exactly 1
+    val s = out.values.map(r => BigDecimal(
+      r.getDouble(r.fieldIndex("benford_share")).toString)).sum
+    assert(s == BigDecimal("1.000000"))
+  }
+
+  test("q107 benford: organic-looking multiplicative data tracks the law") {
+    import spark.implicits._
+    // deterministic multiplicative cascade: 1.05^i spans 4+ decades —
+    // the canonical Benford-convergent sequence
+    val df = (1 to 400).map(i => math.pow(1.05, i)).toDF("v")
+    val out = Monitor.benfordAudit(df, "v").collect()
+    val maxDev = out.map(r => r.getDouble(r.fieldIndex("dev_abs"))).max
+    assert(maxDev < 0.03, s"1.05^i should track Benford, max dev $maxDev")
+  }
 }
