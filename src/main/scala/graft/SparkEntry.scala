@@ -118,6 +118,7 @@ object SparkEntry {
     "q105_cusum" -> operators.Changepoint.eventsCusum,
     "q106_partial_corr" -> operators.Correlation.partialCorr,
     "q107_benford" -> operators.Monitor.ordersBenford,
+    "q108_gini" -> operators.Monitor.customerGini,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -354,5 +355,6 @@ object SparkEntry {
     "q105_cusum" -> operators.Changepoint.eventsCusumSql,
     "q106_partial_corr" -> operators.Correlation.partialCorrSql,
     "q107_benford" -> operators.Monitor.ordersBenfordSql,
+    "q108_gini" -> operators.Monitor.customerGiniSql,
   )
 }

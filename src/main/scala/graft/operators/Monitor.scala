@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -157,6 +158,89 @@ object Monitor {
         "max_key_rows * 1000000 div n_rows AS top_share_ppm",
         "n_singletons * 1000000 div n_keys AS p_singleton_ppm")
   }
+
+  // ------------------------------------------------------ Gini concentration
+
+  /** q108: Gini coefficient per group — G = ΣᵢΣⱼ|xᵢ−xⱼ| / (2nΣx), the
+    * concentration number behind "the top keys own the table"
+    * questions ([[keySkew]] reports the max key; Gini reports the
+    * whole curve's inequality in one scalar ∈ [0, 1)).
+    *
+    * Exactness: the pairwise-difference sum collapses over VALUE-LEVEL
+    * cells — for cells sorted by value, T = Σ_v cnt_v·(x_v·C_v − S_v)
+    * with C_v/S_v the strictly-below cumulative count/value-sum — so
+    * every term is an exact integer (cents, decimal-first products),
+    * G is ONE shared-text division of exact recovered doubles. Ordered
+    * pairs = 2T, so G = T/(n·Σx).
+    *
+    * Rows with value ≤ 0 are excluded (Gini is defined on positive
+    * quantities; a negative balance would make Σx a near-zero
+    * denominator with G unbounded). Single-value groups → G = 0;
+    * empty → no row.
+    *
+    * Plan: one scan → cell aggregate; the cumulative window runs over
+    * CELLS per group — bounded by the value RANGE in cents (e.g.
+    * ~1.1M cells for a ±10k money column), never by row count. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("xc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol).as("g"),
+        expr(s"CAST(floor($valueCol * 1e2) AS BIGINT)").as("xc"))
+      .groupBy("g", "xc").agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
+      .withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("cumsum", coalesce(
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * xc")).over(w),
+        expr("CAST(0 AS DECIMAL(38,0))")))
+      .withColumn("t", expr(
+        "CAST(cnt AS DECIMAL(38,0)) * (CAST(xc AS DECIMAL(38,0)) * cumcnt - cumsum)"))
+      .groupBy("g")
+      .agg(
+        expr("CAST(sum(cnt) AS BIGINT)").as("n_rows"),
+        expr("CAST(sum(CAST(cnt AS DECIMAL(38,0)) * xc) AS DECIMAL(38,0))").as("sx"),
+        expr("CAST(sum(t) AS DECIMAL(38,0))").as("tt"))
+      .selectExpr(s"g AS $groupCol", "n_rows",
+        "round(CAST(sx AS DOUBLE) / nullif(CAST(n_rows AS DOUBLE), 0e0) / 1e2, 4)" +
+          " + 0.0 AS mean_v",
+        "round(CAST(tt AS DOUBLE)" +
+          " / nullif(CAST(n_rows AS DOUBLE) * CAST(sx AS DOUBLE), 0e0), 6)" +
+          " + 0.0 AS gini")
+  }
+
+  /** q108: how concentrated are positive customer balances within each
+    * market segment? */
+  def customerGini(spark: SparkSession, dir: String): DataFrame =
+    giniByGroup(Tables.customer(spark, dir), "c_mktsegment", "c_acctbal")
+
+  val customerGiniSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS g,
+      |    CAST(floor(c_acctbal * 1e2) AS BIGINT) AS xc,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM customer
+      |  WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, xc, cnt,
+      |    coalesce(sum(cnt) OVER w, 0) AS cumcnt,
+      |    coalesce(sum(CAST(cnt AS HUGEINT) * xc) OVER w, 0) AS cumsum
+      |  FROM cells WINDOW w AS (PARTITION BY g ORDER BY xc
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |agg AS (
+      |  SELECT g,
+      |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * xc) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * (CAST(xc AS HUGEINT) * cumcnt - cumsum))
+      |         AS DECIMAL(38,0)) AS tt
+      |  FROM cum GROUP BY 1)
+      |SELECT g AS c_mktsegment, n_rows,
+      |  round(CAST(sx AS DOUBLE) / nullif(CAST(n_rows AS DOUBLE), 0e0) / 1e2, 4)
+      |  + 0.0 AS mean_v,
+      |  round(CAST(tt AS DOUBLE)
+      |    / nullif(CAST(n_rows AS DOUBLE) * CAST(sx AS DOUBLE), 0e0), 6)
+      |  + 0.0 AS gini
+      |FROM agg""".stripMargin
 
   // ----------------------------------------------------------- Benford audit
 

@@ -73,6 +73,30 @@ class MonitorSpec extends AnyFunSuite {
     assert(s == BigDecimal("1.000000"))
   }
 
+  test("q108 gini: equality → 0, brute-force parity with ties, ≤0 excluded") {
+    import spark.implicits._
+    // all-equal group: G = 0 exactly
+    val eq = Monitor.giniByGroup(
+      Seq.fill(10)(("e", 7.0)).toDF("g", "v"), "g", "v").head()
+    assert(eq.getDouble(eq.fieldIndex("gini")) == 0.0)
+    assert(eq.getLong(eq.fieldIndex("n_rows")) == 10L)
+    // brute-force parity on a tied, skewed sample (negatives dropped)
+    val vals = Seq(1.0, 1.0, 2.0, 2.0, 2.0, 5.0, 10.0, 50.0)
+    val df = (vals.map(("s", _)) ++ Seq(("s", -3.0), ("s", 0.0))).toDF("g", "v")
+    val out = Monitor.giniByGroup(df, "g", "v").head()
+    assert(out.getLong(out.fieldIndex("n_rows")) == vals.size.toLong)
+    val n = vals.size
+    val brute = (for { i <- vals.indices; j <- vals.indices }
+      yield math.abs(vals(i) - vals(j))).sum / (2.0 * n * vals.sum)
+    assert(math.abs(out.getDouble(out.fieldIndex("gini")) - brute) < 2e-6,
+      s"${out.getDouble(out.fieldIndex("gini"))} vs brute $brute")
+    // total concentration limit: one giant holder → G → (n−1)/n
+    val conc = Seq.fill(9)(("c", 0.01)) :+ (("c", 10000.0))
+    val g = Monitor.giniByGroup(conc.toDF("g", "v"), "g", "v")
+      .head().getDouble(3)
+    assert(g > 0.89 && g < 0.9, s"near-total concentration should give ~0.9, got $g")
+  }
+
   test("q107 benford: organic-looking multiplicative data tracks the law") {
     import spark.implicits._
     // deterministic multiplicative cascade: 1.05^i spans 4+ decades —
