@@ -119,6 +119,11 @@ object SparkEntry {
     "q106_partial_corr" -> operators.Correlation.partialCorr,
     "q107_benford" -> operators.Monitor.ordersBenford,
     "q108_gini" -> operators.Monitor.customerGini,
+    "q109_assoc_rules" -> operators.Basket.brandRules,
+    "q110_survival" -> operators.Survival.segmentChurn,
+    "q111_acf" -> operators.Autocorr.dailyRevenueAcf,
+    "q112_hhi" -> operators.Monitor.supplierHhi,
+    "q113_twap" -> operators.Twap.userTwap,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -356,5 +361,10 @@ object SparkEntry {
     "q106_partial_corr" -> operators.Correlation.partialCorrSql,
     "q107_benford" -> operators.Monitor.ordersBenfordSql,
     "q108_gini" -> operators.Monitor.customerGiniSql,
+    "q109_assoc_rules" -> operators.Basket.brandRulesSql,
+    "q110_survival" -> operators.Survival.segmentChurnSql,
+    "q111_acf" -> operators.Autocorr.dailyRevenueAcfSql,
+    "q112_hhi" -> operators.Monitor.supplierHhiSql,
+    "q113_twap" -> operators.Twap.userTwapSql,
   )
 }

@@ -319,6 +319,90 @@ object Monitor {
        |FROM joined""".stripMargin
   }
 
+  // ------------------------------------------------ Herfindahl concentration
+
+  /** q112: Herfindahl–Hirschman concentration per group — HHI = Σ sᵢ²
+    * over member shares sᵢ = cᵢ/Σc, the antitrust-grade concentration
+    * scalar beside [[giniByGroup]]'s inequality curve and
+    * [[keySkew]]'s max-key share. Also reports the "equivalent number
+    * of equal members" 1/HHI (an effective cardinality — n equal
+    * members give exactly n) and the top member's share.
+    *
+    * Exactness: member totals cᵢ are exact integer cents (per-row
+    * floor, BIGINT sum); Σcᵢ² and (Σc)² are decimal-first products;
+    * HHI / equiv_n / top_share are each ONE shared-text division of
+    * exactly-recovered doubles (equiv_n from the RAW integer ratio,
+    * not the rounded HHI).
+    *
+    * Plan: two keyed aggregates — scan → (group, member) cells →
+    * group rows. The cell frame is keyed by (group, member), so a
+    * hot member spreads across groups and a hot group across members;
+    * no window anywhere. */
+  def hhiByGroup(df: DataFrame, groupCol: String, memberCol: String,
+      valueCol: String): DataFrame = {
+    df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0 &&
+        col(memberCol).isNotNull)
+      .select(col(groupCol).as("g"), col(memberCol).as("m"),
+        expr(s"CAST(floor($valueCol * 1e2) AS BIGINT)").as("xc"))
+      .groupBy("g", "m")
+      .agg(expr("CAST(sum(xc) AS BIGINT)").as("c"))
+      .groupBy("g")
+      .agg(
+        expr("CAST(count(1) AS BIGINT)").as("n_members"),
+        expr("CAST(sum(c) AS DECIMAL(38,0))").as("s"),
+        expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))")
+          .as("ssq"),
+        expr("CAST(max(c) AS BIGINT)").as("cmax"))
+      .selectExpr(s"g AS $groupCol", "n_members",
+        "round(CAST(s AS DOUBLE) / 1e2, 2) + 0.0 AS total_v",
+        "round(CAST(ssq AS DOUBLE)" +
+          " / nullif(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0e0), 6)" +
+          " + 0.0 AS hhi",
+        "round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+          " / nullif(CAST(ssq AS DOUBLE), 0e0), 2) + 0.0 AS equiv_n",
+        "round(CAST(cmax AS DOUBLE) / nullif(CAST(s AS DOUBLE), 0e0), 6)" +
+          " + 0.0 AS top_share")
+  }
+
+  /** q112: how concentrated is lineitem revenue across suppliers
+    * within each nation? */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame =
+    hhiByGroup(
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey")),
+      "n_name", "s_suppkey", "l_extendedprice")
+
+  val supplierHhiSql: String =
+    """WITH cells AS (
+      |  SELECT n_name AS g, s_suppkey AS m,
+      |    CAST(sum(CAST(floor(l_extendedprice * 1e2) AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+      |    AND s_suppkey IS NOT NULL
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+      |    CAST(sum(c) AS DECIMAL(38,0)) AS s,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0)) AS ssq,
+      |    CAST(max(c) AS BIGINT) AS cmax
+      |  FROM cells GROUP BY 1)
+      |SELECT g AS n_name, n_members,
+      |  round(CAST(s AS DOUBLE) / 1e2, 2) + 0.0 AS total_v,
+      |  round(CAST(ssq AS DOUBLE)
+      |    / nullif(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0e0), 6)
+      |    + 0.0 AS hhi,
+      |  round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |    / nullif(CAST(ssq AS DOUBLE), 0e0), 2) + 0.0 AS equiv_n,
+      |  round(CAST(cmax AS DOUBLE) / nullif(CAST(s AS DOUBLE), 0e0), 6)
+      |    + 0.0 AS top_share
+      |FROM agg""".stripMargin
+
   /** q88: skew profile of the lineitem order key — the fact-side join
     * key every q2-style analysis shuffles on. */
   def lineitemKeySkew(spark: SparkSession, dir: String): DataFrame =

@@ -97,6 +97,28 @@ class MonitorSpec extends AnyFunSuite {
     assert(g > 0.89 && g < 0.9, s"near-total concentration should give ~0.9, got $g")
   }
 
+  test("q112 hhi: equal members, monopoly, and group independence") {
+    import spark.implicits._
+    // n equal members: hhi = 1/n, equiv_n = n, top_share = 1/n
+    val eq = (1 to 8).map(i => ("g", s"m$i", 25.0)).toDF("g", "m", "v")
+    val r = Monitor.hhiByGroup(eq, "g", "m", "v").head()
+    assert(r.getLong(r.fieldIndex("n_members")) == 8L)
+    assert(r.getDouble(r.fieldIndex("hhi")) == 0.125)
+    assert(r.getDouble(r.fieldIndex("equiv_n")) == 8.0)
+    assert(r.getDouble(r.fieldIndex("top_share")) == 0.125)
+    // monopoly: hhi = 1 regardless of row multiplicity
+    val mono = Seq(("g", "only", 10.0), ("g", "only", 30.0)).toDF("g", "m", "v")
+    val m = Monitor.hhiByGroup(mono, "g", "m", "v").head()
+    assert(m.getDouble(m.fieldIndex("hhi")) == 1.0 &&
+      m.getDouble(m.fieldIndex("equiv_n")) == 1.0)
+    // groups do not contaminate each other; nonpositive rows drop
+    val two = Seq(("a", "x", 60.0), ("a", "y", 40.0), ("a", "z", -5.0),
+      ("b", "x", 1.0)).toDF("g", "m", "v")
+    val got = Monitor.hhiByGroup(two, "g", "m", "v").collect()
+      .map(x => x.getString(0) -> x.getDouble(x.fieldIndex("hhi"))).toMap
+    assert(got("a") == 0.52 && got("b") == 1.0) // 0.6² + 0.4²
+  }
+
   test("q107 benford: organic-looking multiplicative data tracks the law") {
     import spark.implicits._
     // deterministic multiplicative cascade: 1.05^i spans 4+ decades —

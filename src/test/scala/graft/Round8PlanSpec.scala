@@ -118,6 +118,58 @@ class Round8PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 basket: item totals broadcast; the pair join shuffles on the basket key") {
+    val p = physical(operators.Basket.brandRules(spark, dir))
+    assert(p.contains("HashAggregate"), "basket/pair counts must hash-aggregate")
+    assert(p.contains("BroadcastHashJoin"),
+      "singles/totals joins back onto pairs must broadcast")
+    assert(!p.contains("Window"), "q109 needs no window")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row totals join must plan as broadcast, not cartesian")
+  }
+
+  test("q110 survival: group totals broadcast; windows keyed by group over duration cells") {
+    val p = physical(operators.Survival.segmentChurn(spark, dir))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("BroadcastHashJoin"),
+      "customer dim + totals joins must broadcast")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, "KM needs its cumulative windows")
+    assert(windows.forall(_.contains("windowspecdefinition(g#")),
+      s"KM windows must be partitioned by group:\n${windows.mkString("\n")}")
+  }
+
+  test("q112 hhi: pure two-level hash aggregate, broadcast dims, no window") {
+    val p = physical(operators.Monitor.supplierHhi(spark, dir))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"), "hhi cells fell back to SortAggregate")
+    assert(p.contains("BroadcastHashJoin"), "supplier/nation dims must broadcast")
+    assert(!p.contains("Window"), "q112 needs no window")
+  }
+
+  test("q113 twap: the interval window is partitioned by series, never global") {
+    val p = physical(operators.Twap.userTwap(spark, dir))
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, "twap needs its lead window")
+    assert(windows.forall(_.contains("windowspecdefinition(g#")),
+      s"twap window must be partitioned by the series key:\n${windows.mkString("\n")}")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q111 acf: row-grade data collapses to day cells BEFORE the global window") {
+    val df = operators.Autocorr.dailyRevenueAcf(spark, dir)
+    val p = physical(df)
+    // the one global window is documented dimension-grade (calendar of
+    // days); the plan must aggregate to cells first — i.e. a
+    // HashAggregate appears below the Window in the tree (= after it
+    // in the printed plan string)
+    val winAt = p.indexOf("windowspecdefinition")
+    val aggBelow = p.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggBelow > winAt,
+      "acf must reduce to day cells before its ordered window")
+    assert(df.count() == 7)
+  }
+
   test("q100 family adjust: global windows sit on the dimension-grade test table") {
     val df = operators.Hypothesis.mwuBh(spark, dir)
     // the registered family is the 7 ship years — global rank windows
