@@ -98,6 +98,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twapStream: ordered replay converges to the batch q113 rows exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TwapStream
+    import graft.streaming.TwapStream.TwapEvent
+    val dir001 = "/root/testdata/sf0.001"
+    // batch truth keyed by user
+    val batch = operators.Twap.userTwap(spark, dir001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    // replay the same rows (batch drops NULL values; micros + event_id
+    // is the same total order) across three micro-batches
+    val feed = Tables.events(spark, dir001)
+      .filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "value")
+      .collect()
+      .map(r => TwapEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(e => (e.us, e.tie))
+    val input = MemoryStream[TwapEvent]
+    val q = TwapStream.twapStream(input.toDS()).writeStream
+      .format("memory").queryName("twap_rows").outputMode("update").start()
+    try {
+      feed.grouped(math.max(1, feed.length / 3)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // update mode: the memory sink keeps the latest row per key per
+      // batch — take each user's final emission
+      val got = spark.table("twap_rows").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.map(_._2).maxBy(_._1) // most events = latest state
+        }
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (u, row) =>
+        assert(row == batch(u), s"user $u: streaming $row vs batch ${batch(u)}")
+      }
+    } finally q.stop()
+  }
+
   test("windowedCounts over a memory stream matches batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
