@@ -124,6 +124,8 @@ object SparkEntry {
     "q111_acf" -> operators.Autocorr.dailyRevenueAcf,
     "q112_hhi" -> operators.Monitor.supplierHhi,
     "q113_twap" -> operators.Twap.userTwap,
+    "q114_rfm" -> operators.Rfm.customerRfm,
+    "q115_backtest" -> operators.Backtest.dailyRevenueBacktest,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -366,5 +368,7 @@ object SparkEntry {
     "q111_acf" -> operators.Autocorr.dailyRevenueAcfSql,
     "q112_hhi" -> operators.Monitor.supplierHhiSql,
     "q113_twap" -> operators.Twap.userTwapSql,
+    "q114_rfm" -> operators.Rfm.customerRfmSql,
+    "q115_backtest" -> operators.Backtest.dailyRevenueBacktestSql,
   )
 }

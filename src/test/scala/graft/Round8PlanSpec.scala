@@ -170,6 +170,30 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(df.count() == 7)
   }
 
+  test("q114 rfm: score maps broadcast back; no shuffled join anywhere") {
+    val p = physical(operators.Rfm.customerRfm(spark, dir))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("BroadcastHashJoin"), "score-map joins must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "rfm joins are all dimension-grade (quantized cells) — must broadcast")
+    // the metric windows run over VALUE-LEVEL cells: every window input
+    // is an aggregate, so a HashAggregate must sit below each Window
+    val winAt = p.indexOf("windowspecdefinition")
+    assert(winAt >= 0 && p.lastIndexOf("HashAggregate") > winAt,
+      "rfm must reduce to metric cells before its ordered windows")
+  }
+
+  test("q115 backtest: day cells form BEFORE the global lag window; both lags share one spec") {
+    val df = operators.Backtest.dailyRevenueBacktest(spark, dir)
+    val p = physical(df)
+    val winAt = p.indexOf("windowspecdefinition")
+    assert(winAt >= 0 && p.lastIndexOf("HashAggregate") > winAt,
+      "backtest must reduce to day cells before its lag window")
+    val sorts = p.linesIterator.count(_.contains("- Sort ["))
+    assert(sorts == 1, s"both lags must share ONE sort, got $sorts")
+    assert(df.count() == 1)
+  }
+
   test("q100 family adjust: global windows sit on the dimension-grade test table") {
     val df = operators.Hypothesis.mwuBh(spark, dir)
     // the registered family is the 7 ship years — global rank windows
