@@ -126,6 +126,7 @@ object SparkEntry {
     "q113_twap" -> operators.Twap.userTwap,
     "q114_rfm" -> operators.Rfm.customerRfm,
     "q115_backtest" -> operators.Backtest.dailyRevenueBacktest,
+    "q116_ccf" -> operators.Ccf.dailyCountRevenueCcf,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -370,5 +371,6 @@ object SparkEntry {
     "q113_twap" -> operators.Twap.userTwapSql,
     "q114_rfm" -> operators.Rfm.customerRfmSql,
     "q115_backtest" -> operators.Backtest.dailyRevenueBacktestSql,
+    "q116_ccf" -> operators.Ccf.dailyCountRevenueCcfSql,
   )
 }
