@@ -127,6 +127,7 @@ object SparkEntry {
     "q114_rfm" -> operators.Rfm.customerRfm,
     "q115_backtest" -> operators.Backtest.dailyRevenueBacktest,
     "q116_ccf" -> operators.Ccf.dailyCountRevenueCcf,
+    "q117_pareto" -> operators.Pareto.partAbc,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -372,5 +373,6 @@ object SparkEntry {
     "q114_rfm" -> operators.Rfm.customerRfmSql,
     "q115_backtest" -> operators.Backtest.dailyRevenueBacktestSql,
     "q116_ccf" -> operators.Ccf.dailyCountRevenueCcfSql,
+    "q117_pareto" -> operators.Pareto.partAbcSql,
   )
 }

@@ -194,6 +194,19 @@ class Round8PlanSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("q117 pareto: item windows partition by band; offset/total joins broadcast") {
+    val p = physical(operators.Pareto.partAbc(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "band offsets and the total must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no shuffled join: offsets are band-dimension-grade")
+    // every windowspecdefinition over ITEM rows must carry the band
+    // partition key; the only unpartitioned window runs over band cells
+    // (an aggregate sits below it)
+    assert(p.contains("windowspecdefinition(band"),
+      "item-level prefix windows must be partitioned by band")
+  }
+
   test("q100 family adjust: global windows sit on the dimension-grade test table") {
     val df = operators.Hypothesis.mwuBh(spark, dir)
     // the registered family is the 7 ship years — global rank windows
