@@ -128,6 +128,7 @@ object SparkEntry {
     "q115_backtest" -> operators.Backtest.dailyRevenueBacktest,
     "q116_ccf" -> operators.Ccf.dailyCountRevenueCcf,
     "q117_pareto" -> operators.Pareto.partAbc,
+    "q118_cadence" -> operators.Cadence.customerCadence,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -374,5 +375,6 @@ object SparkEntry {
     "q115_backtest" -> operators.Backtest.dailyRevenueBacktestSql,
     "q116_ccf" -> operators.Ccf.dailyCountRevenueCcfSql,
     "q117_pareto" -> operators.Pareto.partAbcSql,
+    "q118_cadence" -> operators.Cadence.customerCadenceSql,
   )
 }
