@@ -129,6 +129,7 @@ object SparkEntry {
     "q116_ccf" -> operators.Ccf.dailyCountRevenueCcf,
     "q117_pareto" -> operators.Pareto.partAbc,
     "q118_cadence" -> operators.Cadence.customerCadence,
+    "q119_did" -> operators.Did.segmentDid,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -376,5 +377,6 @@ object SparkEntry {
     "q116_ccf" -> operators.Ccf.dailyCountRevenueCcfSql,
     "q117_pareto" -> operators.Pareto.partAbcSql,
     "q118_cadence" -> operators.Cadence.customerCadenceSql,
+    "q119_did" -> operators.Did.segmentDidSql,
   )
 }
