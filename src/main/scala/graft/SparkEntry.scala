@@ -130,6 +130,7 @@ object SparkEntry {
     "q117_pareto" -> operators.Pareto.partAbc,
     "q118_cadence" -> operators.Cadence.customerCadence,
     "q119_did" -> operators.Did.segmentDid,
+    "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantiles,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -378,5 +379,6 @@ object SparkEntry {
     "q117_pareto" -> operators.Pareto.partAbcSql,
     "q118_cadence" -> operators.Cadence.customerCadenceSql,
     "q119_did" -> operators.Did.segmentDidSql,
+    "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantilesSql,
   )
 }
