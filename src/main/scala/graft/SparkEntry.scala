@@ -131,6 +131,7 @@ object SparkEntry {
     "q118_cadence" -> operators.Cadence.customerCadence,
     "q119_did" -> operators.Did.segmentDid,
     "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantiles,
+    "q121_keyness" -> textstats.Keyness.sourceKeyTerms,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -380,5 +381,6 @@ object SparkEntry {
     "q118_cadence" -> operators.Cadence.customerCadenceSql,
     "q119_did" -> operators.Did.segmentDidSql,
     "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantilesSql,
+    "q121_keyness" -> textstats.Keyness.sourceKeyTermsSql,
   )
 }
