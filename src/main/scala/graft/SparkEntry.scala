@@ -132,6 +132,7 @@ object SparkEntry {
     "q119_did" -> operators.Did.segmentDid,
     "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantiles,
     "q121_keyness" -> textstats.Keyness.sourceKeyTerms,
+    "q122_geo_knn" -> operators.GeoKnn.customerNearestSupplier,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -382,5 +383,6 @@ object SparkEntry {
     "q119_did" -> operators.Did.segmentDidSql,
     "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantilesSql,
     "q121_keyness" -> textstats.Keyness.sourceKeyTermsSql,
+    "q122_geo_knn" -> operators.GeoKnn.customerNearestSupplierSql,
   )
 }
