@@ -133,6 +133,7 @@ object SparkEntry {
     "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantiles,
     "q121_keyness" -> textstats.Keyness.sourceKeyTerms,
     "q122_geo_knn" -> operators.GeoKnn.customerNearestSupplier,
+    "q123_lorenz" -> operators.Lorenz.segmentLorenz,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -384,5 +385,6 @@ object SparkEntry {
     "q120_wquantile" -> operators.WeightedQuantile.lineitemWeightedQuantilesSql,
     "q121_keyness" -> textstats.Keyness.sourceKeyTermsSql,
     "q122_geo_knn" -> operators.GeoKnn.customerNearestSupplierSql,
+    "q123_lorenz" -> operators.Lorenz.segmentLorenzSql,
   )
 }
