@@ -20,21 +20,146 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark rejects by
-    * default; read it as long nanos and rebuild a timestamp column.
+  /** events.ts has shipped as BOTH parquet INT64 TIMESTAMP(NANOS) and
+    * native timestamp[us] across testdata regenerations, so the loader
+    * adapts to whichever physical type the footer declares instead of
+    * hard-coding one:
     *
-    * NOTE: the legacy flag is session-wide and intentionally NOT
-    * restored — the DataFrame is lazy, so the conf must still hold at
-    * execution time (a save/restore around the read would re-break the
-    * scan when the query actually runs). Side effect: other
-    * nanos-timestamp parquet reads in the session also arrive as LONG.
+    *   - TIMESTAMP(NANOS): Spark rejects it at footer read unless
+    *     `nanosAsLong` is on, so the first read throws; we set the flag
+    *     and re-read, then rebuild a timestamp from the long nanos.
+    *     The flag is session-wide and intentionally NOT restored — the
+    *     DataFrame is lazy, so the conf must still hold at execution
+    *     time (a save/restore around the read would re-break the scan
+    *     when the query actually runs).
+    *   - timestamp[us] without UTC adjustment: arrives as
+    *     TIMESTAMP_NTZ; the session timezone is pinned to UTC
+    *     (Engine.session), so casting to TIMESTAMP preserves both the
+    *     wall-clock AND the instant — calendar bucketing (q51 cohorts,
+    *     q72 hourly resample, q105 day buckets) is unchanged vs the
+    *     nanos path.
+    *   - timestamp[us] UTC-adjusted: arrives as TIMESTAMP; use as-is.
+    *
+    * Either way callers see the same contract: `ts` is TimestampType
+    * at microsecond precision in a UTC session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw =
+      try apply(s, d, "events")
+      catch {
+        case e: Exception
+            if e.getMessage != null &&
+              (e.getMessage.contains("NANOS") ||
+                e.getMessage.contains("Illegal Parquet type")) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          apply(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — expected " +
+            "INT64 nanos, timestamp, or timestamp_ntz (see TESTDATA.md)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Named, actionable error for a testdata schema that drifted outside
+    * what the loaders adapt to. Raised by [[validate]] so a regenerated
+    * parquet with an incompatible physical type fails the gate with ONE
+    * message naming the table/column instead of N query-level
+    * `DATATYPE_MISMATCH`es.
+    */
+  final class SchemaContractViolation(val violations: Seq[String])
+      extends RuntimeException(
+        "TESTDATA SCHEMA CONTRACT VIOLATION:\n  " + violations.mkString("\n  "))
+
+  import org.apache.spark.sql.types._
+
+  /** Expected physical schema per table: column order + an allowed set
+    * of arrival types per column. The sets span every physical variant
+    * the loaders adapt to (events.ts: INT64-nanos arrives LongType /
+    * timestamp[us] arrives NTZ or UTC-adjusted Timestamp), so validate
+    * only fires on drift the engine genuinely cannot absorb.
+    */
+  private val ints: Set[DataType] = Set(IntegerType, LongType)
+  private val times: Set[DataType] =
+    Set(TimestampType, TimestampNTZType, DateType)
+  private def exact(t: DataType): Set[DataType] = Set(t)
+  private val contract: Seq[(String, Seq[(String, Set[DataType])])] = Seq(
+    "region" -> Seq("r_regionkey" -> ints, "r_name" -> exact(StringType)),
+    "nation" -> Seq("n_nationkey" -> ints, "n_name" -> exact(StringType),
+      "n_regionkey" -> ints),
+    "customer" -> Seq("c_custkey" -> ints, "c_name" -> exact(StringType),
+      "c_nationkey" -> ints, "c_acctbal" -> exact(DoubleType),
+      "c_mktsegment" -> exact(StringType)),
+    "supplier" -> Seq("s_suppkey" -> ints, "s_name" -> exact(StringType),
+      "s_nationkey" -> ints, "s_acctbal" -> exact(DoubleType)),
+    "part" -> Seq("p_partkey" -> ints, "p_name" -> exact(StringType),
+      "p_brand" -> exact(StringType), "p_type" -> exact(StringType),
+      "p_size" -> ints, "p_retailprice" -> exact(DoubleType)),
+    "orders" -> Seq("o_orderkey" -> ints, "o_custkey" -> ints,
+      "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
+      "o_orderdate" -> times, "o_orderpriority" -> exact(StringType)),
+    "lineitem" -> Seq("l_orderkey" -> ints, "l_partkey" -> ints,
+      "l_suppkey" -> ints, "l_linenumber" -> ints,
+      "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
+      "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
+      "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
+      "l_shipdate" -> times),
+    "events" -> Seq("event_id" -> ints, "ts" -> (times + LongType),
+      "user_id" -> ints, "event_type" -> exact(StringType),
+      "value" -> exact(DoubleType), "props" -> exact(StringType)),
+    "documents" -> Seq("doc_id" -> ints, "text" -> exact(StringType),
+      "lang" -> exact(StringType), "source" -> exact(StringType),
+      "n_chars" -> ints),
+    "embeddings" -> Seq("vec_id" -> ints,
+      "embedding" -> Set[DataType](ArrayType(FloatType, true),
+        ArrayType(FloatType, false), ArrayType(DoubleType, true),
+        ArrayType(DoubleType, false)),
+      "label" -> ints))
+
+  /** Check every table under `dir` (or the named subset) against the
+    * documented contract; throw ONE [[SchemaContractViolation]] listing
+    * all drifted columns. Footer-only reads — no data scan, so this is
+    * free even against a 100 TB warehouse directory.
+    */
+  def validate(s: SparkSession, dir: String,
+               tables: Seq[String] = contract.map(_._1)): Unit = {
+    val want = contract.toMap
+    val violations = tables.flatMap { t =>
+      val cols = want.getOrElse(t,
+        throw new IllegalArgumentException(s"unknown table $t"))
+      val loaded =
+        try Right(if (t == "events") events(s, dir) else apply(s, dir, t))
+        catch { case e: Exception => Left(s"$t: unreadable (${e.getMessage})") }
+      loaded match {
+        case Left(err) => Seq(err)
+        case Right(df) =>
+          val got = df.schema.fields
+          val missing = cols.map(_._1).filterNot(got.map(_.name).contains)
+            .map(c => s"$t.$c: missing")
+          val drifted = got.flatMap { f =>
+            cols.collectFirst { case (n, allowed) if n == f.name => allowed }
+              .collect {
+                case allowed
+                    // events() normalizes ts → TimestampType before we
+                    // see it; contract sets already include that form
+                    if !allowed.contains(f.dataType) =>
+                  s"$t.${f.name}: arrived ${f.dataType.simpleString}, " +
+                    s"allowed ${allowed.map(_.simpleString).mkString("/")}"
+              }
+          }
+          missing ++ drifted
+      }
+    }
+    if (violations.nonEmpty) throw new SchemaContractViolation(violations)
+  }
 }

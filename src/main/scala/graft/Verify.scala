@@ -12,6 +12,15 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = Engine.session()
     new java.io.File(outDir).mkdirs()
+    // Loud, named schema gate: a regenerated testdata parquet whose
+    // physical types drifted outside the loaders' adaptive range
+    // surfaces here as ONE actionable message instead of N scattered
+    // DATATYPE_MISMATCH query failures. Non-fatal — queries that can
+    // still run are still dumped.
+    try Tables.validate(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] ${e.getMessage}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
