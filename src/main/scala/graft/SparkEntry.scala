@@ -134,6 +134,12 @@ object SparkEntry {
     "q121_keyness" -> textstats.Keyness.sourceKeyTerms,
     "q122_geo_knn" -> operators.GeoKnn.customerNearestSupplier,
     "q123_lorenz" -> operators.Lorenz.segmentLorenz,
+    "q124_ewma" -> operators.Ewma.userEwma,
+    "q125_pmi" -> textstats.Pmi.docCollocations,
+    "q126_winsorize" -> operators.Winsorize.lineitemWinsorized,
+    "q127_seasonality" -> operators.Seasonality.eventTypeDow,
+    "q128_path3" -> operators.Paths.topUserPaths,
+    "q129_entropy" -> textstats.Entropy.sourceEntropy,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -386,5 +392,11 @@ object SparkEntry {
     "q121_keyness" -> textstats.Keyness.sourceKeyTermsSql,
     "q122_geo_knn" -> operators.GeoKnn.customerNearestSupplierSql,
     "q123_lorenz" -> operators.Lorenz.segmentLorenzSql,
+    "q124_ewma" -> operators.Ewma.userEwmaSql,
+    "q125_pmi" -> textstats.Pmi.docCollocationsSql,
+    "q126_winsorize" -> operators.Winsorize.lineitemWinsorizedSql,
+    "q127_seasonality" -> operators.Seasonality.eventTypeDowSql,
+    "q128_path3" -> operators.Paths.topUserPathsSql,
+    "q129_entropy" -> textstats.Entropy.sourceEntropySql,
   )
 }
