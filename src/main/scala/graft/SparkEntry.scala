@@ -140,6 +140,8 @@ object SparkEntry {
     "q127_seasonality" -> operators.Seasonality.eventTypeDow,
     "q128_path3" -> operators.Paths.topUserPaths,
     "q129_entropy" -> textstats.Entropy.sourceEntropy,
+    "q130_funnel_time" -> operators.FunnelTime.eventStepTimes,
+    "q131_zipf" -> textstats.Zipf.sourceZipf,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -398,5 +400,7 @@ object SparkEntry {
     "q127_seasonality" -> operators.Seasonality.eventTypeDowSql,
     "q128_path3" -> operators.Paths.topUserPathsSql,
     "q129_entropy" -> textstats.Entropy.sourceEntropySql,
+    "q130_funnel_time" -> operators.FunnelTime.eventStepTimesSql,
+    "q131_zipf" -> textstats.Zipf.sourceZipfSql,
   )
 }

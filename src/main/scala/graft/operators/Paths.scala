@@ -35,10 +35,13 @@ object Paths {
       .withColumn("t1", expr(s"lead(t0, 1) $over"))
       .withColumn("t2", expr(s"lead(t0, 2) $over"))
       .filter(col("t1").isNotNull && col("t2").isNotNull)
+    // total via a global window over the vocabulary-sized cell frame —
+    // NOT a separate aggregate + cross join, which would duplicate the
+    // whole fact-scan subtree (Spark does not CSE repeated frames)
     val cells = tri.groupBy("t0", "t1", "t2")
       .agg(expr("CAST(count(1) AS BIGINT)").as("n_paths"))
-    val total = cells.agg(expr("CAST(sum(n_paths) AS BIGINT)").as("total"))
-    cells.crossJoin(broadcast(total))
+    cells
+      .withColumn("total", expr("CAST(sum(n_paths) OVER () AS BIGINT)"))
       .withColumn("path", concat_ws(">", col("t0"), col("t1"), col("t2")))
       .withColumn("rk",
         expr("row_number() OVER (ORDER BY n_paths DESC, path)"))

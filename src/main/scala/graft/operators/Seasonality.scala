@@ -34,6 +34,9 @@ object Seasonality {
   /** Per-(key, day-of-week) seasonal profile of an event frame. */
   def dowProfile(events: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String): DataFrame = {
+    // series totals via a per-key window over the ≤7-rows-per-series
+    // cell frame — NOT an aggregate + join back, which would duplicate
+    // the fact-scan subtree (Spark does not CSE repeated frames)
     val cells = events
       .select(col(keyCol).as("k"),
         expr(s"(CAST(datediff(CAST($tsCol AS DATE), DATE'1970-01-01') AS BIGINT)" +
@@ -42,10 +45,9 @@ object Seasonality {
       .groupBy("k", "dow")
       .agg(expr("CAST(count(1) AS BIGINT)").as("nd"),
         expr("CAST(sum(vi) AS BIGINT)").as("sd"))
-    val totals = cells.groupBy("k")
-      .agg(expr("CAST(sum(nd) AS BIGINT)").as("n"),
-        expr("CAST(sum(sd) AS BIGINT)").as("s"))
-    cells.join(broadcast(totals), "k")
+    cells
+      .withColumn("n", expr("CAST(sum(nd) OVER (PARTITION BY k) AS BIGINT)"))
+      .withColumn("s", expr("CAST(sum(sd) OVER (PARTITION BY k) AS BIGINT)"))
       .selectExpr("k", "dow", "nd AS n_events",
         "round(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0 AS share",
         "round(CAST(CAST(sd AS DECIMAL(38,0)) * n AS DOUBLE)" +

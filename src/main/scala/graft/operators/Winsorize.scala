@@ -37,26 +37,32 @@ object Winsorize {
   def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
                      pPct: Int = 5): DataFrame = {
     require(pPct >= 1 && pPct < 50, s"pPct must be in [1,50), got $pPct")
+    // one linear pipeline: cell aggregate → two window layers (totals
+    // + running count, then bound election) → final cell aggregate.
+    // Totals and bounds are NOT separate aggregates joined back — that
+    // would duplicate the fact-scan subtree (Spark does not CSE
+    // repeated frames); every layer shares the one per-group exchange.
     val cells = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         expr(s"CAST(floor($valueCol * 100) AS BIGINT)").as("vi"))
       .groupBy("g", "vi")
       .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
-    val cum = cells.withColumn("cum",
-      expr("sum(cnt) OVER (PARTITION BY g ORDER BY vi" +
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-    val totals = cells.groupBy("g")
-      .agg(expr("CAST(sum(cnt) AS BIGINT)").as("n"),
-        expr("CAST(sum(vi * cnt) AS BIGINT)").as("sv"))
-    val bounds = cum.join(broadcast(totals), "g")
-      .groupBy("g")
-      .agg(
-        expr(s"min(CASE WHEN cum >= ($pPct * n + 99) div 100 THEN vi END)")
-          .as("lo"),
-        expr(s"min(CASE WHEN cum >= ((100 - $pPct) * n + 99) div 100 THEN vi END)")
-          .as("hi"))
-    cells.join(broadcast(bounds), "g").join(broadcast(totals), "g")
+      // layer 1: running count + the two whole-partition totals (one
+      // projection so the same-spec exprs collapse into one Window op)
+      .selectExpr("g", "vi", "cnt",
+        "CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n",
+        "CAST(sum(vi * cnt) OVER (PARTITION BY g) AS BIGINT) AS sv",
+        "sum(cnt) OVER (PARTITION BY g ORDER BY vi" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+      // layer 2: bound election needs cum, so it is necessarily a
+      // second pass — both bounds share one spec
+      .selectExpr("g", "vi", "cnt", "n", "sv",
+        s"min(CASE WHEN cum >= ($pPct * n + 99) div 100 THEN vi END)" +
+          " OVER (PARTITION BY g) AS lo",
+        s"min(CASE WHEN cum >= ((100 - $pPct) * n + 99) div 100 THEN vi END)" +
+          " OVER (PARTITION BY g) AS hi")
+    cells
       .groupBy("g")
       .agg(
         expr("CAST(max(n) AS BIGINT)").as("n_rows"),

@@ -36,19 +36,21 @@ object Entropy {
 
   /** Per-group token entropy of whitespace-tokenized `textCol`. */
   def tokenEntropy(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    // slice totals via a per-slice window over the vocabulary-sized
+    // cell frame — NOT an aggregate + join back, which would duplicate
+    // the corpus explode subtree (Spark does not CSE repeated frames)
     val cells = docs
       .select(col(groupCol).as("g"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("g", "term")
       .agg(expr("CAST(count(1) AS BIGINT)").as("c"))
-    val totals = cells.groupBy("g")
-      .agg(expr("CAST(sum(c) AS BIGINT)").as("n"),
-        expr("CAST(count(1) AS BIGINT)").as("v"))
+      .withColumn("n", expr("CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)"))
+      .withColumn("v", expr("CAST(count(1) OVER (PARTITION BY g) AS BIGINT)"))
     val hTerm =
       s"CAST(floor(CAST(c AS DOUBLE) * (${lnSnap("CAST(n AS DOUBLE) / CAST(c AS DOUBLE)")}) * 1e9)" +
         " AS DECIMAL(38,0))"
-    cells.join(broadcast(totals), "g")
+    cells
       .groupBy("g")
       .agg(expr("CAST(max(n) AS BIGINT)").as("n_tokens"),
         expr("CAST(max(v) AS BIGINT)").as("vocab"),

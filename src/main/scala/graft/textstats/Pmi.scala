@@ -50,7 +50,11 @@ object Pmi {
       .agg(expr("CAST(count(1) AS BIGINT)").as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(topTerms)
-    val posting = toks.join(broadcast(top), "term")
+    // top-filtered posting list is ≤ topTerms rows per doc — compact
+    // enough to localCheckpoint, so the corpus explode+distinct is not
+    // recomputed for each side of the pair self-join (Spark does not
+    // CSE repeated frames)
+    val posting = toks.join(broadcast(top), "term").localCheckpoint(true)
     val pairs = posting.as("a")
       .join(posting.as("b"),
         col("a.doc") === col("b.doc") && col("a.term") < col("b.term"))

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the round-9 operators: the scale claims
+  * their scaladocs make, checked against the plans Spark actually
+  * builds. */
+class Round9PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String = {
+    // sibling suites .cache() some of these exact frames; a cache hit
+    // swaps in an InMemoryRelation whose toString EMBEDS the cached
+    // physical plan, double-counting every node below it — audit the
+    // uncached plan
+    spark.sharedState.cacheManager.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q124 ewma: one keyed window, one sort, no join anywhere") {
+    val p = physical(operators.Ewma.userEwma(spark, dir))
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    val sorts = p.linesIterator.count(_.contains("- Sort ["))
+    assert(windows == 1, s"row_number must be the only window, got $windows")
+    assert(sorts == 1, s"one per-user sort, got $sorts")
+    assert(!p.contains("Join"), "ewma is scan+window+aggregate — no join")
+    assert(p.contains("HashAggregate"), "the keyed fold must hash-aggregate")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q125 pmi: stats joins broadcast; only the 1-row D frame nests") {
+    val p = physical(textstats.Pmi.docCollocations(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "candidate pairing must be the doc equi-join, never a cross product")
+    // the ONLY nested-loop allowed is the deliberate 1-row D cross
+    // join (the q94 single-row-build convention)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row D cross join may nest, got $bnlj")
+    assert(p.contains("BroadcastHashJoin"),
+      "term df lookups must broadcast")
+    // the a⋈b posting self-join on doc_id is the one join allowed to
+    // shuffle (both sides corpus-sized, fan-out capped by the
+    // top-terms filter applied BELOW the join — and checkpointed, so
+    // the corpus explode is not recomputed per side)
+    val shuffled = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffled <= 1, s"only the doc-pair join may shuffle, got $shuffled")
+  }
+
+  test("q126 winsorize: one linear pipeline — no joins, shared cell exchange") {
+    val p = physical(operators.Winsorize.lineitemWinsorized(spark, dir))
+    assert(!p.contains("Join"),
+      "totals/bounds derive from windows over the cells — no join-back")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows >= 2 && windows <= 4,
+      s"totals + cum + bound layers over one exchange, got $windows")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"cell aggregate + one per-group window exchange, got $exchanges")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q127 seasonality: one window layer over the cells, no joins") {
+    val p = physical(operators.Seasonality.eventTypeDow(spark, dir))
+    assert(!p.contains("Join"),
+      "series totals derive from a window over the ≤7-row cells")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 1, s"n and s must share one window spec, got $windows")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q128 paths: both leads fuse into ONE user window pass, no joins") {
+    val p = physical(operators.Paths.topUserPaths(spark, dir))
+    val userSorts = p.linesIterator.count(l => l.contains("- Sort [") &&
+      l.contains("user_id"))
+    assert(userSorts == 1, s"one per-user sort feeds both leads, got $userSorts")
+    // windows: the fused double-lead + the two global cell-frame
+    // layers (total, top-k rank) over the ≤|types|³ frame
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 3, s"lead + total + rank windows, got $windows")
+    assert(!p.contains("Join"), "paths is scan+window+aggregate — no join")
+  }
+
+  test("q129 entropy: one window layer over vocabulary cells, no joins") {
+    val p = physical(textstats.Entropy.sourceEntropy(spark, dir))
+    assert(!p.contains("Join"),
+      "slice totals derive from a window over the cells")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 1, s"n and v must share one window spec, got $windows")
+    assert(p.contains("HashAggregate"))
+  }
+}
