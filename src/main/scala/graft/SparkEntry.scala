@@ -142,6 +142,9 @@ object SparkEntry {
     "q129_entropy" -> textstats.Entropy.sourceEntropy,
     "q130_funnel_time" -> operators.FunnelTime.eventStepTimes,
     "q131_zipf" -> textstats.Zipf.sourceZipf,
+    "q132_prop_ztest" -> operators.PropTest.purchaseRateTest,
+    "q133_burstiness" -> operators.Burstiness.eventTypeDispersion,
+    "q134_amoc" -> operators.Amoc.eventTypeShift,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -402,5 +405,8 @@ object SparkEntry {
     "q129_entropy" -> textstats.Entropy.sourceEntropySql,
     "q130_funnel_time" -> operators.FunnelTime.eventStepTimesSql,
     "q131_zipf" -> textstats.Zipf.sourceZipfSql,
+    "q132_prop_ztest" -> operators.PropTest.purchaseRateTestSql,
+    "q133_burstiness" -> operators.Burstiness.eventTypeDispersionSql,
+    "q134_amoc" -> operators.Amoc.eventTypeShiftSql,
   )
 }
