@@ -145,6 +145,7 @@ object SparkEntry {
     "q132_prop_ztest" -> operators.PropTest.purchaseRateTest,
     "q133_burstiness" -> operators.Burstiness.eventTypeDispersion,
     "q134_amoc" -> operators.Amoc.eventTypeShift,
+    "q135_runs_test" -> operators.RunsTest.eventTypeRuns,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -408,5 +409,6 @@ object SparkEntry {
     "q132_prop_ztest" -> operators.PropTest.purchaseRateTestSql,
     "q133_burstiness" -> operators.Burstiness.eventTypeDispersionSql,
     "q134_amoc" -> operators.Amoc.eventTypeShiftSql,
+    "q135_runs_test" -> operators.RunsTest.eventTypeRunsSql,
   )
 }
