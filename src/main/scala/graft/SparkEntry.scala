@@ -146,6 +146,7 @@ object SparkEntry {
     "q133_burstiness" -> operators.Burstiness.eventTypeDispersion,
     "q134_amoc" -> operators.Amoc.eventTypeShift,
     "q135_runs_test" -> operators.RunsTest.eventTypeRuns,
+    "q136_kappa" -> operators.Kappa.lineitemKappa,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -410,5 +411,6 @@ object SparkEntry {
     "q133_burstiness" -> operators.Burstiness.eventTypeDispersionSql,
     "q134_amoc" -> operators.Amoc.eventTypeShiftSql,
     "q135_runs_test" -> operators.RunsTest.eventTypeRunsSql,
+    "q136_kappa" -> operators.Kappa.lineitemKappaSql,
   )
 }
