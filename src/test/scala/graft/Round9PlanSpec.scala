@@ -91,4 +91,51 @@ class Round9PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"n and v must share one window spec, got $windows")
     assert(p.contains("HashAggregate"))
   }
+
+  test("q130 funnel time: first-passage chain shares ONE per-user exchange") {
+    val p = physical(operators.FunnelTime.eventStepTimes(spark, dir))
+    assert(!p.contains("Join"), "the chain is windows + aggregates — no join")
+    // the three chained min-CASE layers partition identically: one
+    // exchange by user feeds them all; the gap-cell stats add one
+    // exchange by pair
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"user chain + cell aggregate + pair window exchanges only, got $exchanges")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q131 zipf: cells + rank window + aggregate, no joins") {
+    val p = physical(textstats.Zipf.sourceZipf(spark, dir))
+    assert(!p.contains("Join"))
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 1, s"one per-slice rank window, got $windows")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q132/q133/q136: pure aggregate pipelines — no window, no join") {
+    Seq(
+      operators.PropTest.purchaseRateTest(spark, dir),
+      operators.Burstiness.eventTypeDispersion(spark, dir),
+      operators.Kappa.lineitemKappa(spark, dir)
+    ).foreach { df =>
+      val p = physical(df)
+      assert(!p.contains("- Window ["), "aggregate-only plan expected")
+      assert(!p.contains("Join"), "single-scan plan expected")
+      assert(p.contains("HashAggregate"))
+    }
+  }
+
+  test("q134 amoc / q135 runs: ordered day-cell windows share one sort each") {
+    Seq(operators.Amoc.eventTypeShift(spark, dir) -> 3,
+      operators.RunsTest.eventTypeRuns(spark, dir) -> 2).foreach {
+      case (df, maxW) =>
+        val p = physical(df)
+        assert(!p.contains("Join"))
+        val windows = p.linesIterator.count(_.contains("- Window ["))
+        assert(windows <= maxW, s"expected ≤ $maxW window layers, got $windows")
+        val sorts = p.linesIterator.count(_.contains("- Sort ["))
+        assert(sorts <= maxW,
+          s"same-spec layers must share sorts, got $sorts")
+    }
+  }
 }

@@ -133,6 +133,21 @@ class TablesSpec extends AnyFunSuite {
     Tables.validate(spark, "/root/testdata/sf0.001")
   }
 
+  test("ts-range filters push through the loader into the parquet scan") {
+    // the NTZ→Timestamp cast must not fence predicate pushdown or
+    // column pruning: Catalyst unwraps the cast under the pinned-UTC
+    // session, so a time filter prunes row groups at 100 TB — pin it
+    spark.sharedState.cacheManager.clearCache()
+    val p = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("ts") >= expr("timestamp'2024-06-01 00:00:00'"))
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      "ts range filter must reach the parquet scan")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:"),
+      "projection must prune to the two requested columns")
+  }
+
   test("validate names the drifted column on a wrong-typed parquet") {
     val dir = Files.createTempDirectory("graft-ev-drift").toString
     import spark.implicits._
