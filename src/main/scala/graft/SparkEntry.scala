@@ -147,6 +147,7 @@ object SparkEntry {
     "q134_amoc" -> operators.Amoc.eventTypeShift,
     "q135_runs_test" -> operators.RunsTest.eventTypeRuns,
     "q136_kappa" -> operators.Kappa.lineitemKappa,
+    "q137_heaps" -> textstats.Heaps.sourceHeaps,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -412,5 +413,6 @@ object SparkEntry {
     "q134_amoc" -> operators.Amoc.eventTypeShiftSql,
     "q135_runs_test" -> operators.RunsTest.eventTypeRunsSql,
     "q136_kappa" -> operators.Kappa.lineitemKappaSql,
+    "q137_heaps" -> textstats.Heaps.sourceHeapsSql,
   )
 }
