@@ -38,10 +38,16 @@ object Basket {
     * confidence both directions / lift. */
   def associationRules(df: DataFrame, basketCol: String,
       itemCol: String): DataFrame = {
+    // checkpoint the deduped basket frame: it feeds totals, singles,
+    // and BOTH sides of the pair self-join — without it Spark re-scans
+    // and re-dedupes the fact four times (no CSE across repeated
+    // frames, the round-9 rule); the frame is (basket, item) pairs,
+    // shuffle-sized, not fact-sized
     val baskets = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("ok"), col(itemCol).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val totals = baskets.agg(
       expr("CAST(count(DISTINCT ok) AS BIGINT)").as("n_baskets"))
     val singles = baskets.groupBy("b")

@@ -35,8 +35,10 @@ object Cadence {
   def cadence(events: DataFrame, keyCol: String, dayCol: String): DataFrame = {
     val ev = events.select(col(keyCol).as("k"), col(dayCol).as("d"))
     val w = Window.partitionBy("k").orderBy("d")
-    val mx = ev.agg(max("d").as("mx"))
-    ev.withColumn("gap", expr("d - lag(d, 1) OVER" +
+    // the dataset max date is max(last_d) over the per-key frame —
+    // derived from the checkpointed aggregate, NOT a second scan of
+    // the raw events (no CSE across repeated frames)
+    val per = ev.withColumn("gap", expr("d - lag(d, 1) OVER" +
         " (PARTITION BY k ORDER BY d)"))
       .groupBy("k")
       .agg(
@@ -46,6 +48,9 @@ object Cadence {
         expr("CAST(max(gap) AS BIGINT)").as("max_gap_d"),
         max("d").as("last_d"),
         expr("sort_array(collect_list(gap))").as("gl"))
+      .localCheckpoint(true)
+    val mx = per.agg(max("last_d").as("mx"))
+    per
       .crossJoin(broadcast(mx))
       .withColumn("median_gap_d",
         expr("CASE WHEN n_gaps > 0 THEN CAST(element_at(gl," +

@@ -276,6 +276,9 @@ object Monitor {
       .filter(col("xc") > 0)
       .withColumn("digit", expr("CAST(substring(CAST(xc AS STRING), 1, 1) AS INT)"))
       .groupBy("digit").agg(expr("CAST(count(1) AS BIGINT)").as("n_obs"))
+      // ≤9 rows, reused by the total AND the spine join: checkpoint so
+      // the fact digit-scan runs once (no CSE across repeated frames)
+      .localCheckpoint(true)
     val spine = spark.range(1, 10)
       .selectExpr("CAST(id AS INT) AS digit",
         s"CASE CAST(id AS INT) ${BenfordShares.map { case (d, s) =>

@@ -37,10 +37,14 @@ object Pareto {
   def abc(items: DataFrame, keyCol: String, revCol: String,
       bandWidth: Long, aPct: Int = 80, bPct: Int = 95): DataFrame = {
     require(bandWidth > 0 && aPct > 0 && bPct > aPct && bPct <= 100)
+    // item-dimension frame reused by band offsets, the grand total,
+    // and the final banded window: checkpoint so the upstream item
+    // aggregation runs once (no CSE across repeated frames)
     val it = items
       .select(col(keyCol).as("k"),
         col(revCol).cast("decimal(38,0)").as("rev_c"))
       .withColumn("band", expr(s"CAST(rev_c div ${bandWidth}L AS BIGINT)"))
+      .localCheckpoint(true)
     val wBand = Window.orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = it.groupBy("band")

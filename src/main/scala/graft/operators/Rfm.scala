@@ -31,7 +31,11 @@ object Rfm {
     * `obs` columns: (k, rec, freq, mon_c) — integer recency, count,
     * cents. */
   def score(obs: DataFrame): DataFrame = {
+    // customer-dimension frame consumed FIVE times (n + three metric
+    // cell builds + the final score join): checkpoint so the upstream
+    // fact aggregation runs once (no CSE across repeated frames)
     val o = obs.withColumn("mon_d", expr("mon_c div 100"))
+      .localCheckpoint(true)
     def cells(metric: String): DataFrame = {
       val w = Window.orderBy(metric)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -75,6 +79,9 @@ object Rfm {
         expr("CAST(count(1) AS BIGINT)").as("freq"),
         expr("CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)")
           .as("mon_c"))
+      // reused by the recency anchor AND the score frame: checkpoint
+      // so orders aggregates once
+      .localCheckpoint(true)
     val mx = perCust.agg(max("last_d").as("mx"))
     score(perCust.crossJoin(broadcast(mx))
       .selectExpr("k", "CAST(mx - last_d AS BIGINT) AS rec", "freq", "mon_c"))

@@ -80,6 +80,9 @@ object Survival {
           .as("d"))
       .groupBy("o_custkey")
       .agg(min("d").as("first_d"), max("d").as("last_d"))
+      // reused by the censor anchor AND the observation frame:
+      // checkpoint so orders aggregates once (no CSE across frames)
+      .localCheckpoint(true)
     val mx = perCust.agg(max("last_d").as("mx"))
     val obs = perCust
       .crossJoin(broadcast(mx))

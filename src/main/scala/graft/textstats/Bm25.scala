@@ -51,6 +51,12 @@ object Bm25 {
 
   /** BM25 top-k: (qid, doc_id, rk, score_micro). */
   def search(docs: DataFrame, queries: DataFrame, topK: Int = TopK): DataFrame = {
+    // NOTE (round-9 audit): tf/dl ARE recomputed per consumer here —
+    // checkpointing them was tried and MEASURED SLOWER (q82 1.4→2.0s,
+    // q90 1.3→2.0s steady-state): materializing the (doc, term) tf
+    // frame costs more than re-running the pipelined explode+aggregate.
+    // The no-CSE fix only pays when the reused frame is much smaller
+    // than its recompute (cells/per-entity aggregates), not here.
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))

@@ -65,6 +65,10 @@ object Dsir {
     val stats = t.groupBy("b").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
+      // bucket-dimension, reused by the totals AND the weight frame:
+      // checkpoint so the corpus tokenization feeds it once (no CSE
+      // across repeated frames)
+      .localCheckpoint(true)
     val tot = stats.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val wt = stats.crossJoin(broadcast(tot)).selectExpr("b",
       s"(((ct + 1) * $RScale) div (cr + 1)) * " +

@@ -54,7 +54,11 @@ object Fluency {
   /** q74: (doc_id, n_bigrams, fluency, label) over docs with ≥ 2
     * tokens. */
   def fluencyScore(docs: DataFrame): DataFrame = {
-    val bi = bigrams(docs)
+    // the bigram explode feeds the two count tables AND the scoring
+    // join — persist it so the corpus tokenizes once across the three
+    // consumers (no CSE across repeated frames); released as soon as
+    // the doc-grade scores frame is materialized
+    val bi = bigrams(docs).persist()
     val c1 = bi.groupBy("b1").agg(count(lit(1)).as("c1"))
     val c12 = bi.groupBy("b12").agg(count(lit(1)).as("c12"))
     val scores = bi
@@ -65,6 +69,7 @@ object Fluency {
         sum(expr(s"((c12 + 1) * $PScale) div (c1 + $B)")).as("ssum"))
       .selectExpr("doc_id", "n_bigrams", "ssum div n_bigrams AS fluency")
       .localCheckpoint(true) // doc-grade; reused by mean AND labeling
+    bi.unpersist()
     val mu = scores.agg(
       greatest(lit(1L), expr("sum(fluency) div count(*)")).as("mu"))
     scores.crossJoin(broadcast(mu))

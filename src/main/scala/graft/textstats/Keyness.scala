@@ -64,6 +64,10 @@ object Keyness {
       .filter("t <> ''")
       .groupBy("g", "t")
       .agg(expr("CAST(count(1) AS BIGINT)").as("a"))
+      // vocabulary-grade and reused by three margins + the score join:
+      // checkpoint so the corpus explode runs ONCE (q104's discipline;
+      // no CSE across repeated frames)
+      .localCheckpoint(true)
     val termTot = cells.groupBy("t")
       .agg(expr("CAST(sum(a) AS BIGINT)").as("tt"))
     val domTot = cells.groupBy("g")
