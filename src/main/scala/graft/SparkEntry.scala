@@ -148,6 +148,7 @@ object SparkEntry {
     "q135_runs_test" -> operators.RunsTest.eventTypeRuns,
     "q136_kappa" -> operators.Kappa.lineitemKappa,
     "q137_heaps" -> textstats.Heaps.sourceHeaps,
+    "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairs,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -414,5 +415,6 @@ object SparkEntry {
     "q135_runs_test" -> operators.RunsTest.eventTypeRunsSql,
     "q136_kappa" -> operators.Kappa.lineitemKappaSql,
     "q137_heaps" -> textstats.Heaps.sourceHeapsSql,
+    "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairsSql,
   )
 }
