@@ -149,6 +149,7 @@ object SparkEntry {
     "q136_kappa" -> operators.Kappa.lineitemKappa,
     "q137_heaps" -> textstats.Heaps.sourceHeaps,
     "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairs,
+    "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrength,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -416,5 +417,6 @@ object SparkEntry {
     "q136_kappa" -> operators.Kappa.lineitemKappaSql,
     "q137_heaps" -> textstats.Heaps.sourceHeapsSql,
     "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairsSql,
+    "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrengthSql,
   )
 }
