@@ -150,6 +150,7 @@ object SparkEntry {
     "q137_heaps" -> textstats.Heaps.sourceHeaps,
     "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairs,
     "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrength,
+    "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrix,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -418,5 +419,6 @@ object SparkEntry {
     "q137_heaps" -> textstats.Heaps.sourceHeapsSql,
     "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairsSql,
     "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrengthSql,
+    "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrixSql,
   )
 }
