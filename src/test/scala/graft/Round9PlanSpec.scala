@@ -125,6 +125,31 @@ class Round9PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 heaps: one linear pipeline — two window layers, no joins") {
+    val p = physical(textstats.Heaps.sourceHeaps(spark, dir))
+    assert(!p.contains("Join"),
+      "first-occurrence + cumulative layers derive from the cells")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows >= 2 && windows <= 3,
+      s"first-occurrence + cumulative layers, got $windows")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q138 pairwise means: broadcast-only pair join above the checkpoint") {
+    val p = physical(operators.PairwiseMeans.nationBalancePairs(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the C(G,2) pair join must broadcast — group cells are dimension-grade")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q140 js matrix: term-keyed pair join, broadcast totals, no cartesian") {
+    val p = physical(textstats.JsMatrix.sourceJsMatrix(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "pairing must be the term equi-join, never vocab × vocab")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "slice totals must broadcast")
+  }
+
   test("q134 amoc / q135 runs: ordered day-cell windows share one sort each") {
     Seq(operators.Amoc.eventTypeShift(spark, dir) -> 3,
       operators.RunsTest.eventTypeRuns(spark, dir) -> 2).foreach {
