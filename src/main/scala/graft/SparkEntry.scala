@@ -151,6 +151,7 @@ object SparkEntry {
     "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairs,
     "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrength,
     "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrix,
+    "q141_psi" -> operators.Psi.orderPricePsi,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -420,5 +421,6 @@ object SparkEntry {
     "q138_pairwise_means" -> operators.PairwiseMeans.nationBalancePairsSql,
     "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrengthSql,
     "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrixSql,
+    "q141_psi" -> operators.Psi.orderPricePsiSql,
   )
 }
