@@ -84,4 +84,39 @@ class Round9DegenerateSpec extends AnyFunSuite {
     assert(r.length == 1)
     assert(r.head.isNullAt(r.head.fieldIndex("z")))
   }
+
+  test("heapsFit/jsMatrix: empty corpus → empty; single-source corpus → no pairs") {
+    val empty = Seq.empty[(String, Long, String)].toDF("g", "doc_id", "text")
+    assert(textstats.Heaps.heapsFit(empty, "g", "doc_id", "text").count() == 0)
+    val one = Seq(("only", "a b c")).toDF("g", "text")
+    assert(textstats.JsMatrix.jsMatrix(one, "g", "text").count() == 0)
+    assert(textstats.JsMatrix.jsMatrix(
+      Seq.empty[(String, String)].toDF("g", "text"), "g", "text").count() == 0)
+  }
+
+  test("pairwiseMeans: empty frame and single group → empty family") {
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(operators.PairwiseMeans.pairwiseMeans(empty, "g", "v").count() == 0)
+    val one = (1 to 5).map(i => ("g1", i.toDouble)).toDF("g", "v")
+    assert(operators.PairwiseMeans.pairwiseMeans(one, "g", "v").count() == 0)
+  }
+
+  test("dailyRuns/dowStrength/psi: empty inputs → empty, no ANSI error") {
+    val empty = Seq.empty[(String, Timestamp, Double)].toDF("k", "ts", "v")
+    assert(operators.RunsTest.dailyRuns(empty, "k", "ts", "v").count() == 0)
+    assert(operators.SeasonalStrength.dowStrength(empty, "k", "ts", "v")
+      .count() == 0)
+    val emptyP = Seq.empty[(String, Double, Boolean)].toDF("g", "v", "cur")
+    assert(operators.Psi.psi(emptyP, "g", "v", "cur").count() == 0)
+  }
+
+  test("psi: a segment with an empty CURRENT period stays finite via zero-replacement") {
+    val rows = (1 to 20).map(i => ("s", i.toDouble, false))
+    val r = operators.Psi.psi(rows.toDF("g", "v", "cur"), "g", "v", "cur")
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_current")) == 0L)
+    // every current share zero-replaces to 1e-4: PSI is large but finite
+    val psi = r.getDouble(r.fieldIndex("psi"))
+    assert(!psi.isNaN && !psi.isInfinite && psi > 0.0)
+  }
 }
