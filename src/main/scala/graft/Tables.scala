@@ -26,12 +26,14 @@ object Tables {
     * hard-coding one:
     *
     *   - TIMESTAMP(NANOS): Spark rejects it at footer read unless
-    *     `nanosAsLong` is on, so the first read throws; we set the flag
-    *     and re-read, then rebuild a timestamp from the long nanos.
-    *     The flag is session-wide and intentionally NOT restored — the
-    *     DataFrame is lazy, so the conf must still hold at execution
-    *     time (a save/restore around the read would re-break the scan
-    *     when the query actually runs).
+    *     `nanosAsLong` is on, so the flag is set UNCONDITIONALLY before
+    *     the read — it is harmless for non-nanos files (r9 advice: the
+    *     previous catch-and-retry matched on exception-message
+    *     substrings, brittle across Spark versions/locales). The flag
+    *     is session-wide and intentionally NOT restored — the DataFrame
+    *     is lazy, so the conf must still hold at execution time (a
+    *     save/restore around the read would re-break the scan when the
+    *     query actually runs).
     *   - timestamp[us] without UTC adjustment: arrives as
     *     TIMESTAMP_NTZ; the session timezone is pinned to UTC
     *     (Engine.session), so casting to TIMESTAMP preserves both the
@@ -46,16 +48,8 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw =
-      try apply(s, d, "events")
-      catch {
-        case e: Exception
-            if e.getMessage != null &&
-              (e.getMessage.contains("NANOS") ||
-                e.getMessage.contains("Illegal Parquet type")) =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          apply(s, d, "events")
-      }
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -157,7 +151,19 @@ object Tables {
                     s"allowed ${allowed.map(_.simpleString).mkString("/")}"
               }
           }
-          missing ++ drifted
+          // order + unexpected-column checks, so the gate's guarantees
+          // match its doc (r9 advice): operators select by name, but a
+          // reordered/widened parquet still signals testdata drift worth
+          // one loud line
+          val extra = got.map(_.name).filterNot(cols.map(_._1).contains)
+            .map(c => s"$t.$c: unexpected column")
+          val expectedOrder = cols.map(_._1).filter(got.map(_.name).contains)
+          val arrivedOrder = got.map(_.name).filter(cols.map(_._1).contains)
+          val misordered =
+            if (expectedOrder == arrivedOrder.toSeq) Nil
+            else Seq(s"$t: columns arrived [${arrivedOrder.mkString(", ")}], " +
+              s"contract order [${expectedOrder.mkString(", ")}]")
+          missing ++ drifted ++ extra ++ misordered
       }
     }
     if (violations.nonEmpty) throw new SchemaContractViolation(violations)

@@ -17,8 +17,10 @@ object Verify {
     // surfaces here as ONE actionable message instead of N scattered
     // DATATYPE_MISMATCH query failures. Non-fatal — queries that can
     // still run are still dumped.
+    // NonFatal only: an OOM or other fatal JVM error must surface as a
+    // dying driver, not be masked as a validation note
     try Tables.validate(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] ${e.getMessage}")
     }
     SparkEntry.queries

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact prefix sums — the q117 banded decomposition as a
+  * reusable operator. A cumulative window `sum(v) OVER (PARTITION BY g
+  * ORDER BY k)` puts each group's ENTIRE frame into one window task;
+  * when the frame is fact-sized (per-doc rows, per-order cells) and the
+  * partition key is slice/segment-grade, that single task is the 100 TB
+  * wall the r9 verdict flagged on q137/q141. The fix is structural, not
+  * approximate: rows band by `k div bandWidth` — a monotone function of
+  * the order key (integral trunc-division is non-decreasing for a
+  * positive divisor, negatives included) — so the global running sum
+  * decomposes EXACTLY into (strictly-lower-band total) + (in-band
+  * running sum). Lower-band totals are a per-(group, band) aggregate
+  * cumsum'd over the band DIMENSION and broadcast back; every row-level
+  * window then partitions by (group, band), bounded by `bandWidth` rows
+  * ABSOLUTELY — independent of corpus size.
+  *
+  * Knob: bands per group ≈ max(k)/bandWidth feed the offsets window
+  * (one partition per group over band rows), and in-band windows hold ≤
+  * bandWidth rows each — pick bandWidth ≈ sqrt(max rows per group) at
+  * your scale; the 1<<16 default splits a 10⁹-doc slice into ~15k bands
+  * of ≤65k docs, both sides comfortably task-sized. Sparse keys keep
+  * the ≤ bandWidth in-band bound; only dense-key spans populate bands.
+  *
+  * Exactness: band assignment and both partial sums are pure integer
+  * arithmetic on the input values' own types — the result is
+  * integer-identical to the single global window (the oracle twins keep
+  * the plain window; hash parity proves the identity).
+  *
+  * Plan: input → localCheckpoint (band offsets AND the banded window
+  * both read it — Spark does not CSE repeated frames, and callers pass
+  * the REDUCED frame, e.g. per-doc checkpoints, never the raw corpus) →
+  * dimension-grade offsets (aggregate + per-group band window,
+  * broadcast) → one (group, band)-partitioned running-sum window.
+  */
+object BandedCumsum {
+
+  /** ≤65k rows per in-band window task; ~15k bands per 10⁹-key group. */
+  val DefaultBandWidth: Long = 1L << 16
+
+  /** Append `cum_<v>` running-sum columns (over `orderCol` within
+    * `partCols`) for each value column, banded as above. `orderCol`
+    * must be integral and unique within its group (ROWS ≡ RANGE). */
+  def cumsum(df: DataFrame, partCols: Seq[String], orderCol: String,
+             valueCols: Seq[String],
+             bandWidth: Long = DefaultBandWidth): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(valueCols.nonEmpty)
+    val banded = df
+      .withColumn("__band", expr(s"CAST($orderCol div ${bandWidth}L AS BIGINT)"))
+      .localCheckpoint(true)
+    val pc = partCols.map(col)
+    val wOff = Window.partitionBy(pc: _*).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totAggs = valueCols.map(v => sum(col(v)).as(s"__t_$v"))
+    val offsets = valueCols.foldLeft(
+      banded.groupBy((pc :+ col("__band")): _*)
+        .agg(totAggs.head, totAggs.tail: _*)) { (d, v) =>
+      d.withColumn(s"__off_$v", sum(col(s"__t_$v")).over(wOff) - col(s"__t_$v"))
+    }.select((partCols ++ Seq("__band") ++
+      valueCols.map(v => s"__off_$v")).map(col): _*)
+    val wIn = Window.partitionBy((pc :+ col("__band")): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(
+      banded.join(broadcast(offsets), partCols :+ "__band")) { (d, v) =>
+      d.withColumn(s"cum_$v", col(s"__off_$v") + sum(col(v)).over(wIn))
+    }.drop(("__band" +: valueCols.map(v => s"__off_$v")): _*)
+  }
+}

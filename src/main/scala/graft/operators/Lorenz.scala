@@ -28,9 +28,11 @@ import graft.Tables
 object Lorenz {
 
   /** Per-group decile Lorenz points over exact integer `valCol`.
-    * Returns (group, decile, n_members, pop_share, value_share). */
-  def lorenzDeciles(obs: DataFrame, groupCol: String, valCol: String)
-      : DataFrame = {
+    * Returns (group, decile, n_members, pop_share, value_share).
+    * CellGuard-ed: a continuous value column (cells ≈ rows) fails
+    * loudly instead of building a corpus-cardinality window. */
+  def lorenzDeciles(obs: DataFrame, groupCol: String, valCol: String,
+      maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     val cells = obs
       .selectExpr(s"$groupCol AS g", s"$valCol AS v")
       .filter("v > 0")
@@ -47,6 +49,10 @@ object Lorenz {
     cells
       .withColumn("cum_cnt", sum("cnt").over(wCum))
       .withColumn("cum_sv", sum("sv").over(wCum))
+      .withColumn("n_cells",
+        count(lit(1)).over(Window.partitionBy("g")))
+      .filter(expr(CellGuard.sqlGuard("lorenzDeciles", "n_cells", maxCells)))
+      .drop("n_cells")
       .join(broadcast(tot), "g")
       .select(col("g"), col("v"), col("cnt"), col("sv"),
         col("cum_cnt"), col("cum_sv"), col("n"), col("tv"),

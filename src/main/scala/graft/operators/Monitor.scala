@@ -180,8 +180,11 @@ object Monitor {
     *
     * Plan: one scan → cell aggregate; the cumulative window runs over
     * CELLS per group — bounded by the value RANGE in cents (e.g.
-    * ~1.1M cells for a ±10k money column), never by row count. */
-  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    * ~1.1M cells for a ±10k money column), never by row count.
+    * CellGuard-ed: a continuous value column (cells ≈ rows) fails
+    * loudly instead of building a corpus-cardinality window. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     val w = Window.partitionBy("g").orderBy("xc")
       .rowsBetween(Window.unboundedPreceding, -1)
     df
@@ -189,6 +192,10 @@ object Monitor {
       .select(col(groupCol).as("g"),
         expr(s"CAST(floor($valueCol * 1e2) AS BIGINT)").as("xc"))
       .groupBy("g", "xc").agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
+      .withColumn("n_cells",
+        count(lit(1)).over(Window.partitionBy("g")))
+      .filter(expr(CellGuard.sqlGuard("giniByGroup", "n_cells", maxCells)))
+      .drop("n_cells")
       .withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
       .withColumn("cumsum", coalesce(
         sum(expr("CAST(cnt AS DECIMAL(38,0)) * xc")).over(w),

@@ -21,27 +21,40 @@ import graft.Tables
   * share replaced by 1e-4 (the textbook zero-replacement, applied to
   * BOTH sides' empty bins symmetrically).
   *
-  * Exactness: cents cells, integer edge election, integer bin
-  * counts; each bin's PSI term is the identical shared-text double
+  * Exactness: integer value cells (floor(value·scale)), integer edge
+  * election, integer bin counts; each bin's PSI term is the identical shared-text double
   * (snapped ln, q103 grid) FLOORED to integer nano-nats before the
   * ≤ 10-term sum (a double sum is order-sensitive — the q139 rule);
   * one shared final de-scale.
   *
-  * Plan/scale: one (segment, cent, period) cell aggregate → one
+  * Plan/scale: one (segment, value-cell, period) cell aggregate → one
   * per-segment cumulative cell window (q126 shape) → dimension-grade
   * edge election → broadcast edge join back onto the CELLS (not the
-  * fact) → 10-bin spine aggregate. The fact is scanned once.
+  * fact) → 10-bin spine aggregate. The fact is scanned once. Cells
+  * key on `floor(value · scale)` — `scaleSql` is the quantize-first
+  * knob (r9 verdict: cent cells of a near-unique fact column are
+  * order-cardinality; q141 now bins WHOLE DOLLARS, whose cell count
+  * is bounded by the price RANGE ~10⁵ at any SF — decile edges move
+  * by under the quantum, which PSI's 0.1/0.25 thresholds don't feel)
+  * — and a CellGuard raise_error makes a continuous value column fail
+  * loudly instead of rebuilding the single-task window.
   */
 object Psi {
 
   /** Per-segment PSI of `valueCol` between `periodExpr` = false
-    * (baseline A) and true (current B). */
+    * (baseline A) and true (current B). Cells are
+    * floor(value · scaleSql); pick the scale so value-range × scale
+    * stays dimension-grade (maxCells-guarded). A segment with an
+    * EMPTY baseline has no edges to bin by — it reports NULL psi with
+    * drift_level 'no_baseline' (the mirror of the empty-current case,
+    * whose PSI is well-defined: every current share zero-floors). */
   def psi(df: DataFrame, segCol: String, valueCol: String,
-          periodExpr: String): DataFrame = {
+          periodExpr: String, scaleSql: String = "1e2",
+          maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     val cells = df
       .filter(col(segCol).isNotNull && col(valueCol).isNotNull)
       .select(col(segCol).as("g"),
-        expr(s"CAST(floor($valueCol * 100) AS BIGINT)").as("v"),
+        expr(s"CAST(floor($valueCol * $scaleSql) AS BIGINT)").as("v"),
         expr(s"CASE WHEN $periodExpr THEN 1 ELSE 0 END").as("pb"))
       .groupBy("g", "v")
       .agg(expr("CAST(sum(1 - pb) AS BIGINT)").as("ca"),
@@ -51,8 +64,12 @@ object Psi {
       .selectExpr("g", "v", "ca", "cb",
         "CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na",
         "CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb",
+        // cell-count guard shares the partition-only window spec with
+        // na/nb — same Window op, no extra pass
+        "CAST(count(1) OVER (PARTITION BY g) AS BIGINT) AS n_cells",
         "sum(ca) OVER (PARTITION BY g ORDER BY v" +
           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a")
+      .filter(expr(CellGuard.sqlGuard("psi", "n_cells", maxCells)))
     val edgeAggs = (1 to 9).map(k =>
       expr(s"CAST(min(CASE WHEN cum_a >= ($k * na + 9) div 10 THEN v END)" +
         s" AS BIGINT)").as(s"e$k")) ++
@@ -91,17 +108,22 @@ object Psi {
         expr("CAST(max(nb) AS BIGINT)").as("n_current"),
         expr(s"CAST(sum($termSql) AS DECIMAL(38,0))").as("s_psi"))
       .selectExpr("g", "n_base", "n_current",
-        "round(CAST(s_psi AS DOUBLE) / 1e9, 6) + 0.0 AS psi")
+        "CASE WHEN n_base = 0 THEN CAST(NULL AS DOUBLE)" +
+          " ELSE round(CAST(s_psi AS DOUBLE) / 1e9, 6) + 0.0 END AS psi")
       .selectExpr("g", "n_base", "n_current", "psi",
-        "CASE WHEN psi < 0.1 THEN 'stable'" +
+        "CASE WHEN n_base = 0 THEN 'no_baseline'" +
+          " WHEN psi < 0.1 THEN 'stable'" +
           " WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END AS drift_level")
   }
 
   /** q141: price-distribution stability per order priority, 1995–97
-    * baseline vs 1998+ current. */
+    * baseline vs 1998+ current. WHOLE-DOLLAR cells (scale 1e0): cell
+    * count is bounded by the o_totalprice range (~10⁵) at any SF,
+    * where cent cells of this near-unique column were
+    * order-cardinality (r9 verdict fix). */
   def orderPricePsi(spark: SparkSession, dir: String): DataFrame =
     psi(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice",
-      "o_orderdate >= timestamp'1998-01-01 00:00:00'")
+      "o_orderdate >= timestamp'1998-01-01 00:00:00'", scaleSql = "1e0")
       .withColumnRenamed("g", "o_orderpriority")
 
   val orderPricePsiSql: String = {
@@ -121,7 +143,7 @@ object Psi {
         s" AS BIGINT) AS e$k").mkString(",\n       |    ")
     s"""WITH cells AS (
        |  SELECT o_orderpriority AS g,
-       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+       |    CAST(floor(o_totalprice * 1e0) AS BIGINT) AS v,
        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
        |      THEN 0 ELSE 1 END) AS BIGINT) AS ca,
        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
@@ -160,8 +182,10 @@ object Psi {
        |    CAST(sum($termSql) AS HUGEINT) AS s_psi
        |  FROM joined GROUP BY 1)
        |SELECT g AS o_orderpriority, n_base, n_current,
-       |  round(CAST(s_psi AS DOUBLE) / 1e9, 6) + 0.0 AS psi,
-       |  CASE WHEN round(CAST(s_psi AS DOUBLE) / 1e9, 6) + 0.0 < 0.1
+       |  CASE WHEN n_base = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE round(CAST(s_psi AS DOUBLE) / 1e9, 6) + 0.0 END AS psi,
+       |  CASE WHEN n_base = 0 THEN 'no_baseline'
+       |    WHEN round(CAST(s_psi AS DOUBLE) / 1e9, 6) + 0.0 < 0.1
        |      THEN 'stable'
        |    WHEN round(CAST(s_psi AS DOUBLE) / 1e9, 6) + 0.0 < 0.25
        |      THEN 'moderate'

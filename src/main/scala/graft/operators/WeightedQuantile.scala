@@ -31,7 +31,8 @@ object WeightedQuantile {
     * pre-quantized) weighted by `wCol` (exact integer, > 0 kept).
     * Returns (group, w_total, p{..} per requested pct, wmean). */
   def weightedQuantiles(obs: DataFrame, groupCol: String, valCol: String,
-      wCol: String, pcts: Seq[Int]): DataFrame = {
+      wCol: String, pcts: Seq[Int],
+      maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100))
     val cells = obs
       .selectExpr(s"$groupCol AS g", s"$valCol AS v", s"$wCol AS w")
@@ -54,6 +55,12 @@ object WeightedQuantile {
       expr("CAST(max(svt) AS DECIMAL(38,0))").as("svt_out")
     cells
       .withColumn("cum", sum("sw").over(wCum))
+      // CellGuard: cells ≈ rows means the per-group window above is the
+      // corpus-cardinality wall — fail loudly (shares the g exchange)
+      .withColumn("n_cells",
+        count(lit(1)).over(Window.partitionBy("g")))
+      .filter(expr(CellGuard.sqlGuard("weightedQuantiles", "n_cells", maxCells)))
+      .drop("n_cells")
       .join(broadcast(tot), "g")
       .groupBy("g")
       .agg(aggs.head, aggs.tail: _*)

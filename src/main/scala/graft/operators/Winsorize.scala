@@ -33,9 +33,12 @@ import graft.Tables
 object Winsorize {
 
   /** Per-group winsorized mean of `valueCol` (cents-exact) clamped at
-    * the pPct / (100−pPct) exact order statistics. */
+    * the pPct / (100−pPct) exact order statistics. CellGuard-ed: a
+    * continuous value column whose cells exceed `maxCells` per group
+    * fails loudly instead of building a corpus-cardinality window. */
   def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
-                     pPct: Int = 5): DataFrame = {
+                     pPct: Int = 5,
+                     maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(pPct >= 1 && pPct < 50, s"pPct must be in [1,50), got $pPct")
     // one linear pipeline: cell aggregate → two window layers (totals
     // + running count, then bound election) → final cell aggregate.
@@ -53,8 +56,11 @@ object Winsorize {
       .selectExpr("g", "vi", "cnt",
         "CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n",
         "CAST(sum(vi * cnt) OVER (PARTITION BY g) AS BIGINT) AS sv",
+        // cell-count guard shares the partition-only spec — no extra pass
+        "CAST(count(1) OVER (PARTITION BY g) AS BIGINT) AS n_cells",
         "sum(cnt) OVER (PARTITION BY g ORDER BY vi" +
           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+      .filter(expr(CellGuard.sqlGuard("winsorizedMean", "n_cells", maxCells)))
       // layer 2: bound election needs cum, so it is necessarily a
       // second pass — both bounds share one spec
       .selectExpr("g", "vi", "cnt", "n", "sv",

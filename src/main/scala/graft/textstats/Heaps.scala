@@ -26,19 +26,29 @@ import graft.Tables
   *
   * Plan/scale: ONE corpus explode → one (slice, doc, term) cell
   * aggregate → first-occurrence window (partition (slice, term)) →
-  * per-doc aggregate → ordered cumulative window (partition slice) →
-  * final aggregate. A single linear pipeline — the corpus is scanned
-  * once (the round-9 no-duplicate-subtree rule).
+  * per-doc aggregate → BANDED cumulative sums (BandedCumsum: the
+  * per-doc frame is corpus-cardinality, so the running (N, V) pair is
+  * a distributed prefix sum over doc-id bands — every window task
+  * bounded by `bandWidth` docs, never one task per slice; the r9
+  * verdict's q137 fix) → final aggregate. The corpus is scanned once
+  * (the round-9 no-duplicate-subtree rule); the one frame read twice
+  * (per-doc checkpoints, for band offsets + the banded window) is
+  * checkpointed inside BandedCumsum.
   */
 object Heaps {
+
+  /** Doc-id band width for the cumulative (N, V) prefix sums — the
+    * BandedCumsum parallelism bound: ≤65k docs per window task. */
+  val DocBandWidth: Long = graft.operators.BandedCumsum.DefaultBandWidth
 
   private def lnSnap(ratio: String): String =
     s"CAST(floor(ln($ratio) * 1e9 + 5e-1) AS DOUBLE) / 1e9"
 
-  /** Per-group Heaps fit over whitespace-tokenized `textCol`. */
+  /** Per-group Heaps fit over whitespace-tokenized `textCol`. `idCol`
+    * must be integral (it is the banded prefix-sum order key). */
   def heapsFit(docs: DataFrame, groupCol: String, idCol: String,
-               textCol: String): DataFrame = {
-    val perDoc = docs
+               textCol: String, bandWidth: Long = DocBandWidth): DataFrame = {
+    val checkpoints = docs
       .select(col(groupCol).as("g"), col(idCol).as("doc"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -49,11 +59,10 @@ object Heaps {
       .agg(expr("CAST(sum(c) AS BIGINT)").as("n_toks"),
         expr("CAST(sum(CASE WHEN doc = firstd THEN 1 ELSE 0 END) AS BIGINT)")
           .as("n_new"))
-      .selectExpr("g", "doc",
-        "CAST(sum(n_toks) OVER (PARTITION BY g ORDER BY doc" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nn",
-        "CAST(sum(n_new) OVER (PARTITION BY g ORDER BY doc" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vv")
+    val perDoc = graft.operators.BandedCumsum
+      .cumsum(checkpoints, Seq("g"), "doc", Seq("n_toks", "n_new"), bandWidth)
+      .selectExpr("g", "CAST(cum_n_toks AS BIGINT) AS nn",
+        "CAST(cum_n_new AS BIGINT) AS vv")
       .selectExpr("g",
         s"CAST(floor((${lnSnap("CAST(nn AS DOUBLE)")}) * 1e9) AS BIGINT) AS xn",
         s"CAST(floor((${lnSnap("CAST(vv AS DOUBLE)")}) * 1e9) AS BIGINT) AS yn")

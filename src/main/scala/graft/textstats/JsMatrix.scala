@@ -31,8 +31,10 @@ import graft.Tables
   * Plan/scale: one corpus explode → (slice, term) cells
   * (checkpointed — totals AND both self-join sides read them), one
   * term-keyed self-join whose fan-out is ≤ C(G,2) pairs PER TERM
-  * (slice count, not corpus size), one pair aggregate + broadcast
-  * totals. Never O(vocab²).
+  * (slice count, not corpus size), one pair aggregate, then a
+  * dimension-grade pair SPINE (totals × totals, g_i < g_j)
+  * left-joined onto it so pairs sharing zero terms still emit their
+  * js_div = ln 2 row. Never O(vocab²).
   */
 object JsMatrix {
 
@@ -56,7 +58,7 @@ object JsMatrix {
       val lnS = s"CAST(floor(ln($ratio) * 1e9 + 5e-1) AS DOUBLE) / 1e9"
       s"CAST(floor(CAST($cSelf AS DOUBLE) * ($lnS) * 1e9) AS DECIMAL(38,0))"
     }
-    cells.selectExpr("g AS g_i", "term", "c AS c_i")
+    val paired = cells.selectExpr("g AS g_i", "term", "c AS c_i")
       .join(cells.selectExpr("g AS g_j", "term", "c AS c_j"), "term")
       .filter(col("g_i") < col("g_j"))
       .join(broadcast(totals.selectExpr("g AS g_i", "n AS n_i")), "g_i")
@@ -66,8 +68,6 @@ object JsMatrix {
         "CAST(CAST(c_j AS DECIMAL(38,0)) * n_i AS DECIMAL(38,0)) AS t_j")
       .groupBy("g_i", "g_j")
       .agg(
-        expr("CAST(max(n_i) AS BIGINT)").as("n_a"),
-        expr("CAST(max(n_j) AS BIGINT)").as("n_b"),
         expr("CAST(count(1) AS BIGINT)").as("shared_terms"),
         expr("CAST(sum(c_i) AS BIGINT)").as("sh_ci"),
         expr("CAST(sum(c_j) AS BIGINT)").as("sh_cj"),
@@ -75,6 +75,21 @@ object JsMatrix {
           .as("s_i"),
         expr(s"CAST(sum(${jsTerm("c_j", "t_j", "t_i")}) AS DECIMAL(38,0))")
           .as("s_j"))
+    // pair spine from the GROUP DIMENSION (totals × totals, g_i < g_j),
+    // not from the shared-term join: a pair sharing ZERO terms has no
+    // joined rows at all, but its JS is exactly ln 2 — the bulk
+    // one-sided corrections cover both full masses (r9 advice). The
+    // dimension-grade cross is a deliberate BNLJ over G rows.
+    val spine = totals.selectExpr("g AS g_i", "n AS n_a")
+      .crossJoin(broadcast(totals.selectExpr("g AS g_j", "n AS n_b")))
+      .filter(col("g_i") < col("g_j"))
+    spine.join(broadcast(paired), Seq("g_i", "g_j"), "left")
+      .selectExpr("g_i", "g_j", "n_a", "n_b",
+        "coalesce(shared_terms, CAST(0 AS BIGINT)) AS shared_terms",
+        "coalesce(sh_ci, CAST(0 AS BIGINT)) AS sh_ci",
+        "coalesce(sh_cj, CAST(0 AS BIGINT)) AS sh_cj",
+        "coalesce(s_i, CAST(0 AS DECIMAL(38,0))) AS s_i",
+        "coalesce(s_j, CAST(0 AS DECIMAL(38,0))) AS s_j")
       .selectExpr("g_i", "g_j", "n_a", "n_b", "shared_terms",
         s"CAST(s_i + CAST(n_a - sh_ci AS DECIMAL(38,0)) * $Ln2Nano" +
           " AS DECIMAL(38,0)) AS m_i",
@@ -120,21 +135,24 @@ object JsMatrix {
        |  JOIN tot tj ON tj.g = j.g),
        |agg AS (
        |  SELECT g_i, g_j,
-       |    CAST(max(n_i) AS BIGINT) AS n_a,
-       |    CAST(max(n_j) AS BIGINT) AS n_b,
        |    CAST(count(*) AS BIGINT) AS shared_terms,
        |    CAST(sum(c_i) AS BIGINT) AS sh_ci,
        |    CAST(sum(c_j) AS BIGINT) AS sh_cj,
        |    CAST(sum(${jsTerm("c_i", "t_i", "t_j")}) AS HUGEINT) AS s_i,
        |    CAST(sum(${jsTerm("c_j", "t_j", "t_i")}) AS HUGEINT) AS s_j
        |  FROM paired GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT i.g AS g_i, j.g AS g_j, i.n AS n_a, j.n AS n_b
+       |  FROM tot i JOIN tot j ON i.g < j.g),
        |mass AS (
-       |  SELECT g_i, g_j, n_a, n_b, shared_terms,
-       |    CAST(s_i + CAST(n_a - sh_ci AS HUGEINT) * ${JsMatrix.Ln2Nano}
-       |      AS HUGEINT) AS m_i,
-       |    CAST(s_j + CAST(n_b - sh_cj AS HUGEINT) * ${JsMatrix.Ln2Nano}
-       |      AS HUGEINT) AS m_j
-       |  FROM agg),
+       |  SELECT spine.g_i, spine.g_j, n_a, n_b,
+       |    CAST(coalesce(shared_terms, 0) AS BIGINT) AS shared_terms,
+       |    CAST(coalesce(s_i, 0) + CAST(n_a - coalesce(sh_ci, 0) AS HUGEINT)
+       |      * ${JsMatrix.Ln2Nano} AS HUGEINT) AS m_i,
+       |    CAST(coalesce(s_j, 0) + CAST(n_b - coalesce(sh_cj, 0) AS HUGEINT)
+       |      * ${JsMatrix.Ln2Nano} AS HUGEINT) AS m_j
+       |  FROM spine LEFT JOIN agg
+       |    ON spine.g_i = agg.g_i AND spine.g_j = agg.g_j),
        |raws AS (
        |  SELECT g_i, g_j, n_a, n_b, shared_terms,
        |    CAST(m_i AS DOUBLE) / nullif(2e0 * CAST(n_a AS DOUBLE), 0e0)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import operators.BandedCumsum
+
+class BandedCumsumSpec extends AnyFunSuite {
+  lazy val spark = Engine.session()
+  import spark.implicits._
+
+  private def reference(rows: Seq[(String, Long, Long, Long)]) =
+    rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val cumA = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+      val cumB = sorted.map(_._4).scanLeft(0L)(_ + _).tail
+      sorted.lazyZip(cumA).lazyZip(cumB).map { case ((_, k, _, _), a, b) =>
+        (g, k, a, b)
+      }
+    }.sortBy(r => (r._1, r._2))
+
+  private def run(rows: Seq[(String, Long, Long, Long)], bw: Long) =
+    BandedCumsum.cumsum(rows.toDF("g", "k", "a", "b"),
+        Seq("g"), "k", Seq("a", "b"), bw)
+      .select("g", "k", "cum_a", "cum_b")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+
+  val rnd = new scala.util.Random(42)
+  val dense: Seq[(String, Long, Long, Long)] = for {
+    g <- Seq("x", "y", "z"); k <- 0L until 100L
+  } yield (g, k, rnd.nextInt(1000).toLong - 200, rnd.nextInt(50).toLong)
+
+  test("banded ≡ global window on dense keys, every band width") {
+    val want = reference(dense)
+    for (bw <- Seq(1L, 3L, 7L, 64L, 1L << 16))
+      assert(run(dense, bw) == want, s"bandWidth=$bw diverged")
+  }
+
+  test("sparse + negative keys: trunc-div banding stays monotone") {
+    val sparse = Seq(
+      ("s", -2000000L, 5L, 1L), ("s", -3L, 7L, 2L), ("s", -1L, 11L, 3L),
+      ("s", 0L, 13L, 4L), ("s", 2L, 17L, 5L), ("s", 999999999L, 19L, 6L),
+      ("t", -65536L, 23L, 7L), ("t", 65536L, 29L, 8L))
+    val want = reference(sparse)
+    for (bw <- Seq(1L, 2L, 65536L)) assert(run(sparse, bw) == want)
+  }
+
+  test("single group, one giant value column: no overflow surprises") {
+    val big = (0L until 10L).map(k => ("g", k, Long.MaxValue / 20, 0L))
+    val got = run(big, 3L)
+    assert(got.map(_._3) == (1L to 10L).map(_ * (Long.MaxValue / 20)))
+  }
+
+  test("plan: offsets broadcast; every window partitions on the band") {
+    val df = BandedCumsum.cumsum(dense.toDF("g", "k", "a", "b"),
+      Seq("g"), "k", Seq("a", "b"), 16L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "band offsets must broadcast back")
+    val bandless = p.linesIterator.filter(_.contains("- Window ["))
+      .filterNot(_.contains("__band")).toSeq
+    assert(bandless.isEmpty,
+      s"window without the band in its spec: ${bandless.mkString("; ")}")
+  }
+
+  test("q137 heaps is bandWidth-invariant (structural exactness)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val a = textstats.Heaps.heapsFit(docs, "source", "doc_id", "text", 8L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = textstats.Heaps.heapsFit(docs, "source", "doc_id", "text")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b, "8-doc bands must reproduce the default fit exactly")
+  }
+}

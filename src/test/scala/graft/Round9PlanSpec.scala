@@ -125,13 +125,20 @@ class Round9PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q137 heaps: one linear pipeline — two window layers, no joins") {
+  test("q137 heaps: banded cumsum — broadcast offsets, (g, band) windows") {
     val p = physical(textstats.Heaps.sourceHeaps(spark, dir))
-    assert(!p.contains("Join"),
-      "first-occurrence + cumulative layers derive from the cells")
-    val windows = p.linesIterator.count(_.contains("- Window ["))
-    assert(windows >= 2 && windows <= 3,
-      s"first-occurrence + cumulative layers, got $windows")
+    // r10: the per-doc cumulative pair is a BandedCumsum — the plan
+    // below the checkpoint is offsets (band-dimension agg + window) +
+    // ONE broadcast join + the (g, __band)-partitioned running window;
+    // no shuffled join, and no window partitioned by the slice alone
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "band offsets must broadcast back onto the checkpoints")
+    assert(!p.contains("CartesianProduct"))
+    val corpusWindows = p.linesIterator.filter(_.contains("- Window ["))
+      .filterNot(_.contains("__band")).toSeq
+    assert(corpusWindows.isEmpty,
+      s"every post-checkpoint window must partition by (g, band), " +
+        s"got ${corpusWindows.mkString("; ")}")
     assert(p.contains("HashAggregate"))
   }
 
@@ -146,7 +153,10 @@ class Round9PlanSpec extends AnyFunSuite {
     val p = physical(textstats.JsMatrix.sourceJsMatrix(spark, dir))
     assert(!p.contains("CartesianProduct"),
       "pairing must be the term equi-join, never vocab × vocab")
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the ONLY nested loop allowed is the deliberate dimension-grade
+    // pair spine (totals × totals, G rows a side)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the pair spine may nest, got $bnlj")
     assert(p.contains("BroadcastHashJoin"), "slice totals must broadcast")
   }
 
