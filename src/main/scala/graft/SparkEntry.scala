@@ -152,6 +152,7 @@ object SparkEntry {
     "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrength,
     "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrix,
     "q141_psi" -> operators.Psi.orderPricePsi,
+    "q142_pipeline" -> operators.Pipeline.trainingPipeline,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -422,5 +423,6 @@ object SparkEntry {
     "q139_seasonal_strength" -> operators.SeasonalStrength.eventTypeStrengthSql,
     "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrixSql,
     "q141_psi" -> operators.Psi.orderPricePsiSql,
+    "q142_pipeline" -> operators.Pipeline.trainingPipelineSql,
   )
 }

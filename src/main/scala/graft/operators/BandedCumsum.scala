@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,15 +44,20 @@ object BandedCumsum {
 
   /** Append `cum_<v>` running-sum columns (over `orderCol` within
     * `partCols`) for each value column, banded as above. `orderCol`
-    * must be integral and unique within its group (ROWS ≡ RANGE). */
+    * must be integral and unique within its group (ROWS ≡ RANGE).
+    * `inputCheckpointed`: pass true when `df` is ALREADY materialized
+    * (the internal checkpoint exists only because offsets and the
+    * banded window both read the frame; re-deriving the pure band
+    * projection from a caller checkpoint is free). */
   def cumsum(df: DataFrame, partCols: Seq[String], orderCol: String,
              valueCols: Seq[String],
-             bandWidth: Long = DefaultBandWidth): DataFrame = {
+             bandWidth: Long = DefaultBandWidth,
+             inputCheckpointed: Boolean = false): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     require(valueCols.nonEmpty)
-    val banded = df
+    val banded0 = df
       .withColumn("__band", expr(s"CAST($orderCol div ${bandWidth}L AS BIGINT)"))
-      .localCheckpoint(true)
+    val banded = if (inputCheckpointed) banded0 else banded0.localCheckpoint(true)
     val pc = partCols.map(col)
     val wOff = Window.partitionBy(pc: _*).orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -69,5 +74,36 @@ object BandedCumsum {
       banded.join(broadcast(offsets), partCols :+ "__band")) { (d, v) =>
       d.withColumn(s"cum_$v", col(s"__off_$v") + sum(col(v)).over(wIn))
     }.drop(("__band" +: valueCols.map(v => s"__off_$v")): _*)
+  }
+
+  /** Banded ROW_NUMBER over a possibly-composite total order: append
+    * `outCol` = position of the row within its `partCols` group under
+    * `orderCols` — exactly `row_number() OVER (PARTITION BY partCols
+    * ORDER BY orderCols)` (and exactly `rank()` too when the order is
+    * tie-free), with no group-sized window task. `bandExpr` must be an
+    * integral expression NON-DECREASING along the window order with
+    * equal order-prefixes sharing a band — e.g. `key div 2^16` for an
+    * ascending integral leading key, `(-cents) div 2^10` for a
+    * descending money leading key (trunc-division is monotone for a
+    * positive divisor). Each in-band task holds only that band's rows;
+    * offsets are the broadcast band-count prefix (q7/q47 r10 fix). */
+  def rowNumber(df: DataFrame, partCols: Seq[String], bandExpr: Column,
+      orderCols: Seq[Column], outCol: String,
+      inputCheckpointed: Boolean = false): DataFrame = {
+    require(orderCols.nonEmpty)
+    val banded0 = df.withColumn("__band", bandExpr.cast("long"))
+    val banded = if (inputCheckpointed) banded0 else banded0.localCheckpoint(true)
+    val pc = partCols.map(col)
+    val wOff = Window.partitionBy(pc: _*).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = banded.groupBy((pc :+ col("__band")): _*)
+      .agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__off", sum(col("__bcnt")).over(wOff) - col("__bcnt"))
+      .select((partCols ++ Seq("__band", "__off")).map(col): _*)
+    val wIn = Window.partitionBy((pc :+ col("__band")): _*)
+      .orderBy(orderCols: _*)
+    banded.join(broadcast(offsets), partCols :+ "__band")
+      .withColumn(outCol, (col("__off") + row_number().over(wIn)).cast("long"))
+      .drop("__band", "__off")
   }
 }

@@ -16,17 +16,34 @@ object Binning {
 
   /** #52 (q47) Per-group quantile binning: ntile over each nation's
     * balance distribution with a total (value, key) order so ties are
-    * deterministic. PARTITIONED ntile is the scale-correct shape — the
-    * window sorts within each group's partition; a GLOBAL ntile would
-    * funnel the corpus through one partition (for global quantile
-    * binning at scale use [[quantileCutBins]] instead). */
+    * deterministic.
+    *
+    * r10: nations are a FIXED dimension, so a plain partitioned ntile
+    * window put each nation's whole customer set in one task at scale
+    * (Round10WindowAuditSpec's 10×-step measurement). The bucket is
+    * now computed from a BANDED row_number (q7 pattern, banding on
+    * exact balance cents) + Spark's exact NTile arithmetic — with
+    * N = n div b sized buckets and the first N mod b buckets one row
+    * larger — against broadcast per-nation counts. Identical output;
+    * no nation-sized window task. For global quantile binning at
+    * scale use [[quantileCutBins]] instead. */
   def ntileBin(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey"),
-        (round(col("c_acctbal"), 4) + 0.0).as("c_acctbal"),
-        ntile(NtileBins).over(w).cast("long").as("bal_quartile"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .localCheckpoint(true) // counts + the banded enumeration share it
+    val n = cust.groupBy("c_nationkey").agg(count(lit(1)).as("__n"))
+    val b = NtileBins
+    BandedCumsum.rowNumber(cust, Seq("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT) div 1024"),
+        Seq(col("c_acctbal"), col("c_custkey")), "__rn",
+        inputCheckpointed = true)
+      .join(broadcast(n), "c_nationkey")
+      .selectExpr("c_custkey", "c_nationkey",
+        "round(c_acctbal, 4) + 0.0 AS c_acctbal",
+        s"CAST(CASE WHEN __rn <= (__n div $b + 1) * (__n % $b)" +
+          s" THEN (__rn - 1) div (__n div $b + 1) + 1" +
+          s" ELSE __n % $b + (__rn - 1 - (__n div $b + 1) * (__n % $b))" +
+          s" div (__n div $b) + 1 END AS BIGINT) AS bal_quartile")
   }
 
   val ntileBinSql: String =

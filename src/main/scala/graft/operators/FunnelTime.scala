@@ -24,9 +24,12 @@ import graft.Tables
   * stat is shared text.
   *
   * Plan/scale: three stacked same-partition window layers (first-
-  * passage chain — unordered specs, ONE exchange by user, no sort),
-  * one per-user collapse, then the value-cell + cumulative-window
-  * order-statistic shape (q126) over second-granular gap cells.
+  * passage chain — unordered specs, ONE exchange by user, no sort;
+  * load-bounded: events per user), one per-user collapse, then exact
+  * order statistics over second-granular gap cells via a BANDED
+  * cumulative (BandedCumsum) + broadcast per-pair totals — gap cells
+  * grow with conversions, and pairs are a ≤|steps| dimension, so an
+  * unbanded per-pair window would be a single-task wall (r10 audit).
   */
 object FunnelTime {
 
@@ -52,20 +55,27 @@ object FunnelTime {
     val gaps = perUser
       .selectExpr(s"stack(${steps.size - 1}, $pairs) AS (pair, gap_s)")
       .filter(col("gap_s").isNotNull)
-    // exact order statistics over second-granular gap cells (q126 shape)
-    gaps.groupBy("pair", "gap_s")
+    // exact order statistics over second-granular gap cells. r10: gap
+    // cells are NOT value-range-bounded in any useful sense (whole
+    // seconds over a multi-year span ≈ 10⁸ possible cells, and pairs
+    // are a ≤|steps| dimension — Round10WindowAuditSpec measured the
+    // per-pair cell partition growing linearly), so the cumulative is
+    // a BANDED prefix sum and the totals a broadcast dimension join
+    val cells = gaps.groupBy("pair", "gap_s")
       .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
-      .selectExpr("pair", "gap_s", "cnt",
-        "CAST(sum(cnt) OVER (PARTITION BY pair) AS BIGINT) AS n",
-        "CAST(sum(gap_s * cnt) OVER (PARTITION BY pair) AS BIGINT) AS sg",
-        "sum(cnt) OVER (PARTITION BY pair ORDER BY gap_s" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+      .localCheckpoint(true) // totals + the banded cumulative share it
+    val tot = cells.groupBy("pair")
+      .agg(expr("CAST(sum(cnt) AS BIGINT)").as("n"),
+        expr("CAST(sum(gap_s * cnt) AS BIGINT)").as("sg"))
+    BandedCumsum.cumsum(cells, Seq("pair"), "gap_s", Seq("cnt"),
+        inputCheckpointed = true)
+      .join(broadcast(tot), "pair")
       .groupBy("pair")
       .agg(
         expr("CAST(max(n) AS BIGINT)").as("n_converted"),
-        expr("CAST(min(CASE WHEN cum >= (n + 1) div 2 THEN gap_s END) AS BIGINT)")
-          .as("median_gap_s"),
-        expr("CAST(min(CASE WHEN cum >= (9 * n + 9) div 10 THEN gap_s END)" +
+        expr("CAST(min(CASE WHEN cum_cnt >= (n + 1) div 2 THEN gap_s END)" +
+          " AS BIGINT)").as("median_gap_s"),
+        expr("CAST(min(CASE WHEN cum_cnt >= (9 * n + 9) div 10 THEN gap_s END)" +
           " AS BIGINT)").as("p90_gap_s"),
         expr("round(CAST(max(sg) AS DOUBLE) / CAST(max(n) AS DOUBLE), 4) + 0.0")
           .as("mean_gap_s"))

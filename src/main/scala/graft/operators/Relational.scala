@@ -128,16 +128,26 @@ object Relational {
   /** #7 Row number within group — create_school_town_lookup.Rmd's
     * `row_number(ORG8CODE)` per town: index of each customer within its
     * nation ordered by key, plus a balance rank.
+    *
+    * r10: both enumerations are BANDED row_numbers
+    * ([[BandedCumsum.rowNumber]]) — nations are a FIXED dimension, so
+    * the plain per-nation window put every nation's whole customer set
+    * in ONE window task at scale (the q137 failure mode, caught by
+    * Round10WindowAuditSpec's 10×-step measurement). idx bands on the
+    * integral key; bal_rank's order (balance DESC, key) is tie-free,
+    * where rank() ≡ row_number(), banding on negated exact cents.
     */
   def groupIndex(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byNation = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
-    val byBal = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(spark, dir)
+    val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      .withColumn("idx", row_number().over(byNation))
-      .withColumn("bal_rank", rank().over(byBal))
+    val withIdx = BandedCumsum.rowNumber(cust, Seq("c_nationkey"),
+      expr("c_custkey div 65536"), Seq(col("c_custkey")), "idx")
+    BandedCumsum.rowNumber(withIdx, Seq("c_nationkey"),
+        expr("(-CAST(floor(c_acctbal * 100) AS BIGINT)) div 1024"),
+        Seq(col("c_acctbal").desc, col("c_custkey")), "bal_rank")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("idx").cast("int").as("idx"),
+        col("bal_rank").cast("int").as("bal_rank"))
   }
 
   /** #8 Z-score standardization — query_census_data.Rmd's

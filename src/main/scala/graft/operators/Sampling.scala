@@ -23,10 +23,10 @@ object Sampling {
   val Buckets = 1000000L
 
   /** Hash bucket in [0, Buckets) for a key column. */
-  private def bucket(key: Column): Column =
+  private[graft] def bucket(key: Column): Column =
     Hashing.hash48(key.cast("string")) % Buckets
 
-  private def bucketSql(key: String): String =
+  private[graft] def bucketSql(key: String): String =
     s"${Hashing.hash48Sql(s"($key)::VARCHAR")} % $Buckets"
 
   /** Integer bucket threshold for a fraction — computed ONCE on the
@@ -93,21 +93,30 @@ object Sampling {
     * in-query values exactly. Domains whose quota exceeds their
     * population keep everything (the `least` cap); re-balancing their
     * shortfall is a policy choice left upstream. */
-  def domainMix(docs: DataFrame): DataFrame = {
-    val weights = MixWeights.toMap
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+  /** The q60 acceptance filter over an ARBITRARY frame, keeping all
+    * its columns — reused by the q142 pipeline, where the mix runs
+    * over the curated (not raw) corpus. Same exactness contract as
+    * [[domainMix]]. NOTE: the count aggregate and the filter both
+    * read `df` — persist/checkpoint the input when it is derived
+    * (Spark does not CSE repeated frames). */
+  def mixFilter(df: DataFrame, keyCol: String, domainCol: String,
+      weights: Map[String, Long], den: Long): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_s"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val budget = counts.map(_._2).sum / 2
     // ((budget·w)·B) / (den·n_s), left-assoc — mirrors the oracle's
     // `//` chain term for term; all-Long exact (≲4e17 at 1e11 docs)
     val thr = counts.foldLeft(lit(0L)) { case (acc, (l, nS)) =>
       val t = math.min(Buckets,
-        budget * weights.getOrElse(l, 0L) * Buckets / (MixDen * nS))
-      when(col("lang") === l, lit(t)).otherwise(acc)
+        budget * weights.getOrElse(l, 0L) * Buckets / (den * nS))
+      when(col(domainCol) === l, lit(t)).otherwise(acc)
     }
-    docs.select(col("doc_id"), col("lang"), col("source"))
-      .filter(bucket(col("doc_id")) < thr)
+    df.filter(bucket(col(keyCol)) < thr)
   }
+
+  def domainMix(docs: DataFrame): DataFrame =
+    mixFilter(docs.select(col("doc_id"), col("lang"), col("source")),
+      "doc_id", "lang", MixWeights.toMap, MixDen)
 
   def domainMixSample(spark: SparkSession, dir: String): DataFrame =
     domainMix(Tables.documents(spark, dir))

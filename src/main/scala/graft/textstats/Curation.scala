@@ -1,6 +1,6 @@
 package graft.textstats
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -32,7 +32,13 @@ object Curation {
 
   val MinQuality = 0.55
 
-  def curate(docs: DataFrame): DataFrame = {
+  def curate(docs: DataFrame): DataFrame = curate(docs, Nil)
+
+  /** Curate, additionally threading caller expressions (name →
+    * expression over `docs`) through the SINGLE corpus scan — the q142
+    * pipeline carries lang/source/n_tok this way so downstream stages
+    * (mix, pack) never rescan the fact. */
+  def curate(docs: DataFrame, extras: Seq[(String, Column)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // md5 carried as two 60-bit long halves (120 bits — same collision
     // class as the full digest for grouping purposes): a string carry
@@ -40,13 +46,15 @@ object Curation {
     // (string agg buffers aren't hash-aggregable); longs keep it a
     // map-side-combined HashAggregate.
     val h = md5(col("text"))
-    val base = docs.select(
+    val base = docs.select(Seq(
       col("doc_id"),
       split(col("text"), " ").as("ws"),
       conv(substring(h, 1, 15), 16, 10).cast("long").as("th1"),
       conv(substring(h, 16, 15), 16, 10).cast("long").as("th2"),
-      TextStats.qualityScoreExpr(col("text")).as("quality_score"))
-    TextStats.repetitionCore(base, carry = Seq("th1", "th2", "quality_score"))
+      TextStats.qualityScoreExpr(col("text")).as("quality_score")) ++
+      extras.map { case (n, c) => c.as(n) }: _*)
+    TextStats.repetitionCore(base,
+        carry = Seq("th1", "th2", "quality_score") ++ extras.map(_._1))
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy(col("th1"), col("th2"))))
       .withColumn("drop_reason",
@@ -54,8 +62,9 @@ object Curation {
           .when(col("repetition_pass") === 0, "repetition")
           .when(col("quality_score") < MinQuality, "quality"))
       .withColumn("keep", col("drop_reason").isNull.cast("int"))
-      .select(col("doc_id"), col("keep"), col("drop_reason"),
-        col("canonical_id"), col("quality_score"))
+      .select(Seq(col("doc_id"), col("keep"), col("drop_reason"),
+        col("canonical_id"), col("quality_score")) ++
+        extras.map(e => col(e._1)): _*)
   }
 
   def curate(spark: SparkSession, dir: String): DataFrame =

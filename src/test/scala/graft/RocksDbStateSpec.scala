@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §4 names RocksDB as the production state backend for the
+  * streaming twins (bounded-state claims should not depend on the
+  * default HDFS-backed in-memory store); r9 verdict #4 asked for a
+  * spec actually EXERCISING it. Re-runs the 18n cusum parity twin with
+  * `spark.sql.streaming.stateStore.providerClass` flipped to
+  * RocksDBStateStoreProvider — the provider is captured per query at
+  * start, so the session conf is set before `.start()` and restored
+  * after (sibling suites keep the default). Same batch-parity
+  * assertion as StreamingSpec's: the backend must be semantically
+  * invisible. */
+class RocksDbStateSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+
+  val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  test("18n cusumStream parity holds on the RocksDB state backend") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DriftStream
+    import graft.streaming.DriftStream.CusumEvent
+    val dir001 = "/root/testdata/sf0.001"
+    val (t, k, h) = (5000L, 1500L, 20000L)
+    val batch = operators.Changepoint.cusum(
+      Tables.events(spark, dir001), "event_type", "ts", "event_id",
+      "value", t, k, h)
+      .filter(col("alarm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("tie"))) ->
+        (r.getLong(r.fieldIndex("s_up")), r.getLong(r.fieldIndex("s_dn")),
+          r.getString(r.fieldIndex("dir"))))
+      .toMap
+    val feed = Tables.events(spark, dir001)
+      .select(col("ts"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => CusumEvent(r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.seq))
+    val prior = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val input = MemoryStream[CusumEvent]
+      val q = DriftStream.cusumStream(input.toDS(), t, k, h).writeStream
+        .format("memory").queryName("cusum_alarms_rocksdb")
+        .outputMode("append").start()
+      try {
+        // RocksDB must actually be the engaged provider, not a silent
+        // fallback — the running query's conf echoes what was captured
+        assert(q.sparkSession.conf.get(ProviderKey) == RocksDb)
+        feed.grouped(math.max(1, feed.length / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+        val got = spark.table("cusum_alarms_rocksdb").collect()
+          .map(r => (r.getString(0), r.getLong(r.fieldIndex("seq"))) ->
+            (math.round(r.getDouble(r.fieldIndex("s_up")) * 100),
+              math.round(r.getDouble(r.fieldIndex("s_dn")) * 100),
+              r.getString(r.fieldIndex("dir"))))
+          .toMap
+        assert(got.size == batch.size,
+          s"alarm count ${got.size} != batch ${batch.size}")
+        assert(got == batch,
+          "RocksDB-backed alarms must equal the batch alarm rows")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+}

@@ -92,15 +92,20 @@ class Round9PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
-  test("q130 funnel time: first-passage chain shares ONE per-user exchange") {
+  test("q130 funnel time: banded gap-cell stats — broadcast-only joins") {
+    // r10: the gap-cell order statistics run as a BandedCumsum +
+    // broadcast totals (gap cells aren't usefully range-bounded); the
+    // per-user first-passage chain lives UPSTREAM of the cell
+    // checkpoint, so the final plan is offsets + totals + the banded
+    // window — no shuffled join, every window banded
     val p = physical(operators.FunnelTime.eventStepTimes(spark, dir))
-    assert(!p.contains("Join"), "the chain is windows + aggregates — no join")
-    // the three chained min-CASE layers partition identically: one
-    // exchange by user feeds them all; the gap-cell stats add one
-    // exchange by pair
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 3,
-      s"user chain + cell aggregate + pair window exchanges only, got $exchanges")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "band offsets and pair totals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val bandless = p.linesIterator.filter(_.contains("- Window ["))
+      .filterNot(_.contains("__band")).toSeq
+    assert(bandless.isEmpty,
+      s"post-checkpoint windows must band, got ${bandless.mkString("; ")}")
     assert(!p.contains("SortAggregate"))
   }
 
