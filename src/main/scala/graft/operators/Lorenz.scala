@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -22,9 +21,11 @@ import graft.Tables
   * rule — Lorenz is undefined under negatives).
   *
   * Plan/scale: observations collapse to (group, value) cells first
-  * (value-range-bounded), one group-partitioned cumulative window,
-  * broadcast group totals, a 10-row literal decile frame, and a
-  * per-(group, decile) first-qualifying-cell election. */
+  * (value-range-bounded, checkpointed), a BANDED cumulative pair over
+  * the cells (BandedCumsum — per-task cap even at range saturation),
+  * broadcast group totals (carrying the CellGuard), a 10-row literal
+  * decile frame, and a min(struct) first-qualifying-cell election
+  * (no per-(group, decile) window). */
 object Lorenz {
 
   /** Per-group decile Lorenz points over exact integer `valCol`.
@@ -33,6 +34,11 @@ object Lorenz {
     * loudly instead of building a corpus-cardinality window. */
   def lorenzDeciles(obs: DataFrame, groupCol: String, valCol: String,
       maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
+    // r10: the per-group cumulative pair is a BandedCumsum and the
+    // first-qualifying-cell election a min(struct) aggregate — the
+    // previous per-group and per-(group, decile) windows put a whole
+    // group's cell frame in one task (range-bounded, but serial once
+    // the range saturates)
     val cells = obs
       .selectExpr(s"$groupCol AS g", s"$valCol AS v")
       .filter("v > 0")
@@ -40,32 +46,31 @@ object Lorenz {
       .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"),
         expr("CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0))")
           .as("sv"))
-    val wCum = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .localCheckpoint(true) // totals + the banded cumulative share it
     val tot = cells.groupBy("g")
       .agg(expr("CAST(sum(cnt) AS BIGINT)").as("n"),
-        expr("CAST(sum(sv) AS DECIMAL(38,0))").as("tv"))
-    val wFirst = Window.partitionBy("g", "dec").orderBy("cum_cnt")
-    cells
-      .withColumn("cum_cnt", sum("cnt").over(wCum))
-      .withColumn("cum_sv", sum("sv").over(wCum))
-      .withColumn("n_cells",
-        count(lit(1)).over(Window.partitionBy("g")))
+        expr("CAST(sum(sv) AS DECIMAL(38,0))").as("tv"),
+        expr("CAST(count(1) AS BIGINT)").as("n_cells"))
       .filter(expr(CellGuard.sqlGuard("lorenzDeciles", "n_cells", maxCells)))
-      .drop("n_cells")
+    BandedCumsum
+      .cumsum(cells, Seq("g"), "v", Seq("cnt", "sv"), inputCheckpointed = true)
       .join(broadcast(tot), "g")
       .select(col("g"), col("v"), col("cnt"), col("sv"),
         col("cum_cnt"), col("cum_sv"), col("n"), col("tv"),
         explode(expr("sequence(1, 10)")).as("dec"))
       .withColumn("m", expr("(dec * n + 9) div 10"))
       .filter("cum_cnt >= m")
-      .withColumn("rn", row_number().over(wFirst))
-      .filter(col("rn") === 1)
-      .selectExpr("g", "CAST(dec AS INT) AS decile", "n AS n_members",
-        "round(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 6)" +
+      // first qualifying cell = min cum_cnt among qualifiers (cum_cnt
+      // is strictly increasing over a group's cells, so the struct min
+      // is the q117-style deterministic election — no (g, dec) window)
+      .groupBy("g", "dec")
+      .agg(min(struct(col("cum_cnt"), col("v"), col("cnt"), col("sv"),
+        col("cum_sv"), col("n"), col("tv"), col("m"))).as("s"))
+      .selectExpr("g", "CAST(dec AS INT) AS decile", "s.n AS n_members",
+        "round(CAST(s.m AS DOUBLE) / CAST(s.n AS DOUBLE), 6)" +
           " + 0.0 AS pop_share",
-        "round(CAST(cum_sv - sv + (m - (cum_cnt - cnt)) * v AS DOUBLE)" +
-          " / CAST(tv AS DOUBLE), 6) + 0.0 AS value_share")
+        "round(CAST(s.cum_sv - s.sv + (s.m - (s.cum_cnt - s.cnt)) * s.v" +
+          " AS DOUBLE) / CAST(s.tv AS DOUBLE), 6) + 0.0 AS value_share")
   }
 
   /** q123: account-balance concentration curve per market segment —

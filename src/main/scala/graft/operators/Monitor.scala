@@ -178,28 +178,35 @@ object Monitor {
     * denominator with G unbounded). Single-value groups → G = 0;
     * empty → no row.
     *
-    * Plan: one scan → cell aggregate; the cumulative window runs over
-    * CELLS per group — bounded by the value RANGE in cents (e.g.
-    * ~1.1M cells for a ±10k money column), never by row count.
-    * CellGuard-ed: a continuous value column (cells ≈ rows) fails
-    * loudly instead of building a corpus-cardinality window. */
+    * Plan: one scan → cell aggregate (bounded by the value RANGE in
+    * cents — e.g. ~1.1M cells for a ±10k money column — never by row
+    * count, checkpointed) → BANDED strictly-below cumulative pair
+    * (BandedCumsum inclusive sums minus the current cell; per-task
+    * cap even at range saturation) → final aggregate. CellGuard-ed:
+    * a continuous value column (cells ≈ rows) fails loudly. */
   def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
       maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
-    val w = Window.partitionBy("g").orderBy("xc")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df
+    // r10: the strictly-below cumulative pair is a BandedCumsum —
+    // inclusive banded running sums minus the current cell, replacing
+    // the per-group window (range-bounded but serial at saturation);
+    // the CellGuard rides the dimension-grade guard aggregate
+    val cells = df
       .filter(col(valueCol).isNotNull && col(valueCol) > 0)
       .select(col(groupCol).as("g"),
         expr(s"CAST(floor($valueCol * 1e2) AS BIGINT)").as("xc"))
       .groupBy("g", "xc").agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
-      .withColumn("n_cells",
-        count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("pxc", expr("CAST(CAST(cnt AS DECIMAL(38,0)) * xc" +
+        " AS DECIMAL(38,0))"))
+      .localCheckpoint(true) // guard totals + the banded cumulative
+    val guard = cells.groupBy("g")
+      .agg(expr("CAST(count(1) AS BIGINT)").as("n_cells"))
       .filter(expr(CellGuard.sqlGuard("giniByGroup", "n_cells", maxCells)))
-      .drop("n_cells")
-      .withColumn("cumcnt", coalesce(sum("cnt").over(w), lit(0L)))
-      .withColumn("cumsum", coalesce(
-        sum(expr("CAST(cnt AS DECIMAL(38,0)) * xc")).over(w),
-        expr("CAST(0 AS DECIMAL(38,0))")))
+    BandedCumsum
+      .cumsum(cells, Seq("g"), "xc", Seq("cnt", "pxc"),
+        inputCheckpointed = true)
+      .join(broadcast(guard), "g")
+      .withColumn("cumcnt", expr("cum_cnt - cnt"))
+      .withColumn("cumsum", expr("CAST(cum_pxc - pxc AS DECIMAL(38,0))"))
       .withColumn("t", expr(
         "CAST(cnt AS DECIMAL(38,0)) * (CAST(xc AS DECIMAL(38,0)) * cumcnt - cumsum)"))
       .groupBy("g")

@@ -27,10 +27,12 @@ import graft.Tables
   * ≤ 10-term sum (a double sum is order-sensitive — the q139 rule);
   * one shared final de-scale.
   *
-  * Plan/scale: one (segment, value-cell, period) cell aggregate → one
-  * per-segment cumulative cell window (q126 shape) → dimension-grade
-  * edge election → broadcast edge join back onto the CELLS (not the
-  * fact) → 10-bin spine aggregate. The fact is scanned once. Cells
+  * Plan/scale: one (segment, value-cell, period) cell aggregate
+  * (checkpointed) → BANDED baseline cumulative (BandedCumsum —
+  * per-task cap even at range saturation) + broadcast totals →
+  * dimension-grade edge election → broadcast edge join back onto the
+  * CELLS (not the fact) → 10-bin spine aggregate. The fact is
+  * scanned once. Cells
   * key on `floor(value · scale)` — `scaleSql` is the quantize-first
   * knob (r9 verdict: cent cells of a near-unique fact column are
   * order-cardinality; q141 now bins WHOLE DOLLARS, whose cell count
@@ -60,18 +62,19 @@ object Psi {
       .agg(expr("CAST(sum(1 - pb) AS BIGINT)").as("ca"),
         expr("CAST(sum(pb) AS BIGINT)").as("cb"))
       .localCheckpoint(true) // edges + totals + bin counts all read it
-    val withCum = cells
-      .selectExpr("g", "v", "ca", "cb",
-        "CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na",
-        "CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb",
-        // cell-count guard shares the partition-only window spec with
-        // na/nb — same Window op, no extra pass
-        "CAST(count(1) OVER (PARTITION BY g) AS BIGINT) AS n_cells",
-        "sum(ca) OVER (PARTITION BY g ORDER BY v" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a")
+    // r10: baseline totals + the CellGuard ride one dimension-grade
+    // aggregate broadcast back; the baseline cumulative is a
+    // BandedCumsum — per-task cap even at value-range saturation
+    val tot = cells.groupBy("g")
+      .agg(expr("CAST(sum(ca) AS BIGINT)").as("na"),
+        expr("CAST(sum(cb) AS BIGINT)").as("nb"),
+        expr("CAST(count(1) AS BIGINT)").as("n_cells"))
       .filter(expr(CellGuard.sqlGuard("psi", "n_cells", maxCells)))
+    val withCum = BandedCumsum
+      .cumsum(cells, Seq("g"), "v", Seq("ca"), inputCheckpointed = true)
+      .join(broadcast(tot), "g")
     val edgeAggs = (1 to 9).map(k =>
-      expr(s"CAST(min(CASE WHEN cum_a >= ($k * na + 9) div 10 THEN v END)" +
+      expr(s"CAST(min(CASE WHEN cum_ca >= ($k * na + 9) div 10 THEN v END)" +
         s" AS BIGINT)").as(s"e$k")) ++
       Seq(expr("CAST(max(na) AS BIGINT)").as("na"),
         expr("CAST(max(nb) AS BIGINT)").as("nb"))

@@ -29,8 +29,14 @@ object Rfm {
 
   /** Per-customer RFM frame with quintile scores and segment label.
     * `obs` columns: (k, rec, freq, mon_c) — integer recency, count,
-    * cents. */
-  def score(obs: DataFrame): DataFrame = {
+    * cents. CellGuard-ed (r10): the three metric cell frames ride
+    * GLOBAL cumulative windows, bounded only by each metric's value
+    * range (recency calendar ~10³, frequency per-customer load,
+    * monetary whole dollars ≲5·10⁶) — a caller feeding an
+    * unquantized metric fails loudly instead of funneling a
+    * customer-cardinality frame through one task. */
+  def score(obs: DataFrame,
+            maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     // customer-dimension frame consumed FIVE times (n + three metric
     // cell builds + the final score join): checkpoint so the upstream
     // fact aggregation runs once (no CSE across repeated frames)
@@ -39,9 +45,15 @@ object Rfm {
     def cells(metric: String): DataFrame = {
       val w = Window.orderBy(metric)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // whole-partition count shares the one global window spec
+      val wAll = Window.orderBy(metric)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       o.groupBy(col(metric))
         .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
         .withColumn("cum_le", sum("cnt").over(w))
+        .withColumn("n_cells", count(lit(1)).over(wAll))
+        .filter(expr(CellGuard.sqlGuard(s"rfm:$metric", "n_cells", maxCells)))
+        .drop("n_cells")
     }
     val n = o.agg(expr("CAST(count(1) AS BIGINT)").as("n"))
     val rScores = cells("rec").crossJoin(broadcast(n))

@@ -105,9 +105,12 @@ object Robust {
     * by the slope and residual paths) → per-group cell self-join +
     * two cardinality-bounded windows partitioned by g. Precondition:
     * |cells|² per group must be dimension-grade — quantize continuous
-    * columns first (q47) at 100 TB. */
+    * columns first (q47) at 100 TB; since r10 the precondition is
+    * ENFORCED: a CellGuard raise_error fires when the slope-cell
+    * frame a group's window must swallow exceeds maxCells. */
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String,
+      maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -129,6 +132,9 @@ object Robust {
     val mFit = slopes
       .withColumn("cum", sum("w").over(cum))
       .withColumn("wtot", sum("w").over(tot))
+      // guard shares the whole-partition spec — no extra pass
+      .withColumn("n_cells", count(lit(1)).over(tot))
+      .filter(expr(CellGuard.sqlGuard("theilSen", "n_cells", maxCells)))
       .filter(expr("2 * cum >= wtot"))
       .groupBy("g").agg(min("slope").as("m"))
     val rcum = Window.partitionBy("g").orderBy("r")

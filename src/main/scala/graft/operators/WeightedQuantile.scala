@@ -21,10 +21,12 @@ import graft.Tables
   *
   * Plan/scale: observations collapse to (group, value) CELLS first —
   * the q47 quantize-first discipline bounds cells by the value RANGE,
-  * not the row count — then one window partitioned BY GROUP over its
-  * own cells, a broadcast group-total join, and one min-CASE
-  * aggregate per quantile. Weighted mean ships from the same exact
-  * sums with ONE shared-text division. */
+  * not the row count — then a BANDED cumulative weight over the
+  * checkpointed cells (BandedCumsum: per-task cap even at range
+  * saturation), a broadcast group-total join (carrying the
+  * CellGuard), and one min-CASE aggregate per quantile. Weighted
+  * mean ships from the same exact sums with ONE shared-text
+  * division. */
 object WeightedQuantile {
 
   /** Per-group weighted quantiles of `valCol` (exact integer,
@@ -34,6 +36,9 @@ object WeightedQuantile {
       wCol: String, pcts: Seq[Int],
       maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100))
+    // r10: the per-group cumulative-weight window is a BandedCumsum
+    // (per-task cap independent of value-range saturation); totals +
+    // the CellGuard ride one dimension-grade aggregate broadcast back
     val cells = obs
       .selectExpr(s"$groupCol AS g", s"$valCol AS v", s"$wCol AS w")
       .filter("v IS NOT NULL AND w > 0")
@@ -42,25 +47,20 @@ object WeightedQuantile {
         .as("sw"),
         expr("CAST(sum(CAST(v AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))")
           .as("svw"))
-    val wCum = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .localCheckpoint(true) // totals + the banded cumulative share it
     val tot = cells.groupBy("g")
       .agg(expr("CAST(sum(sw) AS DECIMAL(38,0))").as("wt"),
-        expr("CAST(sum(svw) AS DECIMAL(38,0))").as("svt"))
+        expr("CAST(sum(svw) AS DECIMAL(38,0))").as("svt"),
+        expr("CAST(count(1) AS BIGINT)").as("n_cells"))
+      .filter(expr(CellGuard.sqlGuard("weightedQuantiles", "n_cells", maxCells)))
     val quantAggs = pcts.map(p =>
-      expr(s"CAST(min(CASE WHEN 100 * cum >= $p * wt THEN v END)" +
+      expr(s"CAST(min(CASE WHEN 100 * cum_sw >= $p * wt THEN v END)" +
         s" AS BIGINT)").as(s"p$p"))
     val aggs = quantAggs :+
       expr("CAST(max(wt) AS DECIMAL(38,0))").as("wt_out") :+
       expr("CAST(max(svt) AS DECIMAL(38,0))").as("svt_out")
-    cells
-      .withColumn("cum", sum("sw").over(wCum))
-      // CellGuard: cells ≈ rows means the per-group window above is the
-      // corpus-cardinality wall — fail loudly (shares the g exchange)
-      .withColumn("n_cells",
-        count(lit(1)).over(Window.partitionBy("g")))
-      .filter(expr(CellGuard.sqlGuard("weightedQuantiles", "n_cells", maxCells)))
-      .drop("n_cells")
+    BandedCumsum
+      .cumsum(cells, Seq("g"), "v", Seq("sw"), inputCheckpointed = true)
       .join(broadcast(tot), "g")
       .groupBy("g")
       .agg(aggs.head, aggs.tail: _*)

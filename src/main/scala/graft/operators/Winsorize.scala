@@ -25,9 +25,11 @@ import graft.Tables
   * final divide is shared text.
   *
   * Plan/scale: one map-side-combined aggregate to (group, value)
-  * cells, one cumulative window over cells (partition per group,
-  * cell-bounded — the q108/q120/q123 shape), a dimension-grade bound
-  * election, and one cell aggregate. The fact is scanned once; no
+  * cells (checkpointed — totals, the banded running count, and the
+  * clamp aggregate all read it), a BANDED cumulative over the cells
+  * (BandedCumsum — per-task cap independent of how far the value
+  * range saturates), dimension-grade totals/bound election broadcast
+  * back, and one cell aggregate. The fact is scanned once; no
   * row-level window, no interpolation, no collect.
   */
 object Winsorize {
@@ -40,35 +42,38 @@ object Winsorize {
                      pPct: Int = 5,
                      maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(pPct >= 1 && pPct < 50, s"pPct must be in [1,50), got $pPct")
-    // one linear pipeline: cell aggregate → two window layers (totals
-    // + running count, then bound election) → final cell aggregate.
-    // Totals and bounds are NOT separate aggregates joined back — that
-    // would duplicate the fact-scan subtree (Spark does not CSE
-    // repeated frames); every layer shares the one per-group exchange.
+    // r10: cell aggregate → ONE checkpoint shared by totals, the
+    // BANDED running count, and the final clamp aggregate. The per-
+    // group windows (running count + whole-partition totals + bound
+    // election) put each group's ENTIRE cell frame in one task —
+    // range-bounded (~10⁷ cents), but needlessly serial once the
+    // range saturates; totals/bounds are now dimension-grade
+    // aggregates broadcast back, and the running count a BandedCumsum
+    // (absolute per-task cap), completing the family's 100× story
+    // beyond the CellGuard backstop.
     val cells = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         expr(s"CAST(floor($valueCol * 100) AS BIGINT)").as("vi"))
       .groupBy("g", "vi")
       .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
-      // layer 1: running count + the two whole-partition totals (one
-      // projection so the same-spec exprs collapse into one Window op)
-      .selectExpr("g", "vi", "cnt",
-        "CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n",
-        "CAST(sum(vi * cnt) OVER (PARTITION BY g) AS BIGINT) AS sv",
-        // cell-count guard shares the partition-only spec — no extra pass
-        "CAST(count(1) OVER (PARTITION BY g) AS BIGINT) AS n_cells",
-        "sum(cnt) OVER (PARTITION BY g ORDER BY vi" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+      .localCheckpoint(true)
+    val tot = cells.groupBy("g")
+      .agg(expr("CAST(sum(cnt) AS BIGINT)").as("n"),
+        expr("CAST(sum(vi * cnt) AS BIGINT)").as("sv"),
+        expr("CAST(count(1) AS BIGINT)").as("n_cells"))
       .filter(expr(CellGuard.sqlGuard("winsorizedMean", "n_cells", maxCells)))
-      // layer 2: bound election needs cum, so it is necessarily a
-      // second pass — both bounds share one spec
-      .selectExpr("g", "vi", "cnt", "n", "sv",
-        s"min(CASE WHEN cum >= ($pPct * n + 99) div 100 THEN vi END)" +
-          " OVER (PARTITION BY g) AS lo",
-        s"min(CASE WHEN cum >= ((100 - $pPct) * n + 99) div 100 THEN vi END)" +
-          " OVER (PARTITION BY g) AS hi")
+    val bounds = BandedCumsum
+      .cumsum(cells, Seq("g"), "vi", Seq("cnt"), inputCheckpointed = true)
+      .join(broadcast(tot), "g")
+      .groupBy("g")
+      .agg(
+        expr(s"CAST(min(CASE WHEN cum_cnt >= ($pPct * n + 99) div 100" +
+          " THEN vi END) AS BIGINT)").as("lo"),
+        expr(s"CAST(min(CASE WHEN cum_cnt >= ((100 - $pPct) * n + 99)" +
+          " div 100 THEN vi END) AS BIGINT)").as("hi"))
     cells
+      .join(broadcast(bounds), "g").join(broadcast(tot), "g")
       .groupBy("g")
       .agg(
         expr("CAST(max(n) AS BIGINT)").as("n_rows"),

@@ -65,6 +65,48 @@ class BandedCumsumSpec extends AnyFunSuite {
       s"window without the band in its spec: ${bandless.mkString("; ")}")
   }
 
+  test("rowNumber ≡ window row_number: asc key, every band width") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = dense.toDF("g", "k", "a", "b")
+    val want = df.withColumn("rn",
+        row_number().over(W.partitionBy("g").orderBy("k")))
+      .select("g", "k", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong))
+      .sortBy(r => (r._1, r._2)).toSeq
+    for (bw <- Seq(1L, 16L, 1L << 16)) {
+      val got = BandedCumsum.rowNumber(df, Seq("g"),
+          expr(s"k div ${bw}L"), Seq(col("k")), "rn")
+        .select("g", "k", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"bandWidth=$bw diverged")
+    }
+  }
+
+  test("rowNumber ≡ rank on a tie-free DESC composite order (q7 shape)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // values deliberately collide so the composite tiebreak matters
+    val rows = (1L to 200L).map(k => ("g", k, (k % 13) * 100))
+    val df = rows.toDF("g", "k", "cents")
+    val want = df.withColumn("r",
+        rank().over(W.partitionBy("g").orderBy(col("cents").desc, col("k"))))
+      .select("g", "k", "r").collect()
+      .map(r => (r.getLong(1), r.getInt(2).toLong)).sortBy(_._1).toSeq
+    val got = BandedCumsum.rowNumber(df, Seq("g"),
+        expr("(-cents) div 3"), Seq(col("cents").desc, col("k")), "r")
+      .select("g", "k", "r").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("empty input: cumsum and rowNumber yield empty, no errors") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long, Long)].toDF("g", "k", "a", "b")
+    assert(BandedCumsum.cumsum(empty, Seq("g"), "k", Seq("a")).count() == 0)
+    assert(BandedCumsum.rowNumber(empty, Seq("g"), expr("k div 2"),
+      Seq(col("k")), "rn").count() == 0)
+  }
+
   test("q137 heaps is bandWidth-invariant (structural exactness)") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)

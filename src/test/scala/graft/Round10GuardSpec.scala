@@ -54,6 +54,14 @@ class Round10GuardSpec extends AnyFunSuite {
       "giniByGroup")
   }
 
+  test("guard fires on continuous values: rfm metric cells") {
+    import spark.implicits._
+    val obs = (1 to 40)
+      .map(i => (i.toLong, (i.toLong * 7919) % 10007, 2L, 1000L + i))
+      .toDF("k", "rec", "freq", "mon_c")
+    assertGuardFires(operators.Rfm.score(obs, maxCells = 8).collect(), "rfm:")
+  }
+
   test("guard fires on continuous values: psi") {
     val df = (1 to 40).map(i => ("g1", 100.0 + i * 1.37, i % 2 == 0))
       .toDF("seg", "v", "cur")
@@ -71,6 +79,16 @@ class Round10GuardSpec extends AnyFunSuite {
         maxCells = 1000000L)
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(loose == tight)
+  }
+
+  test("guard fires on continuous values: theil-sen slope cells") {
+    // 30 x-distinct points with irrational-ish y → ~C(30,2) distinct
+    // slopes in one group, far past cap 8
+    val pts = (1 to 30).map(i => ("g1", i.toDouble, i * i * 1.37))
+      .toDF("seg", "x", "y")
+    assertGuardFires(
+      operators.Robust.theilSen(pts, "seg", "x", "y", maxCells = 8).collect(),
+      "theilSen")
   }
 
   test("psi: EMPTY baseline segment reports NULL psi + 'no_baseline'") {

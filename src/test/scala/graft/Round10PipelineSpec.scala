@@ -66,6 +66,26 @@ class Round10PipelineSpec extends AnyFunSuite {
       s"pack offsets must run banded, got: ${bandless.mkString("; ")}")
   }
 
+  test("degenerate: empty corpus flows through every stage as 0 rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Pipeline.trainingPipeline(empty).count() == 0)
+  }
+
+  test("degenerate: corpus fully dropped by curation yields 0 rows") {
+    import spark.implicits._
+    // identical ultra-repetitive texts: the canonical survives dedup
+    // but fails the Gopher repetition gate; all others are dups
+    val docs = (1L to 12L)
+      .map(i => (i, Array.fill(40)("spam").mkString(" "), "en", "web", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val verdicts = Curation.curate(docs)
+    assert(verdicts.filter(col("keep") === 1).count() == 0,
+      "fixture must exercise the all-dropped path")
+    assert(Pipeline.trainingPipeline(docs).count() == 0)
+  }
+
   test("mix stage re-rates over the CURATED counts, not the raw corpus") {
     // the pipeline's budget is half the KEPT count; q60's is half the
     // raw corpus — with drops present the sampled set must differ from

@@ -72,14 +72,14 @@ class Round10WindowAuditSpec extends AnyFunSuite {
       "bounded, frequency count-bounded, monetary dollar-range (≲5e6)"),
     "q48_histogram" -> "value cells: range-bounded + quantized input",
     "q93_quantile_cdf" -> "value cells: range-bounded; integrality guard",
-    "q108_gini" -> "value cells: range-bounded; CellGuard (r10)",
-    "q120_wquantile" -> "value cells: whole-dollar range; CellGuard (r10)",
-    "q123_lorenz" -> "value cells: range-bounded; CellGuard (r10)",
-    "q126_winsorize" -> "value cells: cent range; CellGuard (r10)",
-    "q141_psi" -> "value cells: whole-dollar range (r10 fix); CellGuard",
+    "q108_gini" -> "(g, band) value cells: BandedCumsum cap + CellGuard (r10)",
+    "q120_wquantile" -> "(g, band) value cells: BandedCumsum cap + CellGuard (r10)",
+    "q123_lorenz" -> "(g, band) value cells: BandedCumsum cap + CellGuard (r10)",
+    "q126_winsorize" -> "(g, band) value cells: BandedCumsum cap + CellGuard (r10)",
+    "q141_psi" -> "(g, band) whole-dollar cells: BandedCumsum cap + CellGuard (r10)",
     "q16_percentiles" -> "value cells: range-bounded cent cells",
     "q71_mad_outliers" -> "value cells: range-bounded cent cells",
-    "q102_theil_sen" -> "pair cells over bounded value grid",
+    "q102_theil_sen" -> "slope cells over bounded value grid; CellGuard (r10)",
     "q117_pareto" -> "(band) partitions: bandWidth is the documented knob",
     "q137_heaps" -> "(g, band) partitions: BandedCumsum absolute cap (r10)",
     "q142_pipeline" -> "(shard, band) partitions: BandedCumsum absolute cap",

@@ -49,16 +49,17 @@ class Round9PlanSpec extends AnyFunSuite {
     assert(shuffled <= 1, s"only the doc-pair join may shuffle, got $shuffled")
   }
 
-  test("q126 winsorize: one linear pipeline — no joins, shared cell exchange") {
+  test("q126 winsorize: banded cells — broadcast-only joins, banded windows") {
+    // r10: totals/bounds are dimension-grade aggregates broadcast back
+    // and the running count a BandedCumsum over the checkpointed cells
     val p = physical(operators.Winsorize.lineitemWinsorized(spark, dir))
-    assert(!p.contains("Join"),
-      "totals/bounds derive from windows over the cells — no join-back")
-    val windows = p.linesIterator.count(_.contains("- Window ["))
-    assert(windows >= 2 && windows <= 4,
-      s"totals + cum + bound layers over one exchange, got $windows")
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 2,
-      s"cell aggregate + one per-group window exchange, got $exchanges")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "totals/bounds/offsets must broadcast back onto the cells")
+    assert(!p.contains("CartesianProduct"))
+    val bandless = p.linesIterator.filter(_.contains("- Window ["))
+      .filterNot(_.contains("__band")).toSeq
+    assert(bandless.isEmpty,
+      s"every window must partition on the band, got ${bandless.mkString("; ")}")
     assert(p.contains("HashAggregate"))
   }
 
