@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,12 +28,12 @@ object Rfm {
 
   /** Per-customer RFM frame with quintile scores and segment label.
     * `obs` columns: (k, rec, freq, mon_c) — integer recency, count,
-    * cents. CellGuard-ed (r10): the three metric cell frames ride
-    * GLOBAL cumulative windows, bounded only by each metric's value
-    * range (recency calendar ~10³, frequency per-customer load,
-    * monetary whole dollars ≲5·10⁶) — a caller feeding an
-    * unquantized metric fails loudly instead of funneling a
-    * customer-cardinality frame through one task. */
+    * cents. r10: the three metric cumulatives run BANDED
+    * (BandedCumsum — per-task cap even where a metric's value range
+    * saturates: recency calendar ~10³, frequency per-customer load,
+    * monetary whole dollars ≲5·10⁶) and are CellGuard-ed — a caller
+    * feeding an unquantized metric fails loudly instead of funneling
+    * a customer-cardinality frame through one task. */
   def score(obs: DataFrame,
             maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
     // customer-dimension frame consumed FIVE times (n + three metric
@@ -42,18 +41,22 @@ object Rfm {
     // fact aggregation runs once (no CSE across repeated frames)
     val o = obs.withColumn("mon_d", expr("mon_c div 100"))
       .localCheckpoint(true)
+    // r10: each metric's global cumulative runs BANDED (BandedCumsum
+    // with an empty partition — offsets live on the band dimension),
+    // and the CellGuard rides a 1-row guard aggregate crossed in (the
+    // q94 single-row-build convention) — no task ever holds a whole
+    // metric's cell frame
     def cells(metric: String): DataFrame = {
-      val w = Window.orderBy(metric)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // whole-partition count shares the one global window spec
-      val wAll = Window.orderBy(metric)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      o.groupBy(col(metric))
+      val c = o.groupBy(col(metric))
         .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
-        .withColumn("cum_le", sum("cnt").over(w))
-        .withColumn("n_cells", count(lit(1)).over(wAll))
+        .localCheckpoint(true) // guard + the banded cumulative share it
+      val guard = c.agg(count(lit(1)).as("n_cells"))
         .filter(expr(CellGuard.sqlGuard(s"rfm:$metric", "n_cells", maxCells)))
-        .drop("n_cells")
+        .select(lit(1).as("__ok"))
+      BandedCumsum.cumsum(c, Nil, metric, Seq("cnt"), inputCheckpointed = true)
+        .withColumnRenamed("cum_cnt", "cum_le")
+        .crossJoin(broadcast(guard))
+        .drop("__ok")
     }
     val n = o.agg(expr("CAST(count(1) AS BIGINT)").as("n"))
     val rScores = cells("rec").crossJoin(broadcast(n))

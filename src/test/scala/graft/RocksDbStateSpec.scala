@@ -76,4 +76,52 @@ class RocksDbStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("18o twapStream parity holds on the RocksDB state backend") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TwapStream
+    import graft.streaming.TwapStream.TwapEvent
+    val dir001 = "/root/testdata/sf0.001"
+    val batch = operators.Twap.userTwap(spark, dir001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    val feed = Tables.events(spark, dir001)
+      .filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "value")
+      .collect()
+      .map(r => TwapEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(e => (e.us, e.tie))
+    val prior = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val input = MemoryStream[TwapEvent]
+      val q = TwapStream.twapStream(input.toDS()).writeStream
+        .format("memory").queryName("twap_rows_rocksdb")
+        .outputMode("update").start()
+      try {
+        assert(q.sparkSession.conf.get(ProviderKey) == RocksDb)
+        feed.grouped(math.max(1, feed.length / 3)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+        val got = spark.table("twap_rows_rocksdb").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+          .groupBy(_._1).map { case (u, rs) =>
+            u -> rs.map(_._2).maxBy(_._1)
+          }
+        assert(got.keySet == batch.keySet)
+        got.foreach { case (u, row) =>
+          assert(row == batch(u), s"user $u: rocksdb $row vs batch ${batch(u)}")
+        }
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
 }

@@ -68,8 +68,8 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q7_group_index" -> "(nation, key-band): BandedCumsum.rowNumber cap (r10)",
     "q47_ntile_bin" -> "(nation, cent-band): banded row_number + exact ntile (r10)",
     "q130_funnel_time" -> "(pair, gap-band): BandedCumsum absolute cap (r10)",
-    "q114_rfm" -> ("global windows over VALUE CELLS: recency calendar-" +
-      "bounded, frequency count-bounded, monetary dollar-range (≲5e6)"),
+    "q114_rfm" -> ("(band) metric cells: BandedCumsum cap + CellGuard;" +
+      " recency/frequency/monetary ranges bounded (r10)"),
     "q48_histogram" -> "value cells: range-bounded + quantized input",
     "q93_quantile_cdf" -> "value cells: range-bounded; integrality guard",
     "q108_gini" -> "(g, band) value cells: BandedCumsum cap + CellGuard (r10)",
