@@ -82,7 +82,11 @@ object Chunking {
     * sum over a 100 TB corpus — data is sharded and each worker packs
     * its shard independently, sequence ids namespaced by shard. That
     * makes the plan one partitioned window (cumulative sum per shard),
-    * embarrassingly parallel, with no partition-less window anywhere. */
+    * embarrassingly parallel, with no partition-less window anywhere.
+    * `PackShards` is the parallelism knob; when shards must stay few
+    * relative to the corpus, the per-shard offset itself can run
+    * banded — [[Pipeline.trainingPipeline]] packs exactly that way via
+    * [[BandedCumsum]] (r10), keeping every window task band-bounded. */
   def pack(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -247,4 +247,35 @@ class PropertySpec extends AnyFunSuite {
       .head.getDouble(3)
     assert(d1 == 1.0)
   }
+
+  test("BandedCumsum cumsum/rowNumber equal driver references on random frames") {
+    import spark.implicits._
+    val rows = samples(for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      k <- Gen.chooseNum(-100000L, 100000L)
+      v <- Gen.chooseNum(-1000L, 1000L)
+    } yield (g, k, v), 400).distinctBy(r => (r._1, r._2))
+    val df = rows.toDF("g", "k", "v")
+    for (bw <- Seq(1L, 7L, 1024L, 1L << 16)) {
+      val got = operators.BandedCumsum.cumsum(df, Seq("g"), "k", Seq("v"), bw)
+        .select("g", "k", "cum_v").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.zip(sorted.map(_._3).scanLeft(0L)(_ + _).tail)
+          .map { case ((_, k, _), c) => (g, k) -> c }
+      }
+      assert(got == want, s"bandWidth=$bw diverged from the driver reference")
+    }
+    // banded row_number over a DESC composite order with value collisions
+    val got = operators.BandedCumsum.rowNumber(df, Seq("g"),
+        expr("(-v) div 37"), Seq(col("v").desc, col("k")), "rn")
+      .select("g", "k", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).zipWithIndex
+        .map { case ((_, k, _), i) => (g, k) -> (i + 1L) }
+    }
+    assert(got == want)
+  }
 }
