@@ -71,7 +71,10 @@ object Psi {
         expr("CAST(count(1) AS BIGINT)").as("n_cells"))
       .filter(expr(CellGuard.sqlGuard("psi", "n_cells", maxCells)))
     val withCum = BandedCumsum
-      .cumsum(cells, Seq("g"), "v", Seq("ca"), inputCheckpointed = true)
+      // 4096-wide bands: matched to dollar-scale cells (~10⁵ range),
+      // where the cent-scale default would leave ~2 bands
+      .cumsum(cells, Seq("g"), "v", Seq("ca"), bandWidth = 4096L,
+        inputCheckpointed = true)
       .join(broadcast(tot), "g")
     val edgeAggs = (1 to 9).map(k =>
       expr(s"CAST(min(CASE WHEN cum_ca >= ($k * na + 9) div 10 THEN v END)" +

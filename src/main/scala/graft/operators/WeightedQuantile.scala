@@ -60,7 +60,12 @@ object WeightedQuantile {
       expr("CAST(max(wt) AS DECIMAL(38,0))").as("wt_out") :+
       expr("CAST(max(svt) AS DECIMAL(38,0))").as("svt_out")
     BandedCumsum
-      .cumsum(cells, Seq("g"), "v", Seq("sw"), inputCheckpointed = true)
+      // band width matched to DOLLAR-scale quantization (~10⁵ value
+      // range): 4096-wide bands engage ~25-way parallelism where the
+      // cent-scale default would leave ~2 bands (exactness is
+      // bandWidth-invariant — BandedCumsumSpec)
+      .cumsum(cells, Seq("g"), "v", Seq("sw"), bandWidth = 4096L,
+        inputCheckpointed = true)
       .join(broadcast(tot), "g")
       .groupBy("g")
       .agg(aggs.head, aggs.tail: _*)
