@@ -89,12 +89,14 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q63_span_removal" -> "per-doc gram windows; bounded by doc length",
     "q72_resample_locf" -> "per-(user, hour-range) grid; bounded spine",
     "q124_ewma" -> "per-user series: events/user is load-bounded",
-    "q110_survival" -> "global day spine: bounded by calendar range",
-    "q111_acf" -> "global day spine: bounded by calendar range",
-    "q116_ccf" -> "global day spine: bounded by calendar range",
+    "q110_survival" -> "per-group duration cells: bounded by the observation span",
+    "q111_acf" -> "day-bucket cells first: bounded by calendar range",
+    "q116_ccf" -> "day-bucket cells first: bounded by calendar range",
     "q134_amoc" -> "per-type day cells: bounded by calendar range",
     "q135_runs_test" -> "per-type day cells: bounded by calendar range",
-    "q105_cusum" -> "per-type day cells: bounded by calendar range",
+    "q105_cusum" -> ("per-(type, event) sequential fold BY DESIGN (scaladoc:" +
+      " pre-bucket to hour/day at 100 TB; 18n streaming twin is the" +
+      " constant-state production path)"),
     "q113_twap" -> "per-user series: events/user is load-bounded",
     "q115_backtest" -> "global day spine: bounded by calendar range",
     "q127_seasonality" -> "per-(type, dow) cells: ≤ 7 per series",
