@@ -153,6 +153,8 @@ object SparkEntry {
     "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrix,
     "q141_psi" -> operators.Psi.orderPricePsi,
     "q142_pipeline" -> operators.Pipeline.trainingPipeline,
+    "q143_mann_kendall" -> operators.MannKendall.orderRevenueTrend,
+    "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCi,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -424,5 +426,7 @@ object SparkEntry {
     "q140_js_matrix" -> textstats.JsMatrix.sourceJsMatrixSql,
     "q141_psi" -> operators.Psi.orderPricePsiSql,
     "q142_pipeline" -> operators.Pipeline.trainingPipelineSql,
+    "q143_mann_kendall" -> operators.MannKendall.orderRevenueTrendSql,
+    "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCiSql,
   )
 }

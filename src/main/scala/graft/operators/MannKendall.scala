@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mann–Kendall trend test per series — the nonparametric "is this
+  * metric drifting" monitor: S = Σ_{i<j} sgn(x_j − x_i) over time-
+  * ordered observations, variance with the exact tie correction,
+  * normal approximation z with the ±1 continuity correction. The
+  * monitoring-standard companion to q105 (CUSUM catches a level
+  * SHIFT against a spec; MK detects a monotone TREND with no
+  * distributional assumption), and the significance test behind
+  * q102's Theil–Sen slope — run q102 over the same day cells for the
+  * magnitude once MK flags direction.
+  *
+  * Semantics: observations are DAILY REVENUE CELLS (the q111/q116
+  * time-bucket-first discipline — calendar-bounded series, and what a
+  * trend chart plots); S over day pairs; ties in x: sgn = 0 and
+  * var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (18·Var(S) — kept as the
+  * exact INTEGER; the /18 happens inside the one shared-text z);
+  * z = (S∓1)/√(var18/18), 0 when S = 0; |z| > 1.959964 → trend at
+  * 5%.
+  *
+  * Exactness: day sums are exact cents, S / n / var18 pure BIGINT
+  * (DECIMAL(38) products — n(n−1)(2n+5) overflows 2⁶³ past ~10⁶
+  * buckets), z is ONE shared-text double from integers, rounded at 6.
+  *
+  * Plan/scale: fact scan → (series, day) cell aggregate (map-side
+  * combined, calendar-bounded, checkpointed — the pair join reads it
+  * twice and the tie/total aggregates once more) → day-pair self-join
+  * whose fan-out is C(days, 2) per series (calendar², NOT data²) →
+  * one aggregate; tie counts from a (series, value) cell aggregate.
+  * No windows at all.
+  */
+object MannKendall {
+
+  /** 1.959964 = Φ⁻¹(0.975) at the house 6-decimal snap. */
+  val ZCrit = "1.959964"
+
+  /** Per-group MK test over pre-bucketed integer observations
+    * (`dayCol` integral bucket, `valueCol` exact integer). */
+  def mkTest(cells0: DataFrame, groupCol: String, dayCol: String,
+             valueCol: String): DataFrame = {
+    val cells = cells0
+      .selectExpr(s"$groupCol AS g", s"$dayCol AS d", s"$valueCol AS x")
+      .localCheckpoint(true) // pair join (twice) + ties + totals
+    val pairs = cells.selectExpr("g", "d AS d1", "x AS x1")
+      .join(cells.selectExpr("g AS g2", "d AS d2", "x AS x2"),
+        col("g") === col("g2") && col("d1") < col("d2"))
+      .groupBy("g")
+      .agg(expr("CAST(sum(sign(CAST(x2 AS DECIMAL(38,0)) - x1)) AS BIGINT)")
+        .as("s_stat"))
+    val ties = cells.groupBy("g", "x")
+      .agg(expr("CAST(count(1) AS BIGINT)").as("t"))
+      .groupBy("g")
+      // n = Σt (bucket count) — count(1) here would count DISTINCT x
+      // values, silently shrinking the variance (caught by the
+      // analytic spec; the oracle twin mirrored the bug)
+      .agg(expr("CAST(sum(t) AS BIGINT)").as("n_days"),
+        expr("CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))" +
+          " AS DECIMAL(38,0))").as("tie18"))
+    val zExpr =
+      "CASE WHEN s_stat > 0 THEN" +
+        " (CAST(s_stat AS DOUBLE) - 1e0)" +
+        " / sqrt(CAST(var18 AS DOUBLE) / 18e0)" +
+        " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1e0)" +
+        " / sqrt(CAST(var18 AS DOUBLE) / 18e0)" +
+        " ELSE 0e0 END"
+    pairs.join(ties, "g")
+      .selectExpr("g", "n_days", "s_stat",
+        "CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)" +
+          " * (2 * n_days + 5) - tie18 AS DECIMAL(38,0)) AS var18")
+      .selectExpr("g", "n_days", "s_stat", "CAST(var18 AS BIGINT) AS var18",
+        s"round($zExpr, 6) + 0.0 AS z")
+      .selectExpr("g", "n_days", "s_stat", "var18", "z",
+        s"CASE WHEN z > $ZCrit THEN 'increasing'" +
+          s" WHEN z < -$ZCrit THEN 'decreasing'" +
+          " ELSE 'no_trend' END AS trend")
+  }
+
+  /** q143: is daily order revenue trending, per order priority. */
+  def orderRevenueTrend(spark: SparkSession, dir: String): DataFrame =
+    mkTest(
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull
+          && col("o_orderpriority").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+            .as("day"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT))" +
+          " AS BIGINT)").as("rev_c")),
+      "o_orderpriority", "day", "rev_c")
+      .withColumnRenamed("g", "o_orderpriority")
+
+  val orderRevenueTrendSql: String = {
+    val zExpr =
+      """CASE WHEN s_stat > 0 THEN
+        |      (CAST(s_stat AS DOUBLE) - 1e0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18e0)
+        |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1e0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18e0)
+        |    ELSE 0e0 END""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority AS g,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |      AS d,
+       |    CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders
+       |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.g,
+       |    CAST(sum(sign(CAST(b.x AS HUGEINT) - a.x)) AS BIGINT) AS s_stat
+       |  FROM cells a JOIN cells b ON a.g = b.g AND a.d < b.d
+       |  GROUP BY 1),
+       |ties AS (
+       |  SELECT g, CAST(sum(t) AS BIGINT) AS n_days,
+       |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT)
+       |      AS tie18
+       |  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+       |        FROM cells GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |v AS (
+       |  SELECT pairs.g, n_days, s_stat,
+       |    CAST(CAST(n_days AS HUGEINT) * (n_days - 1) * (2 * n_days + 5)
+       |      - tie18 AS HUGEINT) AS var18
+       |  FROM pairs JOIN ties ON pairs.g = ties.g),
+       |zz AS (
+       |  SELECT g, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+       |    round($zExpr, 6) + 0.0 AS z
+       |  FROM v)
+       |SELECT g AS o_orderpriority, n_days, s_stat, var18, z,
+       |  CASE WHEN z > $ZCrit THEN 'increasing'
+       |    WHEN z < -$ZCrit THEN 'decreasing'
+       |    ELSE 'no_trend' END AS trend
+       |FROM zz""".stripMargin
+  }
+}
