@@ -68,7 +68,11 @@ object MannKendall {
         " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1e0)" +
         " / sqrt(CAST(var18 AS DOUBLE) / 18e0)" +
         " ELSE 0e0 END"
-    pairs.join(ties, "g")
+    // LEFT from ties: a single-bucket series has NO pairs — it must
+    // still report (S = 0, var18 = 0, no_trend), not silently vanish
+    ties.join(pairs, Seq("g"), "left")
+      .selectExpr("g", "n_days", "tie18",
+        "coalesce(s_stat, CAST(0 AS BIGINT)) AS s_stat")
       .selectExpr("g", "n_days", "s_stat",
         "CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)" +
           " * (2 * n_days + 5) - tie18 AS DECIMAL(38,0)) AS var18")
@@ -125,10 +129,11 @@ object MannKendall {
        |        FROM cells GROUP BY 1, 2)
        |  GROUP BY 1),
        |v AS (
-       |  SELECT pairs.g, n_days, s_stat,
+       |  SELECT ties.g, n_days,
+       |    CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
        |    CAST(CAST(n_days AS HUGEINT) * (n_days - 1) * (2 * n_days + 5)
        |      - tie18 AS HUGEINT) AS var18
-       |  FROM pairs JOIN ties ON pairs.g = ties.g),
+       |  FROM ties LEFT JOIN pairs ON pairs.g = ties.g),
        |zz AS (
        |  SELECT g, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
        |    round($zExpr, 6) + 0.0 AS z

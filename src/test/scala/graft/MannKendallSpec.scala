@@ -50,6 +50,12 @@ class MannKendallSpec extends AnyFunSuite {
     assert(math.abs(out("t")._4 - z) < 1e-6)
   }
 
+  test("single-bucket series: reported as (S = 0, var18 = 0, no_trend)") {
+    val out = run(Seq(("one", 5L, 42L), ("two", 1L, 1L), ("two", 2L, 9L)))
+    assert(out("one") == ((1L, 0L, 0L, 0.0, "no_trend")))
+    assert(out("two")._1 == 2L) // sanity: multi-day group unaffected
+  }
+
   test("trendless shuffle stays inside the 5% band") {
     val xs = Seq(4L, 9L, 1L, 7L, 2L, 8L, 3L, 10L, 5L, 6L, 12L, 0L, 11L, 13L)
       .zipWithIndex.map { case (x, i) => ("r", i.toLong, x) }
