@@ -32,7 +32,10 @@ import graft.Tables
   * twice and the tie/total aggregates once more) → day-pair self-join
   * whose fan-out is C(days, 2) per series (calendar², NOT data²) →
   * one aggregate; tie counts from a (series, value) cell aggregate.
-  * No windows at all.
+  * No windows at all. Century-scale spans (36.5k days → ~6.6e8 pairs
+  * per series) stay distributed-join work, but pre-bucket WEEKLY at
+  * that range — MK is bucket-granularity-agnostic and the fan-out
+  * drops 49×.
   */
 object MannKendall {
 
