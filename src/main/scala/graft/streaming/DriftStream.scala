@@ -151,4 +151,71 @@ object DriftStream {
           }
       }
   }
+
+  // ------------------------------------------- streaming Mann–Kendall (18r)
+
+  case class TrendEvent(g: String, day: Long, xc: Long)
+  case class TrendState(cells: Map[Long, Long], s: Long, tie18: Long,
+      lastDay: Long)
+  case class TrendRow(g: String, n_days: Long, s_stat: Long, var18: Long,
+      z: Double, trend: String)
+
+  /** Streaming Mann–Kendall — the continuous twin of
+    * [[graft.operators.MannKendall.mkTest]] (q143): per series, carry
+    * the value-cell map of buckets seen so far plus running (S,
+    * Σt(t−1)(2t+5)); each arriving time bucket updates S with
+    * Σ_v cnt(v)·sgn(x − v) in one pass over the cells and the tie
+    * term with the O(1) delta f(t+1) − f(t), then emits the full test
+    * row — the live "is this metric drifting" readout.
+    *
+    * Parity contract: after an in-order replay of the batch day cells,
+    * each series' LAST emission equals the batch operator's row
+    * exactly (same integer S/var18, same shared-form z, HALF_UP
+    * round-6 — MkStreamSpec).
+    *
+    * State: the cell map is bounded by DISTINCT BUCKET VALUES ≤ bucket
+    * count ≤ the calendar (the q143 time-bucket-first precondition) —
+    * per-series state is calendar-bounded, run-forever safe. Ordering:
+    * buckets must arrive per-series in day order (the partitioned-log
+    * contract, as cusumStream); a duplicate or late day is dropped.
+    */
+  def mkTrendStream(events: Dataset[TrendEvent]): Dataset[TrendRow] = {
+    import events.sparkSession.implicits._
+    def f(t: Long) = t * (t - 1) * (2 * t + 5)
+    events
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[TrendState, TrendRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g, rows, state) =>
+          var st = state.getOption
+            .getOrElse(TrendState(Map.empty, 0L, 0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.day).flatMap { e =>
+            if (e.day <= st.lastDay) None // late/duplicate bucket: dropped
+            else {
+              val sDelta = st.cells.iterator.map { case (v, cnt) =>
+                cnt * java.lang.Long.signum(e.xc - v).toLong
+              }.sum
+              val t = st.cells.getOrElse(e.xc, 0L)
+              st = TrendState(st.cells.updated(e.xc, t + 1),
+                st.s + sDelta, st.tie18 + (f(t + 1) - f(t)), e.day)
+              val n = st.cells.values.sum
+              val var18 = n * (n - 1) * (2 * n + 5) - st.tie18
+              val z =
+                if (st.s > 0) (st.s.toDouble - 1.0) / math.sqrt(var18 / 18.0)
+                else if (st.s < 0)
+                  (st.s.toDouble + 1.0) / math.sqrt(var18 / 18.0)
+                else 0.0
+              val zr = BigDecimal(z)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val trend =
+                if (zr > 1.959964) "increasing"
+                else if (zr < -1.959964) "decreasing"
+                else "no_trend"
+              Some(TrendRow(g, n, st.s, var18, zr, trend))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }
