@@ -56,6 +56,20 @@ object Bootstrap {
     }
   }
 
+  /** The weight rule as plain JVM code — first 6 md5 bytes of "key#b"
+    * (≡ hash48's first-12-hex-chars) against [[Thresholds]]. Used by
+    * the 18s streaming twin's executor fold; equality with the
+    * expression form is pinned transitively by BootstrapSpec's
+    * driver brute-force parity. */
+  def weightOf(key: String, b: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key#$b".getBytes("UTF-8"))
+    val u = ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) |
+      ((h(2) & 0xffL) << 24) | ((h(3) & 0xffL) << 16) |
+      ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+    Thresholds.count(u >= _)
+  }
+
   private def wSql(u: String): String =
     // bare literals: the thresholds (~1.6e14) exceed INT so both
     // engines parse them as BIGINT; an 'L' suffix is Spark-only syntax
