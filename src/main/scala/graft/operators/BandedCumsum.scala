@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * running sum). Lower-band totals are a per-(group, band) aggregate
   * cumsum'd over the band DIMENSION and broadcast back; every row-level
   * window then partitions by (group, band), bounded by `bandWidth` rows
-  * ABSOLUTELY — independent of corpus size.
+  * ABSOLUTELY — independent of corpus size. Banding is FLOOR division
+  * (r10 advice: `div` truncates toward zero, so band 0 would straddle
+  * (−bandWidth, bandWidth) and hold up to 2·bandWidth−1 keys on
+  * sign-straddling domains; floor semantics make every band exactly
+  * bandWidth keys wide, negatives included).
   *
   * Knob: bands per group ≈ max(k)/bandWidth feed the offsets window
   * (one partition per group over band rows), and in-band windows hold ≤
@@ -25,6 +29,22 @@ import org.apache.spark.sql.functions._
   * your scale; the 1<<16 default splits a 10⁹-doc slice into ~15k bands
   * of ≤65k docs, both sides comfortably task-sized. Sparse keys keep
   * the ≤ bandWidth in-band bound; only dense-key spans populate bands.
+  *
+  * DENSE-KEY PRECONDITION (r10 verdict #1, guarded): the offsets
+  * window is itself a per-group single task over that group's BAND
+  * rows, so the decomposition only bounds work when bands per group
+  * stay dimension-grade — true for dense integral keys (custkey,
+  * doc_id, cent cells: bands ≈ rows/bandWidth), false for sparse keys
+  * (a 48/64-bit hash lands ~one band per row and silently rebuilds
+  * the single-task wall one level up — and force-broadcasting that
+  * offsets frame would pressure the driver first). Both operators
+  * therefore RAISE_ERROR when any group's band count exceeds
+  * `maxBandsPerGroup` (default [[CellGuard.DefaultMaxCells]]); the
+  * check is a distributed per-group aggregate joined back broadcast,
+  * so it fires while streaming into the offsets window, never after
+  * materializing a corpus-sized sort. Callers with sparse order keys
+  * should re-key (rank/dense ids) or widen bandWidth toward the key
+  * spacing.
   *
   * Exactness: band assignment and both partial sums are pure integer
   * arithmetic on the input values' own types — the result is
@@ -42,6 +62,35 @@ object BandedCumsum {
   /** ≤65k rows per in-band window task; ~15k bands per 10⁹-key group. */
   val DefaultBandWidth: Long = 1L << 16
 
+  /** FLOOR-division band id as a SQL fragment: `k div w` adjusted down
+    * one when the remainder is negative (w > 0), so every band spans
+    * exactly `w` consecutive keys — including the bands straddling
+    * zero. Exact integer arithmetic (no double rounding at |k| > 2⁵³),
+    * monotone in k. */
+  private[graft] def floorDivBand(orderCol: String, bandWidth: Long): String =
+    s"CAST(($orderCol div ${bandWidth}L) - (CASE WHEN $orderCol % ${bandWidth}L < 0" +
+      " THEN 1 ELSE 0 END) AS BIGINT)"
+
+  /** Append `__nbands` = bands in the row's group (distributed
+    * aggregate + broadcast join — never a single-task count) and
+    * raise_error past `maxBands`: the dense-key precondition made
+    * loud. `offAgg` is the per-(group, band) frame feeding the offsets
+    * window. */
+  private def guardBands(offAgg: DataFrame, partCols: Seq[String],
+      maxBands: Long): DataFrame = {
+    val pc = partCols.map(col)
+    val bandCounts = offAgg.groupBy(pc: _*)
+      .agg(count(lit(1)).as("__nbands"))
+    offAgg.join(broadcast(bandCounts), partCols)
+      .filter(expr(
+        s"(CASE WHEN __nbands <= ${maxBands}L THEN TRUE ELSE" +
+          " isnull(raise_error(concat('BandedCumsum: ', CAST(__nbands AS STRING)," +
+          s" ' bands in one group exceeds maxBandsPerGroup=$maxBands —" +
+          " the order key looks sparse (hash-like); re-key to dense ids" +
+          " or widen bandWidth toward the key spacing'))) END)"))
+      .drop("__nbands")
+  }
+
   /** Append `cum_<v>` running-sum columns (over `orderCol` within
     * `partCols`) for each value column, banded as above. `orderCol`
     * must be integral and unique within its group (ROWS ≡ RANGE).
@@ -52,19 +101,22 @@ object BandedCumsum {
   def cumsum(df: DataFrame, partCols: Seq[String], orderCol: String,
              valueCols: Seq[String],
              bandWidth: Long = DefaultBandWidth,
-             inputCheckpointed: Boolean = false): DataFrame = {
+             inputCheckpointed: Boolean = false,
+             maxBandsPerGroup: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     require(valueCols.nonEmpty)
     val banded0 = df
-      .withColumn("__band", expr(s"CAST($orderCol div ${bandWidth}L AS BIGINT)"))
+      .withColumn("__band", expr(floorDivBand(orderCol, bandWidth)))
     val banded = if (inputCheckpointed) banded0 else banded0.localCheckpoint(true)
     val pc = partCols.map(col)
     val wOff = Window.partitionBy(pc: _*).orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totAggs = valueCols.map(v => sum(col(v)).as(s"__t_$v"))
-    val offsets = valueCols.foldLeft(
+    val offAgg = guardBands(
       banded.groupBy((pc :+ col("__band")): _*)
-        .agg(totAggs.head, totAggs.tail: _*)) { (d, v) =>
+        .agg(totAggs.head, totAggs.tail: _*),
+      partCols, maxBandsPerGroup)
+    val offsets = valueCols.foldLeft(offAgg) { (d, v) =>
       d.withColumn(s"__off_$v", sum(col(s"__t_$v")).over(wOff) - col(s"__t_$v"))
     }.select((partCols ++ Seq("__band") ++
       valueCols.map(v => s"__off_$v")).map(col): _*)
@@ -85,19 +137,25 @@ object BandedCumsum {
     * equal order-prefixes sharing a band — e.g. `key div 2^16` for an
     * ascending integral leading key, `(-cents) div 2^10` for a
     * descending money leading key (trunc-division is monotone for a
-    * positive divisor). Each in-band task holds only that band's rows;
-    * offsets are the broadcast band-count prefix (q7/q47 r10 fix). */
+    * positive divisor — fine here, though its zero-straddling band
+    * spans up to 2·width−1 keys; use [[floorDivBand]] semantics for
+    * the exact-width cap). Each in-band task holds only that band's
+    * rows; offsets are the broadcast band-count prefix (q7/q47 r10
+    * fix), guarded by the same dense-key band-count check. */
   def rowNumber(df: DataFrame, partCols: Seq[String], bandExpr: Column,
       orderCols: Seq[Column], outCol: String,
-      inputCheckpointed: Boolean = false): DataFrame = {
+      inputCheckpointed: Boolean = false,
+      maxBandsPerGroup: Long = CellGuard.DefaultMaxCells): DataFrame = {
     require(orderCols.nonEmpty)
     val banded0 = df.withColumn("__band", bandExpr.cast("long"))
     val banded = if (inputCheckpointed) banded0 else banded0.localCheckpoint(true)
     val pc = partCols.map(col)
     val wOff = Window.partitionBy(pc: _*).orderBy(col("__band"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = banded.groupBy((pc :+ col("__band")): _*)
-      .agg(count(lit(1)).as("__bcnt"))
+    val offsets = guardBands(
+      banded.groupBy((pc :+ col("__band")): _*)
+        .agg(count(lit(1)).as("__bcnt")),
+      partCols, maxBandsPerGroup)
       .withColumn("__off", sum(col("__bcnt")).over(wOff) - col("__bcnt"))
       .select((partCols ++ Seq("__band", "__off")).map(col): _*)
     val wIn = Window.partitionBy((pc :+ col("__band")): _*)

@@ -70,6 +70,34 @@ object Bootstrap {
     Thresholds.count(u >= _)
   }
 
+  /** All B weights of one key in one pass — identical semantics to
+    * `(0 until b).map(weightOf(key, _))` (pinned by BootstrapSpec),
+    * but ONE reused MessageDigest and one shared key-prefix byte
+    * array instead of B digest instantiations + B full re-encodes:
+    * the 18s streaming twin folds this per arriving row (r10 advice). */
+  def weightsOf(key: String, b: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefix = s"$key#".getBytes("UTF-8")
+    val thr = Thresholds.toArray
+    val out = new Array[Int](b)
+    var i = 0
+    while (i < b) {
+      md.reset()
+      md.update(prefix)
+      md.update(String.valueOf(i).getBytes("UTF-8"))
+      val h = md.digest()
+      val u = ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) |
+        ((h(2) & 0xffL) << 24) | ((h(3) & 0xffL) << 16) |
+        ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+      var w = 0
+      var j = 0
+      while (j < thr.length) { if (u >= thr(j)) w += 1; j += 1 }
+      out(i) = w
+      i += 1
+    }
+    out
+  }
+
   private def wSql(u: String): String =
     // bare literals: the thresholds (~1.6e14) exceed INT so both
     // engines parse them as BIGINT; an 'L' suffix is Spark-only syntax

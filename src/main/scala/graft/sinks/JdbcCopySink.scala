@@ -8,11 +8,15 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /** Postgres COPY-protocol bulk append — the reference's staged-CSV load
-  * (`dags/district_gis_etl.py:76-88` writes the crosswalk CSV and loads
-  * it via `COPY`), closing the last missing reference item (r9 verdict
-  * #5). COPY streams rows over one protocol message per batch instead
-  * of one INSERT round-trip each — the canonical fast path into a real
-  * Postgres warehouse.
+  * (the crosswalk CSV staged near `dags/district_gis_etl.py:54` and
+  * loaded at `dags/district_gis_etl.py:101-112` via an
+  * SQLExecuteQueryOperator running `COPY … CSV HEADER`), closing the
+  * last missing reference item (r9 verdict #5). COPY streams rows over
+  * one protocol message per batch instead of one INSERT round-trip
+  * each — the canonical fast path into a real Postgres warehouse.
+  * Unlike the reference's staged file, this sink streams HEADERLESS
+  * rows straight from the partition iterator, so its COPY options
+  * carry no HEADER flag.
   *
   * Dialect routing, decided PER CONNECTION on the executor: when the
   * connection reports PostgreSQL AND the pgjdbc `CopyManager` class is

@@ -47,9 +47,11 @@ object BootstrapStream {
           var n = st.n
           var sx = st.sx
           rows.foreach { e =>
+            // one reused digest + shared key prefix for all B weights
+            val ws = Bootstrap.weightsOf(e.k.toString, b)
             var i = 0
             while (i < b) {
-              val w = Bootstrap.weightOf(e.k.toString, i)
+              val w = ws(i)
               st.sw(i) += w
               st.swx(i) += w * e.xc
               i += 1

@@ -80,6 +80,35 @@ object DriftStream {
     * cannot be retro-folded into a running CUSUM — document upstream
     * reordering buffers if the feed needs them). State is 3 Longs per
     * series: bounded by the series dimension, run-forever safe. */
+  /** The pure CUSUM fold over PRE-SORTED events: drop anything at or
+    * behind the folded frontier (seq), fold the rest, collect alarms.
+    * Shared by [[cusumStream]] (sorted by seq within an invocation —
+    * the ordered-source contract) and
+    * [[LateStream.cusumStreamLate]] (sorted by (ts, seq) over a
+    * watermark-released buffer — the batch operator's order). */
+  private[streaming] def cusumFold(g: String, st0: CusumState,
+      sorted: Seq[CusumEvent], targetCents: Long, kCents: Long,
+      hCents: Long): (CusumState, Seq[CusumAlarm]) = {
+    var st = st0
+    val alarms = sorted.flatMap { e =>
+      if (e.seq <= st.lastSeq) None // out-of-order: dropped
+      else {
+        val xc = math.floor(e.v * 100.0).toLong
+        val su = math.max(0L, st.sUp + (xc - targetCents - kCents))
+        val sd = math.max(0L, st.sDn + (targetCents - kCents - xc))
+        st = CusumState(su, sd, e.seq)
+        if (su > hCents || sd > hCents) {
+          val dir =
+            if (su > hCents && sd > hCents) "both"
+            else if (su > hCents) "up" else "down"
+          Some(CusumAlarm(g, e.ts, e.seq,
+            su.toDouble / 100.0, sd.toDouble / 100.0, dir))
+        } else None
+      }
+    }
+    (st, alarms)
+  }
+
   def cusumStream(events: Dataset[CusumEvent], targetCents: Long,
       kCents: Long, hCents: Long): Dataset[CusumAlarm] = {
     import events.sparkSession.implicits._
@@ -88,23 +117,9 @@ object DriftStream {
       .flatMapGroupsWithState[CusumState, CusumAlarm](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (g, rows, state) =>
-          var st = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
-          val alarms = rows.toSeq.sortBy(_.seq).flatMap { e =>
-            if (e.seq <= st.lastSeq) None // out-of-order: dropped
-            else {
-              val xc = math.floor(e.v * 100.0).toLong
-              val su = math.max(0L, st.sUp + (xc - targetCents - kCents))
-              val sd = math.max(0L, st.sDn + (targetCents - kCents - xc))
-              st = CusumState(su, sd, e.seq)
-              if (su > hCents || sd > hCents) {
-                val dir =
-                  if (su > hCents && sd > hCents) "both"
-                  else if (su > hCents) "up" else "down"
-                Some(CusumAlarm(g, e.ts, e.seq,
-                  su.toDouble / 100.0, sd.toDouble / 100.0, dir))
-              } else None
-            }
-          }
+          val st0 = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
+          val (st, alarms) = cusumFold(g, st0, rows.toSeq.sortBy(_.seq),
+            targetCents, kCents, hCents)
           state.update(st)
           alarms.iterator
       }
@@ -156,7 +171,15 @@ object DriftStream {
 
   case class TrendEvent(g: String, day: Long, xc: Long)
   case class TrendState(cells: Map[Long, Long], s: Long, tie18: Long,
-      lastDay: Long)
+      lastDay: Long, n: Long)
+
+  /** var18 = n(n−1)(2n+5) − tie18 is computed in plain Long here
+    * (unlike the batch twin's DECIMAL(38)); it stays exact only while
+    * n(n−1)(2n+5) < 2⁶³, i.e. n ≲ 1.66e6 buckets. [[mkTrendStream]]
+    * throws past this cap — a series fed per-day hits it after ~4500
+    * years, so the cap is a contract note, not a practical limit;
+    * pre-bucket coarser if a feed ever approaches it. */
+  val MkStreamMaxBuckets: Long = 1600000L
   case class TrendRow(g: String, n_days: Long, s_stat: Long, var18: Long,
       z: Double, trend: String)
 
@@ -179,41 +202,57 @@ object DriftStream {
     * buckets must arrive per-series in day order (the partitioned-log
     * contract, as cusumStream); a duplicate or late day is dropped.
     */
+  /** The pure MK fold over PRE-SORTED day buckets — shared by
+    * [[mkTrendStream]] (sorted within an invocation, ordered-source
+    * contract) and [[LateStream.mkTrendStreamLate]] (sorted over a
+    * watermark-released buffer). Drops anything at or behind the
+    * folded day frontier. */
+  private[streaming] def mkFold(g: String, st0: TrendState,
+      sorted: Seq[TrendEvent]): (TrendState, Seq[TrendRow]) = {
+    def f(t: Long) = t * (t - 1) * (2 * t + 5)
+    var st = st0
+    val out = sorted.flatMap { e =>
+      if (e.day <= st.lastDay) None // late/duplicate bucket: dropped
+      else {
+        val sDelta = st.cells.iterator.map { case (v, cnt) =>
+          cnt * java.lang.Long.signum(e.xc - v).toLong
+        }.sum
+        val t = st.cells.getOrElse(e.xc, 0L)
+        st = TrendState(st.cells.updated(e.xc, t + 1),
+          st.s + sDelta, st.tie18 + (f(t + 1) - f(t)), e.day, st.n + 1)
+        val n = st.n // running count — no cell-map rescan per event
+        if (n > MkStreamMaxBuckets) throw new IllegalStateException(
+          s"mkTrendStream: $n buckets in series '$g' exceeds " +
+            s"MkStreamMaxBuckets=$MkStreamMaxBuckets — var18 would " +
+            "overflow Long; pre-bucket the feed coarser")
+        val var18 = n * (n - 1) * (2 * n + 5) - st.tie18
+        val z =
+          if (st.s > 0) (st.s.toDouble - 1.0) / math.sqrt(var18 / 18.0)
+          else if (st.s < 0)
+            (st.s.toDouble + 1.0) / math.sqrt(var18 / 18.0)
+          else 0.0
+        val zr = BigDecimal(z)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val trend =
+          if (zr > 1.959964) "increasing"
+          else if (zr < -1.959964) "decreasing"
+          else "no_trend"
+        Some(TrendRow(g, n, st.s, var18, zr, trend))
+      }
+    }
+    (st, out)
+  }
+
   def mkTrendStream(events: Dataset[TrendEvent]): Dataset[TrendRow] = {
     import events.sparkSession.implicits._
-    def f(t: Long) = t * (t - 1) * (2 * t + 5)
     events
       .groupByKey(_.g)
       .flatMapGroupsWithState[TrendState, TrendRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (g, rows, state) =>
-          var st = state.getOption
-            .getOrElse(TrendState(Map.empty, 0L, 0L, Long.MinValue))
-          val out = rows.toSeq.sortBy(_.day).flatMap { e =>
-            if (e.day <= st.lastDay) None // late/duplicate bucket: dropped
-            else {
-              val sDelta = st.cells.iterator.map { case (v, cnt) =>
-                cnt * java.lang.Long.signum(e.xc - v).toLong
-              }.sum
-              val t = st.cells.getOrElse(e.xc, 0L)
-              st = TrendState(st.cells.updated(e.xc, t + 1),
-                st.s + sDelta, st.tie18 + (f(t + 1) - f(t)), e.day)
-              val n = st.cells.values.sum
-              val var18 = n * (n - 1) * (2 * n + 5) - st.tie18
-              val z =
-                if (st.s > 0) (st.s.toDouble - 1.0) / math.sqrt(var18 / 18.0)
-                else if (st.s < 0)
-                  (st.s.toDouble + 1.0) / math.sqrt(var18 / 18.0)
-                else 0.0
-              val zr = BigDecimal(z)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-              val trend =
-                if (zr > 1.959964) "increasing"
-                else if (zr < -1.959964) "decreasing"
-                else "no_trend"
-              Some(TrendRow(g, n, st.s, var18, zr, trend))
-            }
-          }
+          val st0 = state.getOption
+            .getOrElse(TrendState(Map.empty, 0L, 0L, Long.MinValue, 0L))
+          val (st, out) = mkFold(g, st0, rows.toSeq.sortBy(_.day))
           state.update(st)
           out.iterator
       }

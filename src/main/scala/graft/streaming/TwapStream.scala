@@ -38,6 +38,43 @@ object TwapStream {
   private def r(v: Double, s: Int): Double =
     BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  private[streaming] val EmptyState =
+    TwapState(Long.MinValue, Long.MinValue, 0L, 0L, BigDecimal(0), 0L)
+
+  /** The pure TWAP fold over PRE-SORTED events — shared by
+    * [[twapStream]] (sorted within an invocation, ordered-source
+    * contract) and [[LateStream.twapStreamLate]] (sorted over a
+    * watermark-released buffer). Drops anything at or behind the
+    * folded (us, tie) frontier. */
+  private[streaming] def twapFold(st0: TwapState,
+      sorted: Seq[TwapEvent]): TwapState = {
+    var st = st0
+    sorted.foreach { e =>
+      val inOrder = e.us > st.lastUs ||
+        (e.us == st.lastUs && e.tie > st.lastTie)
+      if (inOrder) {
+        val vc = math.floor(e.v * 100.0).toLong
+        st =
+          if (st.n == 0L) TwapState(e.us, e.tie, vc, 0L, st.vw, 1L)
+          else {
+            val dus = e.us - st.lastUs
+            TwapState(e.us, e.tie, vc, st.wUs + dus,
+              st.vw + BigDecimal(st.lastVc) * BigDecimal(dus),
+              st.n + 1L)
+          }
+      } // else: out-of-order — dropped (ordered-source contract)
+    }
+    st
+  }
+
+  /** The refreshed summary row for a series (None while empty). */
+  private[streaming] def twapRow(g: Long, st: TwapState): Option[TwapRow] =
+    if (st.n == 0L) None
+    else Some(TwapRow(g, st.n, st.n - 1L,
+      r(st.wUs.toDouble / 1e6, 3),
+      if (st.wUs == 0L) None
+      else Some(r(st.vw.toDouble / st.wUs.toDouble / 100.0, 6))))
+
   def twapStream(events: Dataset[TwapEvent]): Dataset[TwapRow] = {
     import events.sparkSession.implicits._
     events
@@ -45,30 +82,10 @@ object TwapStream {
       .flatMapGroupsWithState[TwapState, TwapRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (g, rows, state) =>
-          var st = state.getOption
-            .getOrElse(TwapState(Long.MinValue, Long.MinValue, 0L, 0L,
-              BigDecimal(0), 0L))
-          rows.toSeq.sortBy(e => (e.us, e.tie)).foreach { e =>
-            val inOrder = e.us > st.lastUs ||
-              (e.us == st.lastUs && e.tie > st.lastTie)
-            if (inOrder) {
-              val vc = math.floor(e.v * 100.0).toLong
-              st =
-                if (st.n == 0L) TwapState(e.us, e.tie, vc, 0L, st.vw, 1L)
-                else {
-                  val dus = e.us - st.lastUs
-                  TwapState(e.us, e.tie, vc, st.wUs + dus,
-                    st.vw + BigDecimal(st.lastVc) * BigDecimal(dus),
-                    st.n + 1L)
-                }
-            } // else: out-of-order — dropped (ordered-source contract)
-          }
+          val st = twapFold(state.getOption.getOrElse(EmptyState),
+            rows.toSeq.sortBy(e => (e.us, e.tie)))
           state.update(st)
-          if (st.n == 0L) Iterator.empty
-          else Iterator.single(TwapRow(g, st.n, st.n - 1L,
-            r(st.wUs.toDouble / 1e6, 3),
-            if (st.wUs == 0L) None
-            else Some(r(st.vw.toDouble / st.wUs.toDouble / 100.0, 6))))
+          twapRow(g, st).iterator
       }
   }
 }

@@ -99,6 +99,45 @@ class BandedCumsumSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("floor banding: every band spans exactly bandWidth keys, zero-straddling included") {
+    // trunc-div would put keys -9..9 into one 19-key band 0 at bw=10;
+    // floor semantics split them  -10..-1 | 0..9  (r10 advice #1)
+    val keys = (-25L to 25L).toSeq
+    val df = keys.map(k => ("g", k, 1L, 1L)).toDF("g", "k", "a", "b")
+    val bands = df.selectExpr("k",
+        BandedCumsum.floorDivBand("k", 10L) + " AS band")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    bands.groupBy(_._2).foreach { case (band, ks) =>
+      assert(ks.length <= 10, s"band $band holds ${ks.length} keys > bandWidth")
+      assert(ks.map(_._1).forall(k => k >= band * 10 && k < (band + 1) * 10),
+        s"band $band keys ${ks.map(_._1).toSeq} outside [${band * 10}, ${(band + 1) * 10})")
+    }
+    // and the decomposition stays exact under floor banding
+    val rows = keys.map(k => ("g", k, k % 7, 1L))
+    assert(run(rows, 10L) == reference(rows))
+  }
+
+  test("sparse (hashed) order key fails loudly at the offsets level (r10 verdict #1)") {
+    // 64 hash-like keys → 64 distinct bands in one group; cap at 8
+    val sparse = (1L to 64L).map(k => ("g", k * 2654435761L, 1L, 1L))
+    val ex = intercept[Exception] {
+      BandedCumsum.cumsum(sparse.toDF("g", "k", "a", "b"),
+        Seq("g"), "k", Seq("a"), maxBandsPerGroup = 8L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(msgs)
+    assert(msgs(ex).exists(m => m.contains("BandedCumsum") &&
+      m.contains("maxBandsPerGroup")), s"wrong error: ${msgs(ex)}")
+    // same guard on rowNumber
+    val ex2 = intercept[Exception] {
+      BandedCumsum.rowNumber(sparse.toDF("g", "k", "a", "b"), Seq("g"),
+        expr("k div 2"), Seq(col("k")), "rn", maxBandsPerGroup = 8L).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("maxBandsPerGroup")))
+    // dense keys at the default cap: untouched
+    assert(run(dense, 16L) == reference(dense))
+  }
+
   test("empty input: cumsum and rowNumber yield empty, no errors") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long, Long, Long)].toDF("g", "k", "a", "b")

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r11: Bench's self-adjudicating outlier re-run (r10 verdict #2) —
+  * the prior-readings parser must pull exactly the per-query seconds
+  * out of a committed bench_out.json line, including one that already
+  * carries a `retimed` object (whose array values must NOT re-parse
+  * as readings). */
+class BenchRetimeSpec extends AnyFunSuite {
+
+  val line =
+    """{"metric":"total","value":96.3,"unit":"sec","queries":{"q17_event_window":0.31,""" +
+      """"q78_cube":1.74,"q9_ratio_analytics":0.12},""" +
+      """"retimed":{"q78_cube":[1.74,0.42]},"canary_s":[0.85,1.30],"sf":"/root/testdata/sf0.1"}"""
+
+  test("priorReadings pulls per-query seconds, skipping retimed arrays") {
+    val m = Bench.priorReadings(line)
+    assert(m == Map("q17_event_window" -> 0.31, "q78_cube" -> 1.74,
+      "q9_ratio_analytics" -> 0.12))
+  }
+
+  test("priorReadings tolerates a missing/garbled file body") {
+    assert(Bench.priorReadings("").isEmpty)
+    assert(Bench.priorReadings("not json at all").isEmpty)
+  }
+
+  test("the committed r10 artifact parses and covers the full suite") {
+    val path = java.nio.file.Paths.get("bench_out.json")
+    if (java.nio.file.Files.exists(path)) {
+      val m = Bench.priorReadings(java.nio.file.Files.readString(path))
+      assert(m.size >= 100, s"only ${m.size} readings parsed")
+      assert(m.keySet.subsetOf(SparkEntry.queries.keySet ++ m.keySet))
+    }
+  }
+}
