@@ -155,6 +155,7 @@ object SparkEntry {
     "q142_pipeline" -> operators.Pipeline.trainingPipeline,
     "q143_mann_kendall" -> operators.MannKendall.orderRevenueTrend,
     "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCi,
+    "q145_ann_ivfpq" -> ann.IvfPq.annIvfPq,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -428,5 +429,6 @@ object SparkEntry {
     "q142_pipeline" -> operators.Pipeline.trainingPipelineSql,
     "q143_mann_kendall" -> operators.MannKendall.orderRevenueTrendSql,
     "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCiSql,
+    "q145_ann_ivfpq" -> ann.IvfPq.annIvfPqSql,
   )
 }

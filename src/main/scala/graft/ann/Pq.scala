@@ -73,11 +73,11 @@ object Pq {
     * the left fold's `0.0 + t1 + t2 + …` equals [[sqDistSql]]'s
     * unrolled `t1 + t2 + …` bitwise because every term is ≥ 0 and
     * +0.0 is an exact additive identity. */
-  private def sqDist(v: Column, c: Seq[Double]): Column =
+  private[ann] def sqDist(v: Column, c: Seq[Double]): Column =
     aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
 
-  private def sqDistSql(a: String, b: String): String =
+  private[ann] def sqDistSql(a: String, b: String): String =
     (0 until SubDim).map { i =>
       s"(($a[${i + 1}] - $b[${i + 1}]) * ($a[${i + 1}] - $b[${i + 1}]))"
     }.mkString(" + ")
@@ -85,7 +85,7 @@ object Pq {
   /** Min-L2 code per subvector against codebook literals; ties break
     * toward the LOWER code (struct sort ascending ⇒ `d2 ASC, cell
     * ASC`, mirrored in the oracle). */
-  private def assignCode(sub: Column, book: Seq[(Int, Seq[Double])]): Column =
+  private[ann] def assignCode(sub: Column, book: Seq[(Int, Seq[Double])]): Column =
     element_at(array_sort(array(book.map { case (cid, cv) =>
       struct(sqDist(sub, cv).as("d2"), lit(cid).as("cell"))
     }.toIndexedSeq: _*)), 1).getField("cell")
@@ -120,7 +120,7 @@ object Pq {
   }
 
   /** Ordered codebook for subspace m. */
-  private def bookOf(books: Seq[(Int, Int, Seq[Double])], m: Int): Seq[(Int, Seq[Double])] =
+  private[ann] def bookOf(books: Seq[(Int, Int, Seq[Double])], m: Int): Seq[(Int, Seq[Double])] =
     books.collect { case (`m`, cid, cv) => (cid, cv) }.sortBy(_._1)
 
   /** PQ-encode to the compressed layout: (vec_id, c0 … c{M−1}) — a
