@@ -156,6 +156,7 @@ object SparkEntry {
     "q143_mann_kendall" -> operators.MannKendall.orderRevenueTrend,
     "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCi,
     "q145_ann_ivfpq" -> ann.IvfPq.annIvfPq,
+    "q146_crs_utm_webmerc" -> operators.Crs.utmWebmerc,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -430,5 +431,6 @@ object SparkEntry {
     "q143_mann_kendall" -> operators.MannKendall.orderRevenueTrendSql,
     "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCiSql,
     "q145_ann_ivfpq" -> ann.IvfPq.annIvfPqSql,
+    "q146_crs_utm_webmerc" -> operators.Crs.utmWebmercSql,
   )
 }
