@@ -124,4 +124,82 @@ class RocksDbStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("18t cusumStreamLate scrambled parity holds on the RocksDB backend") {
+    // the late twin adds two state shapes the base twins never store:
+    // a buffered event list (Timestamps inside RocksDB state rows) and
+    // event-time timeouts — both must be backend-invisible too
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.{DriftStream, LateStream}
+    import graft.streaming.DriftStream.CusumEvent
+    val dir001 = "/root/testdata/sf0.001"
+    val (t, k, h) = (5000L, 1500L, 20000L)
+    val batch = operators.Changepoint.cusum(
+      Tables.events(spark, dir001), "event_type", "ts", "event_id",
+      "value", t, k, h)
+      .filter(col("alarm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("tie"))) ->
+        (r.getLong(r.fieldIndex("s_up")), r.getLong(r.fieldIndex("s_dn")),
+          r.getString(r.fieldIndex("dir"))))
+      .toMap
+    val feed = Tables.events(spark, dir001)
+      .select(col("ts"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => CusumEvent(r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.seq))
+    // bounded scramble (the LateStreamSpec recipe): 4 chunks, shuffle
+    // within each, carry a suffix across each boundary
+    val chunks = feed.grouped(math.max(1, (feed.length + 3) / 4)).toSeq
+    val delayMs = chunks.map(c => c.last.ts.getTime - c.head.ts.getTime).max + 1000L
+    val rnd = new scala.util.Random(23)
+    val batches = scala.collection.mutable.ArrayBuffer.fill(
+      chunks.length)(List.empty[CusumEvent])
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val (stay, moved) = c.splitAt(math.max(1, c.length - 8))
+      batches(i) = batches(i) ++ stay
+      val dest = math.min(i + 1, chunks.length - 1)
+      batches(dest) = batches(dest) ++ moved
+    }
+    val prior = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val input = MemoryStream[CusumEvent]
+      val q = LateStream.cusumStreamLate(input.toDS(), t, k, h,
+          s"$delayMs milliseconds").writeStream
+        .format("memory").queryName("cusum_late_rocksdb")
+        .outputMode("append").start()
+      try {
+        assert(q.sparkSession.conf.get(ProviderKey) == RocksDb)
+        batches.foreach { b =>
+          input.addData(rnd.shuffle(b).toSeq); q.processAllAvailable()
+        }
+        val flushTs = feed.map(_.ts.getTime).max + 4 * delayMs
+        for (i <- 0 to 1) {
+          input.addData(Seq(CusumEvent(
+            new Timestamp(flushTs + i * delayMs), "__flush", i.toLong, 0.0)))
+          q.processAllAvailable()
+        }
+        val got = spark.table("cusum_late_rocksdb").collect()
+          .filter(_.getString(0) != "__flush")
+          .map(r => (r.getString(0), r.getLong(r.fieldIndex("seq"))) ->
+            (math.round(r.getDouble(r.fieldIndex("s_up")) * 100),
+              math.round(r.getDouble(r.fieldIndex("s_dn")) * 100),
+              r.getString(r.fieldIndex("dir"))))
+          .toMap
+        assert(got.size == batch.size,
+          s"alarm count ${got.size} != batch ${batch.size}")
+        assert(got == batch,
+          "RocksDB-backed late-twin alarms must equal the batch rows")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
 }
