@@ -157,6 +157,12 @@ object SparkEntry {
     "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCi,
     "q145_ann_ivfpq" -> ann.IvfPq.annIvfPq,
     "q146_crs_utm_webmerc" -> operators.Crs.utmWebmerc,
+    "q147_label_prop" -> operators.Graph.lpSupplierPart,
+    "q148_jl_project" -> ann.Jl.jlProject,
+    "q149_conformal" -> ((s: SparkSession, d: String) =>
+      operators.Conformal.orderPriceConformal(s, d)),
+    "q150_perm_test" -> ((s: SparkSession, d: String) =>
+      operators.Permutation.orderPricePermTest(s, d)),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -432,5 +438,9 @@ object SparkEntry {
     "q144_bootstrap_ci" -> operators.Bootstrap.segmentBalanceCiSql,
     "q145_ann_ivfpq" -> ann.IvfPq.annIvfPqSql,
     "q146_crs_utm_webmerc" -> operators.Crs.utmWebmercSql,
+    "q147_label_prop" -> operators.Graph.lpSupplierPartSql,
+    "q148_jl_project" -> ann.Jl.jlProjectSql,
+    "q149_conformal" -> operators.Conformal.orderPriceConformalSql,
+    "q150_perm_test" -> operators.Permutation.orderPricePermTestSql,
   )
 }

@@ -199,6 +199,106 @@ object Graph {
         "centrality")
   }
 
+  // ------------------------------------------ label propagation (q147)
+
+  /** Fixed LP rounds for the registered query: synchronous LP on a
+    * near-bipartite-complete graph mixes in very few rounds. */
+  val LpIters = 4
+
+  /** Synchronous label propagation — the standard near-linear
+    * community detector (Raghavan et al. 2007), made DETERMINISTIC so
+    * both engines reproduce it bit-for-bit: labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * in-neighbors, ties broken toward the SMALLEST label (the usual
+    * random tie-break replaced by a total order); a node with no
+    * in-neighbors keeps its label. Exact integer counts + min
+    * tie-break — no randomness, no floats.
+    *
+    * Scale shape: per round ONE equi-join of the label frame with the
+    * edge list on src (the [[pagerank]] plan class), one
+    * map-side-combined (dst, label) count, and a per-node argmax
+    * window whose partitions hold one row per DISTINCT neighbor label
+    * — bounded by in-degree, the q13 topk class. Lineage checkpoints
+    * every 2nd round. */
+  def labelProp(edges: DataFrame, iters: Int = LpIters): DataFrame = {
+    require(edges.columns.toSeq.contains("src") && edges.columns.toSeq.contains("dst"),
+      s"edges needs (src, dst), got ${edges.columns.mkString(",")}")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().persist()
+    var labels = nodes.withColumn("lbl", col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("lbl"))
+    for (i <- 1 to iters) {
+      val winner = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("lbl").as("new_lbl"))
+      labels = labels.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      if (i % 2 == 0 && i < iters) labels = labels.localCheckpoint(true)
+    }
+    val out = labels.localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
+    out.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** q147: communities over the same symmetrized supplier–part graph
+    * as q65 — the crawl-curation companion signal (PageRank ranks
+    * pages, LP groups them; duplicate-farm detection samples per
+    * community instead of per page). */
+  def lpSupplierPart(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = sp.selectExpr("s * 2 AS src", "p * 2 + 1 AS dst")
+      .unionByName(sp.selectExpr("p * 2 + 1 AS src", "s * 2 AS dst"))
+    labelProp(edges, LpIters)
+      .selectExpr(
+        "id div 2 AS node_key",
+        "CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type",
+        "community")
+  }
+
+  /** DuckDB twin: the identical deterministic recurrence, one CTE
+    * triple (counts, winners, labels) per round. */
+  val lpSupplierPartSql: String = {
+    val rounds = (1 to LpIters).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN $prev l ON l.id = e.src
+         |  GROUP BY 1, 2),
+         |w$i AS (
+         |  SELECT dst AS id, lbl FROM (
+         |    SELECT dst, lbl,
+         |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$i)
+         |  WHERE rn = 1),
+         |l$i AS (
+         |  SELECT p.id, coalesce(w.lbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN w$i w ON w.id = p.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH sp AS (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |edges AS (
+       |  SELECT s * 2 AS src, p * 2 + 1 AS dst FROM sp
+       |  UNION ALL
+       |  SELECT p * 2 + 1 AS src, s * 2 AS dst FROM sp),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$rounds
+       |SELECT id // 2 AS node_key,
+       |  CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       |  lbl AS community
+       |FROM l$LpIters""".stripMargin
+  }
+
   /** DuckDB twin: the identical integer recurrence, unrolled one CTE
     * pair (contributions, ranks) per iteration. */
   val pagerankSupplierPartSql: String = {

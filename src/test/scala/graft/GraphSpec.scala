@@ -108,4 +108,40 @@ class GraphSpec extends AnyFunSuite {
     // orders of magnitude beyond floor leakage
     assert(plain < redist - Graph.Scale / 10)
   }
+
+  test("labelProp: sync LP on a 4-cycle with min tie-break, hand-computed") {
+    import spark.implicits._
+    // directed 4-cycle 1→2→3→4→1 (each node has ONE in-neighbor, so
+    // every round just shifts labels around the cycle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = operators.Graph.labelProp(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: lbl(v) = id of its predecessor; round 2: two steps back
+    assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("labelProp: two disjoint triangles never share a community") {
+    import spark.implicits._
+    def tri(base: Long) = Seq(
+      (base, base + 1), (base + 1, base), (base + 1, base + 2),
+      (base + 2, base + 1), (base + 2, base), (base, base + 2))
+    val edges = (tri(1L) ++ tri(10L)).toDF("src", "dst")
+    val got = operators.Graph.labelProp(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Set(1L, 2L, 3L).map(got)
+    val right = Set(10L, 11L, 12L).map(got)
+    assert(left.intersect(right).isEmpty, s"$left vs $right")
+    // min tie-break pulls a symmetric triangle onto its smallest id
+    assert(left == Set(1L) && right == Set(10L))
+  }
+
+  test("labelProp is deterministic and the q147 plan broadcasts no fact side") {
+    val dir = "/root/testdata/sf0.001"
+    val a = operators.Graph.lpSupplierPart(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val b = operators.Graph.lpSupplierPart(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
 }

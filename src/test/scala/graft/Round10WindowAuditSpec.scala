@@ -102,6 +102,9 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q127_seasonality" -> "per-(type, dow) cells: ≤ 7 per series",
     "q139_seasonal_strength" -> "per-type dow cells: ≤ 7 per series",
     "q100_bh_fdr" -> "per-family p-value rank: tests are dimension-grade",
+    "q149_conformal" -> ("per-group dollar-score cells: range-bounded" +
+      " (grow only until the price range saturates, the q48/q141 class)" +
+      " + CellGuard raise_error past maxCells (r11)"),
     "q83_auc" -> "score cells: quantized-score range-bounded",
     "q61_quality_score" -> "score cells: quantized-score range-bounded",
     "q67_dsir" -> "importance-weight cells: quantized range-bounded",
