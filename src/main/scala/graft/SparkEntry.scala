@@ -163,6 +163,10 @@ object SparkEntry {
       operators.Conformal.orderPriceConformal(s, d)),
     "q150_perm_test" -> ((s: SparkSession, d: String) =>
       operators.Permutation.orderPricePermTest(s, d)),
+    "q151_ann_jl" -> ann.Jl.annJl,
+    "q152_cuped" -> operators.Cuped.eventValueCuped,
+    "q153_obf_monitor" -> ((s: SparkSession, d: String) =>
+      operators.Sequential.orderFinishMonitor(s, d)),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -442,5 +446,8 @@ object SparkEntry {
     "q148_jl_project" -> ann.Jl.jlProjectSql,
     "q149_conformal" -> operators.Conformal.orderPriceConformalSql,
     "q150_perm_test" -> operators.Permutation.orderPricePermTestSql,
+    "q151_ann_jl" -> ann.Jl.annJlSql,
+    "q152_cuped" -> operators.Cuped.eventValueCupedSql,
+    "q153_obf_monitor" -> operators.Sequential.orderFinishMonitorSql,
   )
 }

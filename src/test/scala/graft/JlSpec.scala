@@ -60,6 +60,24 @@ class JlSpec extends AnyFunSuite {
     assert(med > 0.75 && med < 1.3, s"median ratio $med")
   }
 
+  test("q151 JL-shortlist ANN: recall@5 vs brute clears the floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jl = pairs(Jl.annJl(spark, dir))
+    val brute = pairs(Ann.annBrute(spark, dir))
+    val recall = (jl intersect brute).size.toDouble / brute.size
+    // 16-dim reduced-space ranking keeps the true top-5 inside a
+    // 50-deep shortlist most of the time on this corpus; the final
+    // ranks are exact cosine so recall is shortlist coverage alone
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    // shape: TopK rows per query
+    val out = Jl.annJl(spark, dir)
+    import org.apache.spark.sql.functions._
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= Ann.TopK).count() == 0)
+  }
+
   test("projection is linear: P(u + v) = P(u) + P(v) to double precision") {
     val ids = vecs.keys.toSeq.sorted.take(4)
     val (u, v) = (vecs(ids(0)), vecs(ids(1)))
