@@ -167,6 +167,9 @@ object SparkEntry {
     "q152_cuped" -> operators.Cuped.eventValueCuped,
     "q153_obf_monitor" -> ((s: SparkSession, d: String) =>
       operators.Sequential.orderFinishMonitor(s, d)),
+    "q154_good_turing" -> textstats.GoodTuring.sourceGoodTuring,
+    "q155_ann_filtered" -> ((s: SparkSession, d: String) =>
+      ann.Ann.annIvfFiltered(s, d)),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -449,5 +452,7 @@ object SparkEntry {
     "q151_ann_jl" -> ann.Jl.annJlSql,
     "q152_cuped" -> operators.Cuped.eventValueCupedSql,
     "q153_obf_monitor" -> operators.Sequential.orderFinishMonitorSql,
+    "q154_good_turing" -> textstats.GoodTuring.sourceGoodTuringSql,
+    "q155_ann_filtered" -> ann.Ann.annIvfFilteredSql,
   )
 }

@@ -250,6 +250,104 @@ object Ann {
        |WHERE rk <= $TopK""".stripMargin
   }
 
+  // ---- q155: filtered ANN (metadata predicate inside the IVF path) ----
+
+  /** Filtered vector search — the production retrieval shape where a
+    * metadata predicate restricts candidates (per-tenant search,
+    * license filters, freshness windows): here each query keeps only
+    * neighbors from a DIFFERENT document source (the curation read
+    * "who else has content like mine" behind contamination triage and
+    * cross-source dedup). The filter applies INSIDE the IVF candidate
+    * path — on the cell-joined pairs BEFORE any cosine math — so
+    * filtered search costs less than unfiltered, never more (the
+    * post-filter-then-top-k naive shape re-ranks rejected rows; this
+    * one never scores them). Source labels ride the corpus side via
+    * one doc_id equi-join; probing/assignment are exactly [[annIvf]].
+    *
+    * Caveat the scaladoc owes a 100 TB caller: a highly selective
+    * predicate empties probed cells — raise nProbe (or partition the
+    * index by the filter column) when matching density is low; the
+    * per-query row count reports how many neighbors were actually
+    * found (< k under starvation, never silently padded). */
+  def annIvfFiltered(embeddings: DataFrame, docs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int = IvfProbes,
+      k: Int = TopK): DataFrame = {
+    val emb = embCast(embeddings)
+    val srcOf = docs.select(col("doc_id").as("vec_id"), col("source"))
+    val scoredCells = reverse(array_sort(array(centroids.map { case (cid, cv) =>
+      struct(VectorMath.cosineFast(col("v"), typedLit(cv)).as("cos"),
+        lit(cid).as("cell"))
+    }.toIndexedSeq: _*)))
+    val assigned = emb.withColumn("cell",
+      element_at(scoredCells, 1).getField("cell"))
+      .join(srcOf, "vec_id")
+    val queries = emb.filter(col("vec_id") % QueryStride === 0)
+      .join(srcOf, "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("source").as("qsource"),
+        explode(transform(slice(scoredCells, 1, nProbe), s => s.getField("cell")))
+          .as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(queries)
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("source") =!= col("qsource")) // predicate BEFORE any scoring
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        (round(col("cos"), 4) + 0.0).as("cos"))
+  }
+
+  /** Registered q155: fit-then-query, filter = different source. */
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annIvfFiltered(emb, Tables.documents(spark, dir), fitCentroids(emb))
+  }
+
+  /** DuckDB twin: [[annIvfSql]] machinery + the source join and the
+    * identical pre-scoring predicate. */
+  val annIvfFilteredSql: String = {
+    val ccos = s"(${VectorMath.dotSql("e.v", "c.v", Dim)} / (e.nrm * c.nrm))"
+    val cos = s"(${VectorMath.dotSql("qe.v", "e.v", Dim)} / (qe.nrm * e.nrm))"
+    s"""WITH emb AS (${embCteSql.replace("\n", " ")}),
+       |src AS (SELECT doc_id AS vec_id, source FROM documents),
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v, nrm
+       |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT $IvfCells)),
+       |cellscore AS (
+       |  SELECT e.vec_id, c.cell, $ccos AS ccos
+       |  FROM emb e CROSS JOIN cent c),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crk
+       |  FROM cellscore),
+       |assigned AS (
+       |  SELECT a.vec_id, a.cell, s.source
+       |  FROM (SELECT vec_id, cell FROM ranked WHERE crk = 1) a
+       |  JOIN src s ON s.vec_id = a.vec_id),
+       |probes AS (
+       |  SELECT r.vec_id AS query_id, r.cell, s.source AS qsource
+       |  FROM ranked r JOIN src s ON s.vec_id = r.vec_id
+       |  WHERE r.vec_id % $QueryStride = 0 AND r.crk <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |    AND a.vec_id <> p.query_id AND a.source <> p.qsource),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id, $cos AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb e ON e.vec_id = c.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) + 0.0 AS cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $TopK""".stripMargin
+  }
+
   // ---- #23 embedding near-duplicate pairs (shared LSH) ----
 
   val NearDupPlanes = 4
