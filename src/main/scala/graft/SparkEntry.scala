@@ -170,6 +170,8 @@ object SparkEntry {
     "q154_good_turing" -> textstats.GoodTuring.sourceGoodTuring,
     "q155_ann_filtered" -> ((s: SparkSession, d: String) =>
       ann.Ann.annIvfFiltered(s, d)),
+    "q156_calibration" -> operators.Calibration.orderFinishCalibration,
+    "q157_adamic_adar" -> operators.Graph.aaSupplierLinks,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -454,5 +456,7 @@ object SparkEntry {
     "q153_obf_monitor" -> operators.Sequential.orderFinishMonitorSql,
     "q154_good_turing" -> textstats.GoodTuring.sourceGoodTuringSql,
     "q155_ann_filtered" -> ann.Ann.annIvfFilteredSql,
+    "q156_calibration" -> operators.Calibration.orderFinishCalibrationSql,
+    "q157_adamic_adar" -> operators.Graph.aaSupplierLinksSql,
   )
 }

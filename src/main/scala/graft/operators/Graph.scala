@@ -299,6 +299,81 @@ object Graph {
        |FROM l$LpIters""".stripMargin
   }
 
+  // ------------------------------ Adamic–Adar link prediction (q157)
+
+  /** Top predicted links to report. */
+  val AaTopK = 100
+
+  /** Adamic–Adar link prediction over a bipartite incidence list —
+    * the classic "who should be connected" score (Adamic & Adar
+    * 2003): candidate pair (a, b) on the LEFT side scores
+    * Σ_{shared right-node r} 1/ln(deg(r)) — sharing a RARE right
+    * node is strong evidence, sharing a hub is weak. The curation
+    * read: suppliers predicted to share parts are sourcing
+    * substitutes (and for web corpora: hosts predicted to link are
+    * mirror/farm suspects — feeds the q39/q147 cluster triage).
+    *
+    * Exactness: weights are FIXED-POINT integers w(r) = ⌊10⁶/ln
+    * deg(r)⌋, so pair scores are exact integer sums (order-free —
+    * double summation across rows would be sum-order-dependent);
+    * deg(r) = 1 right nodes are excluded (1/ln 1 diverges — they
+    * connect nothing anyway). Global top-[[AaTopK]] by (score DESC,
+    * a, b) — a TakeOrdered, never a per-node window.
+    *
+    * Scale shape: pair generation groups BY RIGHT NODE (Σ deg² — the
+    * q23/q77 candidate-join class; degree-cap or sample hub right
+    * nodes past ~10⁴ at web scale, the documented knob), then ONE
+    * map-side-combined (a, b) sum. */
+  def adamicAdar(incidence: DataFrame, leftCol: String, rightCol: String,
+      topK: Int = AaTopK): DataFrame = {
+    val inc = incidence.select(col(leftCol).cast("long").as("a"),
+      col(rightCol).cast("long").as("r")).distinct()
+      .localCheckpoint(true) // degree + both pair sides read it
+    val deg = inc.groupBy("r").agg(count(lit(1)).as("d"))
+      .filter(col("d") > 1)
+      // ⌊10⁶ / ln d⌋: exact integer weight, identical in both engines
+      .selectExpr("r", "CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)))" +
+        " AS BIGINT) AS w")
+    inc.join(inc.select(col("a").as("b"), col("r")), "r")
+      .filter(col("a") < col("b"))
+      .join(deg, "r")
+      .groupBy("a", "b")
+      .agg(sum(col("w")).as("aa_micro"), count(lit(1)).as("n_common"))
+      .orderBy(col("aa_micro").desc, col("a"), col("b"))
+      .limit(topK)
+      .selectExpr("a", "b", "n_common", "aa_micro",
+        "round(CAST(aa_micro AS DOUBLE) / 1e6, 6) + 0.0 AS aa_score")
+  }
+
+  /** q157: predicted supplier–supplier links via shared parts. */
+  def aaSupplierLinks(spark: SparkSession, dir: String): DataFrame =
+    adamicAdar(
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")),
+      "s", "p")
+      .withColumnRenamed("a", "supp_a").withColumnRenamed("b", "supp_b")
+
+  /** DuckDB twin: identical weights, pair spine, tie order. */
+  val aaSupplierLinksSql: String =
+    s"""WITH inc AS (
+       |  SELECT DISTINCT l_suppkey AS a, l_partkey AS r FROM lineitem),
+       |deg AS (
+       |  SELECT r, CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE)))
+       |    AS BIGINT) AS w
+       |  FROM inc GROUP BY r HAVING count(*) > 1),
+       |pairs AS (
+       |  SELECT i1.a, i2.a AS b, d.w
+       |  FROM inc i1 JOIN inc i2 ON i1.r = i2.r AND i1.a < i2.a
+       |  JOIN deg d ON d.r = i1.r)
+       |SELECT a AS supp_a, b AS supp_b,
+       |  CAST(count(*) AS BIGINT) AS n_common,
+       |  CAST(sum(w) AS BIGINT) AS aa_micro,
+       |  round(CAST(sum(w) AS DOUBLE) / 1e6, 6) + 0.0 AS aa_score
+       |FROM pairs
+       |GROUP BY 1, 2
+       |ORDER BY aa_micro DESC, supp_a, supp_b
+       |LIMIT $AaTopK""".stripMargin
+
   /** DuckDB twin: the identical integer recurrence, unrolled one CTE
     * pair (contributions, ranks) per iteration. */
   val pagerankSupplierPartSql: String = {
