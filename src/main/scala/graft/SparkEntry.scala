@@ -172,6 +172,7 @@ object SparkEntry {
       ann.Ann.annIvfFiltered(s, d)),
     "q156_calibration" -> operators.Calibration.orderFinishCalibration,
     "q157_adamic_adar" -> operators.Graph.aaSupplierLinks,
+    "q158_glm_ci" -> operators.Regression.glmConfIntQ,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -458,5 +459,6 @@ object SparkEntry {
     "q155_ann_filtered" -> ann.Ann.annIvfFilteredSql,
     "q156_calibration" -> operators.Calibration.orderFinishCalibrationSql,
     "q157_adamic_adar" -> operators.Graph.aaSupplierLinksSql,
+    "q158_glm_ci" -> operators.Regression.glmConfIntSql,
   )
 }

@@ -63,37 +63,79 @@ object Jl {
   // ------------------------- q151: JL-shortlisted ANN (the consumer) --
 
   /** Shortlist depth for the reduced-space ranking. */
-  val Rerank = 50
+  val Rerank = 100
 
-  /** q151: ANN via the JL path — candidate RANKING runs entirely in
-    * the K-dim projected space (a K/64 per-pair cost cut with the
-    * corpus represented by K doubles instead of 64 — the
-    * dimensionality analogue of q69's code shortlist), then exact
-    * cosine over true vectors re-ranks the [[Rerank]]-deep shortlist.
-    * Projected vectors are UNROUNDED (the q54 round-trip discipline:
-    * rounding is an output convention, not an internal one); the
-    * projection is the identical [[jlProject]] map, so both engines
-    * rank the exact same reduced-space scores. */
+  /** Sign-LSH tables/planes for candidate generation IN the projected
+    * space (the q25 recall pattern, run over K-dim vectors): more,
+    * shallower tables than q25 because reduced-space angles are
+    * noisier — 8 × 3-plane tables keep recall@5 vs brute well above
+    * the JlSpec floor on this corpus. Raise the plane count with the
+    * corpus (buckets ≈ n / occupancy-target) — the documented knob. */
+  val JlTables = 8
+  val JlPlanes = 3
+
+  /** Bucket hyperplanes come from a DISJOINT region of the md5 plane
+    * family (offset 1000): the projection matrix uses planes 0..K−1,
+    * and reusing those indices for bucketing would correlate the
+    * bucket bits with the projected coordinates themselves. */
+  val JlBucketOffset = 1000
+
+  /** q151: ANN via the JL path — BOTH candidate generation and
+    * ranking run in the K-dim projected space. Candidates come from
+    * sign-LSH bucketing over the projected vectors ([[JlTables]]
+    * independent [[JlPlanes]]-plane tables — the q25 machinery with
+    * 16-dim planes): per table the shuffle key is the bucket id, so
+    * candidate generation is an equi-join on a small key, SUBLINEAR
+    * per query — never a query × corpus pair frame — and the
+    * shortlist is elected by the BOUNDED top-k aggregate (constant
+    * k-entry partial state), so no per-query window over anything
+    * wider than the final Rerank-deep shortlist exists in the plan.
+    * Candidate volume per query is bucket occupancy × tables (the
+    * documented plane-count knob), not the corpus. The
+    * [[Rerank]]-deep reduced-space shortlist is then re-ranked by
+    * exact cosine over the true 64-dim vectors (the q69/q145
+    * shortlist discipline). Projected vectors are UNROUNDED (the q54
+    * round-trip discipline); the projection is the identical
+    * [[jlProject]] map, so both engines bucket and rank the exact
+    * same reduced-space values. */
   def annJl(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val proj = emb.select(col("vec_id"), col("v"),
+    val proj = emb.select(col("vec_id"),
       array((0 until K).map { j =>
         VectorMath.dot(col("v"), typedLit(Hyperplanes.plane(j, Ann.Dim))) *
           lit(Scale)
       }: _*).as("pv"))
-    val queries = proj.filter(col("vec_id") % Ann.QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("pv").as("qpv"))
-    val wJl = Window.partitionBy(col("query_id"))
-      .orderBy(col("jl_cos").desc, col("vec_id"))
-    val shortlist = broadcast(queries)
-      .join(proj.select(col("vec_id"), col("pv")),
-        col("vec_id") =!= col("query_id"))
+    // K-dim sign-LSH tables over the projection (decorrelated family)
+    val withBuckets = (0 until JlTables).foldLeft(proj) { (df, t) =>
+      df.withColumn(s"b$t", Hyperplanes.bucket(col("pv"), JlPlanes, K,
+        planeOffset = JlBucketOffset + t * JlPlanes))
+    }
+    val tables = (0 until JlTables).map { t =>
+      withBuckets.select(col("vec_id"), col("pv"),
+        lit(t).as("tbl"), col(s"b$t").as("bucket"))
+    }.reduce(_ unionByName _)
+    val queries = tables.filter(col("vec_id") % Ann.QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("pv").as("qpv"),
+        col("tbl"), col("bucket"))
+    // dedupe multi-table repeats on the scalar pair key (q25 move)
+    val cands = broadcast(queries)
+      .join(tables, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("qpv")).as("qpv"), first(col("pv")).as("pv"))
+    // shortlist election as the BOUNDED top-k aggregate (constant
+    // k-entry partial state, map-side combined) — no per-query window
+    // over the candidate set anywhere; same deterministic set as a
+    // (jl_cos DESC, vec_id) row_number ≤ Rerank pick, which is what
+    // the DuckDB twin still runs
+    val shortlist = cands
       .withColumn("jl_cos", VectorMath.cosineFast(col("qpv"), col("pv")))
-      .withColumn("rk", row_number().over(wJl))
-      .filter(col("rk") <= Rerank)
-      .select(col("query_id"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkIds(col("jl_cos"), col("vec_id"), Rerank)
+        .as("short_ids"))
+      .select(col("query_id"), explode(col("short_ids")).as("vec_id"))
     val wFin = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     shortlist
@@ -107,14 +149,20 @@ object Jl {
         (round(col("cos"), 4) + 0.0).as("cos"))
   }
 
-  /** DuckDB twin: identical projection (unrounded), reduced-space
-    * ranking, shortlist, exact re-rank. */
+  /** DuckDB twin: identical projection (unrounded), identical
+    * projected-space bucket decision (same md5 plane family, offset
+    * region, bit order), reduced-space ranking within candidates,
+    * exact re-rank. */
   val annJlSql: String = {
-    val jlCos = s"(${VectorMath.dotSql("q.qpv", "p.pv", K)}" +
-      s" / (${VectorMath.normSql("q.qpv", K)} * ${VectorMath.normSql("p.pv", K)}))"
+    val jlCos = s"(${VectorMath.dotSql("c.qpv", "c.pv", K)}" +
+      s" / (${VectorMath.normSql("c.qpv", K)} * ${VectorMath.normSql("c.pv", K)}))"
     val exactCos =
       s"(${VectorMath.dotSql("q2.v", "e.v", Ann.Dim)} / (q2.nrm * e.nrm))"
+    val nBp = JlTables * JlPlanes
     s"""WITH hp AS (${Hyperplanes.planesCteSql(K, Ann.Dim).replace("\n", " ")}),
+       |bp AS (
+       |  SELECT j, list_transform(range(0, $K), c -> ${Hyperplanes.componentSql("j", "c")}) AS h
+       |  FROM range($JlBucketOffset, ${JlBucketOffset + nBp}) t(j)),
        |emb AS (
        |  SELECT vec_id, v, ${VectorMath.normSql("v", Ann.Dim)} AS nrm
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
@@ -124,15 +172,26 @@ object Jl {
        |      ${VectorMath.dotSql("e.v", "hp.h", Ann.Dim)} * $Scale AS y
        |    FROM emb e CROSS JOIN hp)
        |  GROUP BY vec_id),
-       |q AS (
-       |  SELECT vec_id AS query_id, pv AS qpv FROM proj
-       |  WHERE vec_id % ${Ann.QueryStride} = 0),
+       |sig AS (
+       |  SELECT p.vec_id, (bp.j - $JlBucketOffset) // $JlPlanes AS tbl,
+       |    string_agg(CASE WHEN ${VectorMath.dotSql("p.pv", "bp.h", K)} > 0 THEN '1' ELSE '0' END,
+       |               '' ORDER BY bp.j) AS bucket
+       |  FROM proj p CROSS JOIN bp
+       |  GROUP BY p.vec_id, (bp.j - $JlBucketOffset) // $JlPlanes),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+       |  FROM sig q JOIN sig b ON q.tbl = b.tbl AND q.bucket = b.bucket
+       |    AND b.vec_id <> q.vec_id
+       |  WHERE q.vec_id % ${Ann.QueryStride} = 0),
        |short AS (
        |  SELECT query_id, vec_id FROM (
-       |    SELECT q.query_id, p.vec_id,
-       |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY $jlCos DESC, p.vec_id) AS rk
-       |    FROM q JOIN proj p ON p.vec_id <> q.query_id)
+       |    SELECT c.query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY $jlCos DESC, c.vec_id) AS rk
+       |    FROM (SELECT ca.query_id, ca.vec_id, pq.pv AS qpv, pb.pv AS pv
+       |          FROM cand ca
+       |          JOIN proj pq ON pq.vec_id = ca.query_id
+       |          JOIN proj pb ON pb.vec_id = ca.vec_id) c)
        |  WHERE rk <= $Rerank)
        |SELECT query_id, vec_id AS neighbor_id, rk, round(cos, 4) + 0.0 AS cos FROM (
        |  SELECT sh.query_id, sh.vec_id, $exactCos AS cos,

@@ -38,6 +38,16 @@ object Hashing {
   def hash48(seed: Int, c: Column): Column =
     hash48(concat(lit(s"$seed:"), c))
 
+  /** The whole B-member seeded family of a key in ONE call — element b
+    * ≡ `hash48(seed, concat(b, ":", key))` (pinned by Hash48SeqSpec).
+    * Pair with `posexplode` for the ×B resampling expansions: one
+    * digest + one key encode per ROW instead of per (row, replicate)
+    * pair. Oracles keep the per-pair [[hash48Sql]] recipe unchanged. */
+  def hash48Seq(seed: Int, count: Int, key: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      expressions.Hash48Seq(
+        org.apache.spark.sql.GraftSql.expression(key), seed, count))
+
   /** DuckDB SQL fragment computing the same value as [[hash48(Column)]].
     * Kept next to the Spark definition so the two can't drift. */
   def hash48Sql(expr: String): String =

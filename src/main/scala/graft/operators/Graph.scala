@@ -215,11 +215,16 @@ object Graph {
     * tie-break — no randomness, no floats.
     *
     * Scale shape: per round ONE equi-join of the label frame with the
-    * edge list on src (the [[pagerank]] plan class), one
-    * map-side-combined (dst, label) count, and a per-node argmax
-    * window whose partitions hold one row per DISTINCT neighbor label
-    * — bounded by in-degree, the q13 topk class. Lineage checkpoints
-    * every 2nd round. */
+    * edge list on src (the [[pagerank]] plan class), then ONE
+    * dst-keyed exchange feeding BOTH aggregate levels — the (dst,
+    * label) count and the deterministic argmax `max(struct(cnt,
+    * -lbl))`, which picks the highest count and, on ties, the
+    * smallest label (identical semantics to a (cnt DESC, lbl)
+    * row_number pick, with no per-node sort anywhere in the plan);
+    * hash(dst) satisfies both groupings' clustered distributions, so
+    * neither aggregate re-shuffles. Each round materializes its |V|-
+    * row label frame (see the in-code note: the frame is consumed
+    * twice per round, so a lazy recurrence is exponential). */
   def labelProp(edges: DataFrame, iters: Int = LpIters): DataFrame = {
     require(edges.columns.toSeq.contains("src") && edges.columns.toSeq.contains("dst"),
       s"edges needs (src, dst), got ${edges.columns.mkString(",")}")
@@ -229,22 +234,84 @@ object Graph {
       .unionByName(e.select(col("dst").as("id")))
       .distinct().persist()
     var labels = nodes.withColumn("lbl", col("id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("lbl"))
     for (i <- 1 to iters) {
+      // ONE shuffle for both aggregate levels: hash(dst) satisfies the
+      // clustered distribution of BOTH groupBy(dst, lbl) and
+      // groupBy(dst), so after the explicit dst repartition the count
+      // and the argmax run shuffle-free in place (vs two back-to-back
+      // aggregate exchanges; (dst, lbl) pairs are near-distinct on a
+      // dedup'd edge list, so pre-shuffle combining had nothing to do)
       val winner = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("lbl"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("id"), col("lbl").as("new_lbl"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("dst").as("id"), (-col("best.neg")).as("new_lbl"))
       labels = labels.join(winner, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-      if (i % 2 == 0 && i < iters) labels = labels.localCheckpoint(true)
+      // materialize EVERY round: unlike pagerank (whose rank frame
+      // feeds the next round exactly once, so lazy rounds fuse into
+      // one linear job), the label frame is consumed TWICE per round
+      // (winner side + keep-own-label fallback) — a lazy recurrence
+      // doubles the lineage per round, i.e. 2^iters recomputes of the
+      // early rounds (measured 16s vs 6s at sf0.1 over 4 rounds). The
+      // materialized frame is |V| rows — node-table grade, cheap.
+      if (i < iters) labels = labels.localCheckpoint(true)
     }
     val out = labels.localCheckpoint(true)
     e.unpersist(); nodes.unpersist()
     out.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** Label propagation with a zero-changes convergence stop: iterate
+    * until NO node changes label (or `maxIters`). Same per-round plan
+    * class as [[labelProp]] plus one map-side-combined changed-label
+    * count — which, like [[pagerankUntil]]'s delta, is a driver
+    * scalar, so every round materializes instead of fusing into one
+    * lazy job. Use the fixed-depth variant when the mixing depth is
+    * known (the registered near-bipartite graph mixes in ≤4); use
+    * this when it isn't — e.g. a directed chain of length L needs L−1
+    * rounds for the head's label to reach the tail.
+    *
+    * Caveat (standard for SYNCHRONOUS LP): bipartite-ish structures
+    * can 2-cycle forever; `maxIters` is the documented backstop, and
+    * `roundsRun == maxIters` with a nonzero last delta means
+    * non-convergence, not a deep fixed point.
+    *
+    * @return (labels, roundsRun) — roundsRun < maxIters means a round
+    *         ran with zero label changes (fixed point reached). */
+  def labelPropUntil(edges: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+    require(edges.columns.toSeq.contains("src") && edges.columns.toSeq.contains("dst"),
+      s"edges needs (src, dst), got ${edges.columns.mkString(",")}")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().persist()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (rounds < maxIters && changed > 0L) {
+      val winner = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("lbl"))
+        .repartition(col("dst")) // one exchange feeds both agg levels
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("dst").as("id"), (-col("best.neg")).as("new_lbl"))
+      val next = labels.join(winner, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true) // materialized: the delta below reuses it
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
+      rounds += 1
+    }
+    e.unpersist(); nodes.unpersist()
+    (labels.select(col("id"), col("lbl").as("community")), rounds)
   }
 
   /** q147: communities over the same symmetrized supplier–part graph
@@ -321,22 +388,34 @@ object Graph {
     * a, b) — a TakeOrdered, never a per-node window.
     *
     * Scale shape: pair generation groups BY RIGHT NODE (Σ deg² — the
-    * q23/q77 candidate-join class; degree-cap or sample hub right
-    * nodes past ~10⁴ at web scale, the documented knob), then ONE
-    * map-side-combined (a, b) sum. */
+    * q23/q77 candidate-join class), then ONE map-side-combined
+    * (a, b) sum. `maxRightDegree` is the hub knob for web scale:
+    * right nodes with degree ABOVE the cap are EXCLUDED from pair
+    * generation entirely (exact exclusion semantics, not sampling —
+    * the result equals Adamic–Adar computed on the incidence list
+    * with those hub rows deleted). This bounds per-right-node
+    * fan-out at cap², and it is also the statistically honest cut:
+    * a right node shared by 10⁴ left nodes carries weight
+    * 1/ln 10⁴ ≈ 0.11 per pair — ubiquity is not evidence. Default
+    * Long.MaxValue = no cap (the registered query's setting). */
   def adamicAdar(incidence: DataFrame, leftCol: String, rightCol: String,
-      topK: Int = AaTopK): DataFrame = {
+      topK: Int = AaTopK, maxRightDegree: Long = Long.MaxValue): DataFrame = {
     val inc = incidence.select(col(leftCol).cast("long").as("a"),
       col(rightCol).cast("long").as("r")).distinct()
       .localCheckpoint(true) // degree + both pair sides read it
     val deg = inc.groupBy("r").agg(count(lit(1)).as("d"))
       .filter(col("d") > 1)
+      .filter(col("d") <= maxRightDegree)
       // ⌊10⁶ / ln d⌋: exact integer weight, identical in both engines
       .selectExpr("r", "CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)))" +
         " AS BIGINT) AS w")
-    inc.join(inc.select(col("a").as("b"), col("r")), "r")
+    // deg joins BEFORE the self-join so capped/degree-1 right nodes
+    // never enter pair generation (the cap bounds the join itself,
+    // not just the scored output)
+    val incW = inc.join(deg, "r")
+    incW.select("r", "a")
+      .join(incW.select(col("r"), col("a").as("b"), col("w")), "r")
       .filter(col("a") < col("b"))
-      .join(deg, "r")
       .groupBy("a", "b")
       .agg(sum(col("w")).as("aa_micro"), count(lit(1)).as("n_common"))
       .orderBy(col("aa_micro").desc, col("a"), col("b"))

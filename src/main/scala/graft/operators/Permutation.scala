@@ -63,11 +63,14 @@ object Permutation {
       sum(expr("CASE WHEN isA = 0 THEN xc ELSE 0 END")).as("s_b"))
       .selectExpr("n_a", "n_b",
         s"abs(${tSql("s_a", "n_a", "s_b", "n_b")}) AS t_obs_abs")
+    // ONE digest + one key encode per ROW for the whole ×B family
+    // (posexplode pos = b), not per (row, b) pair — value-identical to
+    // hash48(Seed, concat(b, ":", k)), pinned by Hash48SeqSpec; the
+    // DuckDB twin keeps the per-pair portable recipe
     val perB = rows
-      .select(col("k"), col("xc"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"))
-      .withColumn("h", Hashing.hash48(Seed,
-        concat(col("b").cast("string"), lit(":"), col("k").cast("string"))))
+      .select(col("xc"),
+        posexplode(Hashing.hash48Seq(Seed, b, col("k").cast("string")))
+          .as(Seq("b", "h")))
       .crossJoin(broadcast(obs.select(col("n_a").as("na0"),
         (col("n_a") + col("n_b")).as("n0"))))
       .withColumn("inA", (col("h") % col("n0") < col("na0")).cast("int"))

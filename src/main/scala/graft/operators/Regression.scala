@@ -364,13 +364,10 @@ object Regression {
       .selectExpr("w", "x1", "x2", "y", s"$EtaSql AS eta")
       .selectExpr("w", "x1", "x2", "y", "eta", s"$MuSnapSql AS mu")
 
-  /** Quasibinomial GLM inference table: one tidy row per coefficient —
-    * (term, estimate, std_error, t_value, p_value, dispersion, n_rows),
-    * the `summary(glm)$coefficients` deliverable. Declarative end to
-    * end: `iters` IRLS refits (each a cross-join + one-pass aggregate)
-    * then one inference pass at the final β computing X'WX, the Pearson
-    * φ, SEs from the cofactor diagonal, and erfc p-values. */
-  def glmInference(rows: DataFrame, iters: Int = 6): DataFrame = {
+  /** Shared 1-row inference frame at the final IRLS β — columns
+    * (n_rows, phi, b0..b2, se0..se2), the common tail of
+    * [[glmInference]] and [[glmConfInt]]. */
+  private def glmInfFrame(rows: DataFrame, iters: Int): DataFrame = {
     // pin the analysis frame once: the chain re-reads it iters+2 times
     // (warm start, each refit, inference pass), and recomputing the
     // caller's source pipeline per pass would dominate the fit cost.
@@ -399,6 +396,16 @@ object Regression {
         "sw", "sx1", "sx2", "sx11", "sx12", "sx22")
       .selectExpr("n_rows", "b0", "b1", "b2", "phi",
         s"${seSql(Cof0Sql)} AS se0", s"${seSql(Cof1Sql)} AS se1", s"${seSql(Cof2Sql)} AS se2")
+  }
+
+  /** Quasibinomial GLM inference table: one tidy row per coefficient —
+    * (term, estimate, std_error, t_value, p_value, dispersion, n_rows),
+    * the `summary(glm)$coefficients` deliverable. Declarative end to
+    * end: `iters` IRLS refits (each a cross-join + one-pass aggregate)
+    * then one inference pass at the final β computing X'WX, the Pearson
+    * φ, SEs from the cofactor diagonal, and erfc p-values. */
+  def glmInference(rows: DataFrame, iters: Int = 6): DataFrame = {
+    glmInfFrame(rows, iters)
       .selectExpr("n_rows", "phi",
         "stack(3, 'intercept', b0, se0, b0 / nullif(se0, 0.0), 'x1', b1, se1, b1 / nullif(se1, 0.0), 'x2', b2, se2, b2 / nullif(se2, 0.0)) AS (term, est, se, tv)")
       .selectExpr("term",
@@ -414,10 +421,50 @@ object Regression {
   def glmInferenceQ(spark: SparkSession, dir: String): DataFrame =
     glmInference(regressionRows(spark, dir), iters = 6)
 
-  /** DuckDB twin: the SAME iteration chain as a generated CTE cascade —
-    * every per-row/solve/inference formula is the same text fragment
-    * Spark runs, so the table hash-matches bitwise. */
-  val glmInferenceSql: String = {
+  /** 95% Wald z (normal approximation — same documented stance as
+    * [[pSql]]: R's `confint.default` uses exactly this constant). */
+  private val Z95 = "1.959963985"
+
+  /** exp SNAPPED to a 1e-9 grid — the [[MuSnapSql]] discipline: engine
+    * `exp` may differ in the last ulp, and an unsnapped value at a
+    * round-6 boundary would be a parity coin-flip. Same DOUBLE-cast
+    * guard (Spark floor(DOUBLE) → BIGINT otherwise). */
+  private def expSnapSql(x: String): String =
+    s"CAST(floor(exp($x) * 1e9 + 0.5) AS DOUBLE) / 1e9"
+
+  /** Wald confidence intervals + odds-ratio table for the
+    * quasibinomial GLM — the reference's FINAL analysis artifact
+    * (`run_analysis.Rmd:193-211` plots `tidy(conf.int = TRUE)`'s
+    * conf.low/conf.high per coefficient on a log odds-ratio scale).
+    * One tidy row per coefficient: estimate, conf_low/high on the
+    * linear-predictor scale (est ± z·SE on the RAW unrounded chain),
+    * and the exp() transform of all three (odds ratios). NULL SE (the
+    * saturated-fit convention) propagates NULL bounds, never garbage.
+    * Same cost as [[glmInference]] — the chain is shared; only the
+    * final 1-row projection differs. */
+  def glmConfInt(rows: DataFrame, iters: Int = 6): DataFrame =
+    glmInfFrame(rows, iters)
+      .selectExpr(
+        "stack(3, 'intercept', b0, se0, 'x1', b1, se1, 'x2', b2, se2) AS (term, est, se)")
+      .selectExpr("term",
+        "round(est, 6) + 0.0 AS estimate",
+        s"round(est - $Z95 * se, 6) + 0.0 AS conf_low",
+        s"round(est + $Z95 * se, 6) + 0.0 AS conf_high",
+        s"round(${expSnapSql("est")}, 6) + 0.0 AS odds_ratio",
+        s"round(${expSnapSql(s"est - $Z95 * se")}, 6) + 0.0 AS or_low",
+        s"round(${expSnapSql(s"est + $Z95 * se")}, 6) + 0.0 AS or_high")
+
+  /** q158: the confidence-interval/odds-ratio table for the q32
+    * analysis frame. */
+  def glmConfIntQ(spark: SparkSession, dir: String): DataFrame =
+    glmConfInt(regressionRows(spark, dir), iters = 6)
+
+  /** Shared DuckDB CTE chain through the `inf2` frame (n_rows, phi,
+    * b0..b2, se0..se2) — the SAME iteration cascade both [[glmInferenceSql]]
+    * and [[glmConfIntSql]] select their tidy tails from. Every
+    * per-row/solve/inference formula is the same text fragment Spark
+    * runs, so the tables hash-match bitwise. */
+  private val GlmInfPrefixSql: String = {
     def sumsSql(terms: Seq[(String, String)]): String = terms.map { case (n, t) =>
       s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0)) AS ${n}_i"
     }.mkString(",\n  ")
@@ -470,7 +517,11 @@ object Regression {
        |        FROM infr CROSS JOIN c6),
        |inf2 AS (SELECT n_rows, b0, b1, b2, phi,
        |  ${seSql(Cof0Sql)} AS se0, ${seSql(Cof1Sql)} AS se1, ${seSql(Cof2Sql)} AS se2
-       |FROM inf),
+       |FROM inf)""".stripMargin
+  }
+
+  val glmInferenceSql: String =
+    s"""$GlmInfPrefixSql,
        |tidy AS (
        |  SELECT 'intercept' AS term, b0 AS est, se0 AS se, b0 / nullif(se0, 0.0) AS tv, phi, n_rows FROM inf2
        |  UNION ALL SELECT 'x1', b1, se1, b1 / nullif(se1, 0.0), phi, n_rows FROM inf2
@@ -483,7 +534,22 @@ object Regression {
        |  round(phi, 6) + 0.0 AS dispersion,
        |  n_rows
        |FROM tidy""".stripMargin
-  }
+
+  /** DuckDB twin of [[glmConfIntQ]]: same prefix chain, the CI tail. */
+  val glmConfIntSql: String =
+    s"""$GlmInfPrefixSql,
+       |tidy AS (
+       |  SELECT 'intercept' AS term, b0 AS est, se0 AS se FROM inf2
+       |  UNION ALL SELECT 'x1', b1, se1 FROM inf2
+       |  UNION ALL SELECT 'x2', b2, se2 FROM inf2)
+       |SELECT term,
+       |  round(est, 6) + 0.0 AS estimate,
+       |  round(est - $Z95 * se, 6) + 0.0 AS conf_low,
+       |  round(est + $Z95 * se, 6) + 0.0 AS conf_high,
+       |  round(${expSnapSql("est")}, 6) + 0.0 AS odds_ratio,
+       |  round(${expSnapSql(s"est - $Z95 * se")}, 6) + 0.0 AS or_low,
+       |  round(${expSnapSql(s"est + $Z95 * se")}, 6) + 0.0 AS or_high
+       |FROM tidy""".stripMargin
 
   /** The q32 analysis frame keyed by customer nation (shared by q89 and
     * q95). */

@@ -135,6 +135,56 @@ class GraphSpec extends AnyFunSuite {
     assert(left == Set(1L) && right == Set(10L))
   }
 
+  test("labelPropUntil: a directed chain needs length-1 rounds; fixed-depth can't know that") {
+    import spark.implicits._
+    // 1→2→…→8: node 1 keeps label 1; after round k node i holds
+    // max(1, i−k), so the head's label reaches the tail only at round
+    // 7 — deeper than LpIters. Round 8 runs with zero changes and
+    // stops the loop.
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Graph.labelPropUntil(chain, maxIters = 20)
+    assert(rounds == 8, s"expected 7 changing rounds + 1 fixed-point check, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("labelPropUntil matches fixed-depth labelProp at equal depth") {
+    import spark.implicits._
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val fixed = Graph.labelProp(chain, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) = Graph.labelPropUntil(chain, maxIters = 4)
+    assert(rounds == 4) // still changing at depth 4 — no early stop
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == fixed)
+  }
+
+  test("adamicAdar maxRightDegree: capped hubs generate NO pairs (exact exclusion)") {
+    import spark.implicits._
+    // right node 100 is a 6-degree hub, right node 200 a 2-degree
+    // rare link; left pair (1, 2) shares both
+    val hub = (1L to 6L).map(a => (a, 100L))
+    val rare = Seq((1L, 200L), (2L, 200L))
+    val inc = (hub ++ rare).toDF("a", "r")
+    val capped = Graph.adamicAdar(inc, "a", "r", topK = 100, maxRightDegree = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // ONLY the rare-link pair survives, scored by w(200) alone
+    val w200 = math.floor(1000000.0 / math.log(2.0)).toLong
+    assert(capped == Map((1L, 2L) -> w200))
+    // exclusion semantics: identical to running uncapped on the
+    // incidence list with the hub rows deleted
+    val deleted = Graph.adamicAdar(rare.toDF("a", "r"), "a", "r", topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(capped == deleted)
+    // and the default (no cap) keeps the hub's 15 pairs
+    val uncapped = Graph.adamicAdar(inc, "a", "r", topK = 100)
+    assert(uncapped.count() == 15)
+    val w100 = math.floor(1000000.0 / math.log(6.0)).toLong
+    val full = uncapped.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(full((1L, 2L)) == w100 + w200)
+    assert(full((3L, 4L)) == w100)
+  }
+
   test("labelProp is deterministic and the q147 plan broadcasts no fact side") {
     val dir = "/root/testdata/sf0.001"
     val a = operators.Graph.lpSupplierPart(spark, dir).collect()

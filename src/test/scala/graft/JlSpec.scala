@@ -67,10 +67,13 @@ class JlSpec extends AnyFunSuite {
     val jl = pairs(Jl.annJl(spark, dir))
     val brute = pairs(Ann.annBrute(spark, dir))
     val recall = (jl intersect brute).size.toDouble / brute.size
-    // 16-dim reduced-space ranking keeps the true top-5 inside a
-    // 50-deep shortlist most of the time on this corpus; the final
-    // ranks are exact cosine so recall is shortlist coverage alone
+    // recall factors: P(true neighbor shares an LSH bucket with the
+    // query in the 16-dim projected space) × P(it ranks inside the
+    // Rerank-deep reduced-space shortlist); 8 × 3-plane tables and
+    // Rerank=100 keep the product comfortably above the floor here,
+    // and the final ranks are exact cosine
     assert(recall >= 0.5, s"recall@5 = $recall")
+    info(f"JL-LSH recall@5 = $recall%.3f")
     // shape: TopK rows per query
     val out = Jl.annJl(spark, dir)
     import org.apache.spark.sql.functions._

@@ -217,6 +217,42 @@ class RegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 glmConfInt: Wald intervals + odds ratios cohere with glmInference") {
+    import spark.implicits._
+    val data = (0 until 400).map { i =>
+      val w = (5 + i % 20).toDouble
+      val x1 = ((i * 7) % 23).toDouble / 23.0 * 4.0 - 2.0
+      val x2 = ((i * 13) % 17).toDouble / 17.0 * 2.0 - 1.0
+      val mu = 1.0 / (1.0 + math.exp(-(-0.4 + 0.8 * x1 - 0.6 * x2)))
+      val y = math.min(0.98, math.max(0.02, mu + 0.15 * math.sin(i * 1.7)))
+      (w, x1, x2, y)
+    }.toDF("w", "x1", "x2", "y")
+    val inf = Regression.glmInference(data, iters = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ci = Regression.glmConfInt(data, iters = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = 1.959963985
+    Seq("intercept", "x1", "x2").foreach { term =>
+      val (est, se) = inf(term)
+      val r = ci(term)
+      assert(math.abs(r.getDouble(1) - est) < 1e-9, s"$term estimate")
+      // recompute from ROUND-6 inference outputs: agreement to the
+      // rounding grid (the exact-chain parity is the oracle's job)
+      assert(math.abs(r.getDouble(2) - (est - z * se)) < 1e-5, s"$term conf_low")
+      assert(math.abs(r.getDouble(3) - (est + z * se)) < 1e-5, s"$term conf_high")
+      assert(math.abs(r.getDouble(4) - math.exp(est)) < 1e-5 * (1.0 + math.exp(est)),
+        s"$term odds_ratio")
+      // interval geometry: bounds bracket the point on both scales
+      assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3))
+      assert(r.getDouble(5) < r.getDouble(4) && r.getDouble(4) < r.getDouble(6))
+      // exp is monotone: or bounds are the transformed linear bounds
+      assert(math.abs(r.getDouble(5) - math.exp(r.getDouble(2))) <
+        1e-4 * (1.0 + math.exp(r.getDouble(2))), s"$term or_low")
+      assert(math.abs(r.getDouble(6) - math.exp(r.getDouble(3))) <
+        1e-4 * (1.0 + math.exp(r.getDouble(3))), s"$term or_high")
+    }
+  }
+
   test("q95 glmQuasibinomialBy recovers a DIFFERENT planted GLM per group") {
     import spark.implicits._
     // noise-free logistic data: group g has β = (-0.2·g, 0.5+0.3·g,
