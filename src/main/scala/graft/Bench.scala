@@ -23,7 +23,9 @@ import org.apache.spark.sql.SparkSession
   * reading per round was a one-off in-pass pause (q100-r8, q101-r9,
   * q17/q78-r10) that a judge re-time then adjudicated away. Now the
   * bench adjudicates itself: any query whose min-of-2 exceeds
-  * [[RerunRatio]]× its reading in the PREVIOUS committed bench file
+  * [[RerunRatio]]× the TIGHTER of its previous on-disk reading and the
+  * monotone all-time `best` carried in the file (r11 verdict #7 — a
+  * mid-round inflated line can't loosen the reference)
   * gets a third targeted run at the end of the pass; the adopted value
   * is the min of all three and the pre-rerun reading is preserved in
   * `"retimed":{q:[before,after]}` — so a shipped artifact never
@@ -51,12 +53,34 @@ object Bench {
   val RerunRatio = 2.5
   val RerunMinDeltaS = 0.2
 
-  /** Per-query seconds from a previous bench_out.json line — a flat
-    * regex pull from the `"queries":{...}` object (the only place
-    * q-names appear as keys), no JSON parser needed. */
+  /** The `"<key>":{...}` object body of a bench_out.json line (flat
+    * objects only — every object this file emits is flat). */
+  private def objOf(line: String, key: String): String = {
+    val i = line.indexOf("\"" + key + "\":{")
+    val j = if (i < 0) -1 else line.indexOf('}', i)
+    if (j < 0) "" else line.substring(i, j + 1)
+  }
+
+  /** Per-query seconds from a previous bench_out.json line's
+    * `"queries":{...}` object — a scoped regex pull, no JSON parser
+    * needed. */
   private[graft] def priorReadings(line: String): Map[String, Double] =
     "\"(q[0-9][0-9a-z_]*)\":([0-9][0-9.eE+-]*)".r
-      .findAllMatchIn(line)
+      .findAllMatchIn(objOf(line, "queries"))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Per-query all-time-fastest seconds from the line's `"best":{...}`
+    * object. The r11 escape (r11 verdict #3/#7): the retime trigger
+    * compared only against the previous ON-DISK `queries` readings — a
+    * mid-round file that already carried an inflated one-off — so the
+    * committed artifact shipped a reading a fresh rerun contradicted
+    * by >2×. The `best` map is the monotone per-query MIN carried
+    * forward through every line (seeded from the round-start committed
+    * file's readings on the first run of a round), so a mid-round
+    * inflated reading can never loosen the trigger's reference. */
+  private[graft] def bestReadings(line: String): Map[String, Double] =
+    "\"(q[0-9][0-9a-z_]*)\":([0-9][0-9.eE+-]*)".r
+      .findAllMatchIn(objOf(line, "best"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   def main(args: Array[String]): Unit = {
@@ -86,10 +110,18 @@ object Bench {
     val canaryPost = canary(spark)
     // targeted third run for readings a fresh rerun would contradict
     val out0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val prior =
-      try priorReadings(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(out0)))
-      catch { case _: Throwable => Map.empty[String, Double] }
+    val prevLine =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(out0))
+      catch { case _: Throwable => "" }
+    val onDisk = priorReadings(prevLine)
+    val prevBest = bestReadings(prevLine)
+    // per-query reference = the TIGHTER of (previous line's readings,
+    // the monotone all-time best): an inflated mid-round reading can
+    // no longer loosen the trigger (the q106-r11 escape)
+    val prior = (onDisk.keySet ++ prevBest.keySet).map { k =>
+      k -> math.min(onDisk.getOrElse(k, Double.MaxValue),
+        prevBest.getOrElse(k, Double.MaxValue))
+    }.toMap
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val adjusted = results.map { case (name, v) =>
       val p = prior.getOrElse(name, -1.0)
@@ -106,9 +138,13 @@ object Bench {
       .mkString("{", ",", "}")
     val rt = retimed.map { case (k, (b, a)) => "\"" + k + "\":[" + b + "," + a + "]" }
       .mkString("{", ",", "}")
+    // carry the monotone per-query minimum forward (trigger reference)
+    val best = adjusted.collect { case (k, v) if v >= 0 =>
+      k -> math.min(v, prior.getOrElse(k, Double.MaxValue))
+    }.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = adjusted.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"canary_s":[$canaryPre,$canaryPost],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"best":$best,"canary_s":[$canaryPre,$canaryPost],"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the line to a file: the driver's BENCH_r08/_r09
     // artifacts were head-truncated stdout tails (parsed: null), losing

@@ -25,6 +25,21 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(Bench.priorReadings("not json at all").isEmpty)
   }
 
+  test("bestReadings pulls the best object; priorReadings stays scoped to queries") {
+    // the r11 escape: the mid-round line's `queries` carried q78 at an
+    // inflated 1.74s while the monotone `best` still holds 0.42 — the
+    // retime reference must see 0.42, so priorReadings must NOT leak
+    // best values and bestReadings must NOT leak queries values
+    val withBest = line.replace(""","canary_s"""",
+      ""","best":{"q17_event_window":0.29,"q78_cube":0.42},"canary_s"""")
+    assert(Bench.priorReadings(withBest) == Map("q17_event_window" -> 0.31,
+      "q78_cube" -> 1.74, "q9_ratio_analytics" -> 0.12))
+    assert(Bench.bestReadings(withBest) == Map("q17_event_window" -> 0.29,
+      "q78_cube" -> 0.42))
+    // a line without a best object (r11-era file): empty, not a crash
+    assert(Bench.bestReadings(line).isEmpty)
+  }
+
   test("the committed r10 artifact parses and covers the full suite") {
     val path = java.nio.file.Paths.get("bench_out.json")
     if (java.nio.file.Files.exists(path)) {

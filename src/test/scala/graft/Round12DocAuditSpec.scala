@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftSql, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Doc/vector-cardinality audit (r11 verdict #2/#3): the r10 window
+  * audit and r11 skew audit measure growth across sf0.001 → sf0.01 —
+  * a step where `documents` and `embeddings` hold 500 rows at BOTH
+  * SFs, so ANY window or join keyed on doc/vector cardinality is
+  * structurally invisible to them (exactly how q151-r11's per-query
+  * corpus-sized window sailed through a "measured, not reviewed"
+  * gate). This spec closes the blind spot with the SAME two screens
+  * run across sf0.01 → sf0.1 — the step where documents go 500 → 5000
+  * (10×) and embeddings 500 → 2000 (4×) — restricted to the queries
+  * whose optimized plans actually scan those tables (detected from
+  * the plan's file-source leaves, not a hand-kept list, so new doc
+  * operators are auto-enrolled).
+  *
+  * Thresholds: a corpus-linear structure grows ~10× on documents and
+  * ~4× on embeddings across this step; the flag line is ratio ≥ 3
+  * with a non-trivial big side (> 96 rows) — tight enough to catch
+  * exactly-linear embedding-keyed growth, loose enough that bounded
+  * structures (cluster/bucket-capped with constant knobs, per-doc
+  * spans) that merely ride the doc-count dimension stay explainable.
+  * Flags must be allowlisted with the structural bound (or knob) that
+  * caps them — the allowlist is the adjudication record.
+  */
+class Round12DocAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.session()
+  val smallDir = "/root/testdata/sf0.01"
+  val bigDir = "/root/testdata/sf0.1"
+
+  /** Does this query's plan scan documents/embeddings parquet? The
+    * relation's toString elides the file path, so detect via the
+    * HadoopFsRelation's root locations. */
+  private def readsDocTables(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists { p =>
+              val s = p.toString
+              s.contains("documents.parquet") || s.contains("embeddings.parquet")
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+
+  // ---- window screen (Round10WindowAuditSpec machinery) ----
+
+  private def maxPartitionRows(w: Window): Long = {
+    val child = GraftSql.ofRows(spark, w.child)
+    if (w.partitionSpec.isEmpty) child.count()
+    else {
+      val cols = w.partitionSpec.zipWithIndex.map { case (e, i) =>
+        GraftSql.column(e).as(s"pk$i")
+      }
+      val agg = child.groupBy(cols: _*).count().agg(max("count")).collect().head
+      if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    }
+  }
+
+  private def windowsOf(df: DataFrame): Seq[Window] = {
+    val all = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    val seen = scala.collection.mutable.Set[(Any, Seq[String])]()
+    all.filter { w =>
+      seen.add((w.child.canonicalized, w.partitionSpec.map(_.sql)))
+    }
+  }
+
+  // ---- join screen (Round11SkewAuditSpec machinery) ----
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  private def equiKeys(j: Join): Option[(Seq[Expression], Seq[Expression])] = {
+    val pairs = j.condition.toSeq.flatMap(splitConj).collect {
+      case EqualTo(l, r) if l.references.subsetOf(j.left.outputSet) &&
+        r.references.subsetOf(j.right.outputSet) => (l, r)
+      case EqualTo(l, r) if r.references.subsetOf(j.left.outputSet) &&
+        l.references.subsetOf(j.right.outputSet) => (r, l)
+    }
+    if (pairs.isEmpty) None else Some((pairs.map(_._1), pairs.map(_._2)))
+  }
+
+  /** Which logical side a broadcast join builds, or None if shuffled
+    * (the r11 pairing technique). */
+  private def broadcastSide(p: org.apache.spark.sql.execution.SparkPlan): Option[String] = p match {
+    case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+      Some(if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) "L" else "R")
+    case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+      Some(if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) "L" else "R")
+    case _ => None
+  }
+
+  private def joinsOf(df: DataFrame): Seq[(Join, Option[String])] = {
+    val logical = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val physical = df.queryExecution.sparkPlan.collect {
+      case p if p.nodeName.contains("Join") => p
+    }
+    assert(logical.size == physical.size,
+      s"join count differs logical ${logical.size} vs physical ${physical.size}")
+    val seen = scala.collection.mutable.Set[(Any, Any)]()
+    logical.zip(physical).collect {
+      case (j, p) if seen.add((j.left.canonicalized, j.right.canonicalized)) =>
+        (j, broadcastSide(p))
+    }
+  }
+
+  private val countCache = scala.collection.mutable.Map[Any, Long]()
+  private def rowsOf(plan: LogicalPlan): Long =
+    countCache.getOrElseUpdate(plan.canonicalized,
+      GraftSql.ofRows(spark, plan).count())
+
+  private def maxKeyRows(child: LogicalPlan, keys: Seq[Expression]): Long = {
+    val df = GraftSql.ofRows(spark, child)
+    val cols = keys.zipWithIndex.map { case (e, i) => GraftSql.column(e).as(s"k$i") }
+    val keyed = df.select(cols: _*)
+      .filter(cols.indices.map(i => col(s"k$i").isNotNull).reduce(_ && _))
+    val agg = keyed.groupBy(cols.indices.map(i => col(s"k$i")): _*)
+      .count().agg(max("count")).collect().head
+    if (agg.isNullAt(0)) 0L else agg.getLong(0)
+  }
+
+  /** query → structural bound adjudicating its doc-step flag(s).
+    * MEASURED record (this spec, sf0.01 → sf0.1, empty-allowlist run):
+    * exactly three window flags, zero join flags — every ANN/dedup
+    * bucket join either broadcasts a dimension-grade build side or
+    * keys on bucket ids whose occupancy stayed under the flag line at
+    * this step (the r11 zero-flag baseline carries over). Notably
+    * q151's rewrite (bounded top-k aggregate + projected-space LSH)
+    * shows NO window and NO skew flag here — the r11 verdict's #1
+    * "weak" finding is measurably closed, not allowlisted. */
+  val allowlist: Map[String, String] = Map(
+    "q45_kmeans" -> ("(cluster) partitions = corpus/k (measured 71 →" +
+      " 259 on the 4× embeddings step ≈ exactly proportional): k is" +
+      " the fit knob — a 100 TB SemDeDup/k-means run fits k ∝ corpus" +
+      " (constant occupancy), and the assignment itself is a" +
+      " per-row argmin projection, not the window"),
+    "q58_packing" -> ("(shard) partitions are shard-local BY DESIGN" +
+      " (SURVEY §2; measured 63 → 625 on the 10× doc step):" +
+      " PackShards is the parallelism knob a 100 TB caller raises —" +
+      " same adjudication as the r10 window audit"),
+    "q83_auc" -> ("global ROC window over SCORE CELLS (measured 488 →" +
+      " 3632): cells grow with data only until the quantized score" +
+      " range saturates (the q48/q141 class) — bounded by the score" +
+      " grid, not the corpus; same adjudication as the r10 audit"))
+
+  test("doc/vector-keyed windows do not grow super-linearly un-adjudicated") {
+    val violations = scala.collection.mutable.ListBuffer[String]()
+    val flagged = scala.collection.mutable.ListBuffer[String]()
+    val enrolled = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      spark.sharedState.cacheManager.clearCache()
+      val small = fn(spark, smallDir)
+      if (readsDocTables(small)) {
+        enrolled += name
+        val wsSmall = windowsOf(small)
+        val wsBig = windowsOf(fn(spark, bigDir))
+        assert(wsSmall.size == wsBig.size,
+          s"$name: plan shape differs across SFs (${wsSmall.size} vs ${wsBig.size})")
+        wsSmall.zip(wsBig).zipWithIndex.foreach { case ((ws, wb), i) =>
+          val big = maxPartitionRows(wb)
+          if (big > 96) {
+            val small = math.max(1L, maxPartitionRows(ws))
+            val ratio = big.toDouble / small
+            if (ratio >= 3.0) {
+              val desc = s"$name window#$i partition " +
+                s"[${wb.partitionSpec.map(_.sql).mkString(", ")}] " +
+                s"maxPart $small → $big (ratio ${"%.1f".format(ratio)})"
+              flagged += desc
+              if (!allowlist.contains(name)) violations += desc
+            }
+          }
+        }
+      }
+    }
+    info(s"enrolled doc/embedding queries: ${enrolled.size}")
+    info(s"flagged (allowlisted) windows:\n  ${flagged.mkString("\n  ")}")
+    assert(violations.isEmpty,
+      "un-adjudicated doc-step windows:\n  " + violations.mkString("\n  ") +
+        "\nEither bound the window (bounded aggregate / banding / bucketing)" +
+        " or allowlist it here with its structural bound.")
+  }
+
+  test("doc/vector-keyed joins do not grow a hot key super-linearly un-adjudicated") {
+    val violations = scala.collection.mutable.ListBuffer[String]()
+    val flagged = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      spark.sharedState.cacheManager.clearCache()
+      val small = fn(spark, smallDir)
+      if (readsDocTables(small)) {
+        val jsSmall = joinsOf(small)
+        val jsBig = joinsOf(fn(spark, bigDir))
+        assert(jsSmall.size == jsBig.size,
+          s"$name: join count differs across SFs (${jsSmall.size} vs ${jsBig.size})")
+
+        def skewScreen(js: Join, jb: Join, i: Int, note: String): Unit =
+          (equiKeys(js), equiKeys(jb)) match {
+            case (Some((lkS, rkS)), Some((lkB, rkB))) =>
+              Seq(("L", js.left, lkS, jb.left, lkB),
+                ("R", js.right, rkS, jb.right, rkB)).foreach {
+                case (side, chS, kS, chB, kB) =>
+                  val big = maxKeyRows(chB, kB)
+                  if (big > 96) {
+                    val small = math.max(1L, maxKeyRows(chS, kS))
+                    val ratio = big.toDouble / small
+                    if (ratio >= 3.0) {
+                      val desc = s"$name join#$i$note side $side keys " +
+                        s"[${kB.map(_.sql).mkString(", ")}] " +
+                        s"maxKey $small → $big (ratio ${"%.1f".format(ratio)})"
+                      flagged += desc
+                      if (!allowlist.contains(name)) violations += desc
+                    }
+                  }
+              }
+            case _ =>
+              val desc = s"$name join#$i$note non-equi with corpus-bound side"
+              flagged += desc
+              if (!allowlist.contains(name)) violations += desc
+          }
+
+        jsSmall.zip(jsBig).zipWithIndex.foreach {
+          case (((js, _), (jb, bcastB)), i) =>
+            bcastB match {
+              case None => skewScreen(js, jb, i, "")
+              case Some(side) =>
+                // broadcast today — still broadcast at 1000×? (r11 rule)
+                val (chS, chB) =
+                  if (side == "L") (js.left, jb.left) else (js.right, jb.right)
+                val bigRows = rowsOf(chB)
+                if (bigRows > 10000 &&
+                  bigRows.toDouble / math.max(1L, rowsOf(chS)) >= 3.0)
+                  skewScreen(js, jb, i, s"[fragile-bcast $side=$bigRows rows]")
+            }
+        }
+      }
+    }
+    info(s"flagged (allowlisted) joins:\n  ${flagged.mkString("\n  ")}")
+    assert(violations.isEmpty,
+      "un-adjudicated doc-step joins:\n  " + violations.mkString("\n  ") +
+        "\nEither bucket/broadcast/salt the join or allowlist it here" +
+        " with its structural bound.")
+  }
+}
