@@ -173,6 +173,9 @@ object SparkEntry {
     "q156_calibration" -> operators.Calibration.orderFinishCalibration,
     "q157_adamic_adar" -> operators.Graph.aaSupplierLinks,
     "q158_glm_ci" -> operators.Regression.glmConfIntQ,
+    "q159_logrank" -> operators.Logrank.segmentLogrank,
+    "q160_weighted_sample" -> operators.WeightedSample.sourceWeightedSample,
+    "q161_logrank_by" -> operators.Logrank.regionSegmentLogrank,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -460,5 +463,8 @@ object SparkEntry {
     "q156_calibration" -> operators.Calibration.orderFinishCalibrationSql,
     "q157_adamic_adar" -> operators.Graph.aaSupplierLinksSql,
     "q158_glm_ci" -> operators.Regression.glmConfIntSql,
+    "q159_logrank" -> operators.Logrank.segmentLogrankSql,
+    "q160_weighted_sample" -> operators.WeightedSample.sourceWeightedSampleSql,
+    "q161_logrank_by" -> operators.Logrank.regionSegmentLogrankSql,
   )
 }

@@ -107,15 +107,17 @@ object Jl {
         VectorMath.dot(col("v"), typedLit(Hyperplanes.plane(j, Ann.Dim))) *
           lit(Scale)
       }: _*).as("pv"))
-    // K-dim sign-LSH tables over the projection (decorrelated family)
-    val withBuckets = (0 until JlTables).foldLeft(proj) { (df, t) =>
-      df.withColumn(s"b$t", Hyperplanes.bucket(col("pv"), JlPlanes, K,
-        planeOffset = JlBucketOffset + t * JlPlanes))
-    }
-    val tables = (0 until JlTables).map { t =>
-      withBuckets.select(col("vec_id"), col("pv"),
-        lit(t).as("tbl"), col(s"b$t").as("bucket"))
-    }.reduce(_ unionByName _)
+    // K-dim sign-LSH tables over the projection (decorrelated family):
+    // ONE posexplode of the 8 bucket signatures fans a single
+    // projection subtree out to all tables — the r13 fix for the
+    // 8-way unionByName of per-table selects, which re-derived the
+    // embeddings scan + 16-dot-product projection once per branch
+    // (36 scans in the physical plan). Identical (tbl, bucket) rows.
+    val tables = proj.select(col("vec_id"), col("pv"),
+      posexplode(array((0 until JlTables).map { t =>
+        Hyperplanes.bucket(col("pv"), JlPlanes, K,
+          planeOffset = JlBucketOffset + t * JlPlanes)
+      }: _*)).as(Seq("tbl", "bucket")))
     val queries = tables.filter(col("vec_id") % Ann.QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("pv").as("qpv"),
         col("tbl"), col("bucket"))

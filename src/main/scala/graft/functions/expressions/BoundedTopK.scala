@@ -18,8 +18,20 @@ final class TopKBuffer(val k: Int) {
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // SQL total order, NOT raw >/==: both Spark and DuckDB sort NaN as
+  // the LARGEST double under ORDER BY score DESC, and raw > makes NaN
+  // never-better (silently dropped when the buffer is full, appended
+  // at the tail when it is not — a merge-order-dependent elected
+  // set). Mirror Spark's SQLOrderingUtil.compareDoubles: ±0.0 stay
+  // EQUAL (s1 == s2 first — Double.compare alone would rank 0.0 over
+  // -0.0 and steal the id tie-break), everything else incl. NaN via
+  // Double.compare (NaN above +Inf) — exactly the row_number window
+  // order this aggregate claims parity with.
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    // c == 0 for both ±0.0 (via ==) and NaN/NaN (via compare)
+    val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return

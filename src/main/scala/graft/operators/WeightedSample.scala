@@ -71,7 +71,7 @@ object WeightedSample {
         (round(col("es"), 6) + 0.0).as("es_key"))
   }
 
-  /** q159: k docs per source, draw probability ∝ document length —
+  /** q160: k docs per source, draw probability ∝ document length —
     * the length-weighted shard sampler a token-budgeted training mix
     * wants (uniform doc sampling under-weights long documents' token
     * mass; weighting by n_chars samples ∝ content). */

@@ -65,4 +65,25 @@ class TopKSpec extends AnyFunSuite {
       .select("ids").head.getSeq[Long](0)
     assert(got == Seq(1L, 4L))
   }
+
+  test("NaN sorts as the LARGEST score (SQL order), ties by id") {
+    import spark.implicits._
+    // NaN rows must be elected FIRST (Spark/DuckDB ORDER BY s DESC
+    // puts NaN above +Inf), with the id tie-break preserved among
+    // NaNs — the r12 ADVICE case: raw > made NaN never-better, so a
+    // full buffer dropped NaNs while a non-full one appended them
+    // (merge-order-dependent). Shuffled partials exercise merge().
+    val df = Seq(
+      (1L, Double.NaN, 7L), (1L, Double.PositiveInfinity, 2L),
+      (1L, Double.NaN, 3L), (1L, 5.0, 1L), (1L, -0.0, 8L), (1L, 0.0, 4L))
+      .toDF("g", "s", "id").repartition(5)
+    for (k <- Seq(2, 4, 6)) {
+      assert(aggPick(df, k) == windowPick(df, k), s"k=$k")
+    }
+    val got = df.groupBy("g")
+      .agg(TopK.topkIds(col("s"), col("id"), 4).as("ids"))
+      .select("ids").head.getSeq[Long](0)
+    // NaNs first (id order), then +Inf, then 5.0
+    assert(got == Seq(3L, 7L, 2L, 1L))
+  }
 }
