@@ -176,6 +176,7 @@ object SparkEntry {
     "q159_logrank" -> operators.Logrank.segmentLogrank,
     "q160_weighted_sample" -> operators.WeightedSample.sourceWeightedSample,
     "q161_logrank_by" -> operators.Logrank.regionSegmentLogrank,
+    "q162_pipeline_es" -> ((s, d) => operators.Pipeline.trainingPipelineEs(s, d)),
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -466,5 +467,6 @@ object SparkEntry {
     "q159_logrank" -> operators.Logrank.segmentLogrankSql,
     "q160_weighted_sample" -> operators.WeightedSample.sourceWeightedSampleSql,
     "q161_logrank_by" -> operators.Logrank.regionSegmentLogrankSql,
+    "q162_pipeline_es" -> operators.Pipeline.trainingPipelineEsSql,
   )
 }

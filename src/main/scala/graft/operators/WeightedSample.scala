@@ -40,32 +40,45 @@ object WeightedSample {
   /** Hash-family seed. */
   val Seed = 159
 
-  /** Shared-text ES key from integer columns (h, w):
+  /** Shared-text ES key over arbitrary weight/hash SQL operands:
     * snap9(ln((h+1)/2^48)) / w. */
-  private val EsSql =
-    "CAST(floor(ln((CAST(h AS DOUBLE) + 1.0) / 281474976710656.0)" +
-      " * 1e9 + 5e-1) AS DOUBLE) / 1e9 / CAST(w AS DOUBLE)"
+  private[operators] def esKeySql(w: String, h: String): String =
+    s"CAST(floor(ln((CAST($h AS DOUBLE) + 1.0) / 281474976710656.0)" +
+      s" * 1e9 + 5e-1) AS DOUBLE) / 1e9 / CAST($w AS DOUBLE)"
+
+  /** The key text over the keyed frame's (h, w) columns. */
+  private val EsSql = esKeySql("w", "h")
+
+  /** The (g, id, w, es) ES-keyed projection of a frame — a pure
+    * per-row function (no shuffle); w ≤ 0 rows excluded. */
+  private[operators] def keyedEs(df: DataFrame, domainCol: String,
+      keyCol: String, weightCol: String): DataFrame = df
+    .filter(col(weightCol) > 0)
+    .select(col(domainCol).as("g"), col(keyCol).cast("long").as("id"),
+      col(weightCol).cast("long").as("w"))
+    .withColumn("h", Hashing.hash48(Seed, col("id").cast("string")))
+    .withColumn("es", expr(EsSql))
+
+  /** Bounded per-domain election over a keyed frame → (g, id, rk),
+    * rk 1..k by (es DESC, id) — constant k-entry partial state,
+    * map-side combined (the s18 aggregate), no window. */
+  private[operators] def elect(keyed: DataFrame, k: Int): DataFrame =
+    keyed
+      .groupBy(col("g"))
+      .agg(TopK.topkIds(col("es"), col("id"), k).as("ids"))
+      .select(col("g"), posexplode(col("ids")).as(Seq("p", "id")))
+      .select(col("g"), col("id"), (col("p") + 1).as("rk"))
 
   /** ES sample of `k` rows per `domainCol`, weight ∝ `weightCol`
     * (positive integers), row identity = `keyCol` (BIGINT). Returns
     * (domain, key, w, rk, es_key) with rk 1..k by (es DESC, key). */
   def esSample(df: DataFrame, domainCol: String, keyCol: String,
       weightCol: String, k: Int = K): DataFrame = {
-    val keyed = df
-      .filter(col(weightCol) > 0)
-      .select(col(domainCol).as("g"), col(keyCol).cast("long").as("id"),
-        col(weightCol).cast("long").as("w"))
-      .withColumn("h", Hashing.hash48(Seed, col("id").cast("string")))
-      .withColumn("es", expr(EsSql))
-      // elected ids join back here for payload + display key:
-      // checkpoint so the scan + hash chain runs once (no CSE)
+    // elected ids join back for payload + display key: checkpoint so
+    // the scan + hash chain runs once (no CSE)
+    val keyed = keyedEs(df, domainCol, keyCol, weightCol)
       .localCheckpoint(true)
-    val elected = keyed
-      .groupBy(col("g"))
-      .agg(TopK.topkIds(col("es"), col("id"), k).as("ids"))
-      .select(col("g"), posexplode(col("ids")).as(Seq("p", "id")))
-      .select(col("g"), col("id"), (col("p") + 1).as("rk"))
-    elected.join(keyed, Seq("g", "id"))
+    elect(keyed, k).join(keyed, Seq("g", "id"))
       .select(col("g").as(domainCol), col("id").as(keyCol), col("w"),
         col("rk").cast("int").as("rk"),
         (round(col("es"), 6) + 0.0).as("es_key"))
