@@ -177,6 +177,7 @@ object SparkEntry {
     "q160_weighted_sample" -> operators.WeightedSample.sourceWeightedSample,
     "q161_logrank_by" -> operators.Logrank.regionSegmentLogrank,
     "q162_pipeline_es" -> ((s, d) => operators.Pipeline.trainingPipelineEs(s, d)),
+    "q163_competing_risks" -> operators.CompetingRisks.churnIncidence,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -468,5 +469,6 @@ object SparkEntry {
     "q160_weighted_sample" -> operators.WeightedSample.sourceWeightedSampleSql,
     "q161_logrank_by" -> operators.Logrank.regionSegmentLogrankSql,
     "q162_pipeline_es" -> operators.Pipeline.trainingPipelineEsSql,
+    "q163_competing_risks" -> operators.CompetingRisks.churnIncidenceSql,
   )
 }
