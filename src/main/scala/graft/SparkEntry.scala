@@ -178,6 +178,7 @@ object SparkEntry {
     "q161_logrank_by" -> operators.Logrank.regionSegmentLogrank,
     "q162_pipeline_es" -> ((s, d) => operators.Pipeline.trainingPipelineEs(s, d)),
     "q163_competing_risks" -> operators.CompetingRisks.churnIncidence,
+    "q164_quantile_reg" -> operators.QuantileRegression.lineRevenue,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -470,5 +471,6 @@ object SparkEntry {
     "q161_logrank_by" -> operators.Logrank.regionSegmentLogrankSql,
     "q162_pipeline_es" -> operators.Pipeline.trainingPipelineEsSql,
     "q163_competing_risks" -> operators.CompetingRisks.churnIncidenceSql,
+    "q164_quantile_reg" -> operators.QuantileRegression.lineRevenueSql,
   )
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Quantile regression (pinball / check loss, Koenker & Bassett 1978)
+  * — the conditional-QUANTILE line beside q32's conditional mean and
+  * q102's robust slope: "how does the P90 move with x" is a different
+  * (and for SLA/tail questions, the right) object from "how does the
+  * mean move", and a mean fit cannot answer it.
+  *
+  * Estimator: minimize Σ ρ_τ(y − b0 − b1·x), ρ_τ(r) = r·(τ − 1{r<0}),
+  * via iteratively reweighted least squares (the Schlossmacher 1973
+  * L1 device at general τ): w = (τ if r > 0 else 1−τ) / max(|r|, ε)
+  * makes w·r² a tangent majorizer of ρ_τ, so each WLS step descends
+  * the pinball objective; [[Iters]] fixed iterations from an OLS warm
+  * start, ε = 1e-6 (the standard IRLS floor — also the documented
+  * resolution limit: coefficients are exact to well under the round-6
+  * display at these n). All TAUS fit simultaneously: the row frame is
+  * crossed with the dimension-grade tau frame and every stage keys by
+  * tau — the q95 grouped-IRLS idiom with τ as the group.
+  *
+  * Cross-engine exactness: the whole chain is RATIONAL arithmetic —
+  * no exp/ln anywhere — so unlike q94 there is NOTHING to snap: the
+  * per-iteration sufficient statistics are fixed-point DECIMAL(38,0)
+  * sums (order-free exact integers), the 2×2 Cramer solve and the
+  * weight formula are shared SQL text, and every double is therefore
+  * bitwise identical in both engines through all iterations.
+  *
+  * Plan/scale: localCheckpoint the prepared rows once; each iteration
+  * is ONE map-side-combined aggregate keyed by tau (shuffle carries 5
+  * numbers per tau) + a broadcast join of the |TAUS|-row coefficient
+  * frame — no driver loop over data, no per-tau jobs. */
+object QuantileRegression {
+
+  /** Fitted quantiles as shared literal text (Spark + oracle). */
+  val Taus = Seq("0.5", "0.9")
+  /** IRLS iterations (fixed — determinism over adaptivity, q94). */
+  val Iters = 8
+  /** Fixed-point snap scale for sufficient-statistic terms (q32). */
+  val FixedScale = 1000000.0
+
+  private val Terms: Seq[(String, String)] = Seq(
+    "sw" -> "w",
+    "sx" -> "w * x",
+    "sxx" -> "w * x * x",
+    "sy" -> "w * y",
+    "sxy" -> "w * x * y",
+  )
+  private def fixedSql(t: String): String =
+    s"CAST(floor(($t) * $FixedScale) AS DECIMAL(38,0))"
+  private def sumsSql: String = Terms.map { case (n, t) =>
+    s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0)) AS ${n}_i"
+  }.mkString(", ")
+  private def recSql: String = Terms.map { case (n, _) =>
+    s"CAST(${n}_i AS DOUBLE) / $FixedScale AS $n"
+  }.mkString(", ")
+
+  // 2×2 Cramer (shared text): [sw sx; sx sxx]·[b0 b1] = [sy sxy]
+  private val DetSql = "(sw * sxx - sx * sx)"
+  private val B0Sql = "(sxx * sy - sx * sxy)"
+  private val B1Sql = "(sw * sxy - sx * sy)"
+  private val GuardSql = s"n_rows >= 2 AND abs($DetSql) > 1.0 / $FixedScale"
+  private val EtaSql = "b0 + b1 * x"
+  /** IRLS majorizer weight; the CASE and the ε floor are shared text,
+    * and r = y − eta is bitwise identical both engines (rational
+    * chain), so the branch never diverges. */
+  private val WSql =
+    "(CASE WHEN y - eta > 0.0 THEN tau ELSE 1.0 - tau END)" +
+      " / greatest(abs(y - eta), 1e-6)"
+  /** Pinball loss term (≥ 0) for the objective report. */
+  private val PinSql =
+    "(y - eta) * (tau - (CASE WHEN y - eta < 0.0 THEN 1.0 ELSE 0.0 END))"
+
+  private def keyedStats(rows: DataFrame): DataFrame =
+    rows.groupBy("tau")
+      .agg(count(lit(1)).as("n_rows"),
+        Terms.map { case (n, t) =>
+          expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
+        }: _*)
+
+  private def keyedSolve(stats: DataFrame): DataFrame =
+    stats
+      .select(col("tau") +: col("n_rows") +: Terms.map { case (n, _) =>
+        expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
+      }: _*)
+      .select(col("tau"), col("n_rows"),
+        expr(s"CASE WHEN $GuardSql THEN $B0Sql / nullif($DetSql, 0.0) END").as("b0"),
+        expr(s"CASE WHEN $GuardSql THEN $B1Sql / nullif($DetSql, 0.0) END").as("b1"))
+
+  /** Quantile fits over a prepared frame with double columns (x, y):
+    * one row per τ — n_rows, tau, coefficients, mean pinball loss,
+    * and the below-line fraction (≈ τ at the optimum — the built-in
+    * calibration check). */
+  def quantileFit(rows: DataFrame, taus: Seq[String] = Taus,
+      iters: Int = Iters): DataFrame = {
+    val spark = rows.sparkSession
+    // explicit DOUBLE: a bare 0.5 literal parses as DECIMAL in Spark,
+    // and decimal tau would propagate a different type (and different
+    // last-ulp products) than the oracle's DOUBLE chain
+    val tauFrame = spark.range(1)
+      .select(explode(array(taus.map(t =>
+        expr(s"CAST($t AS DOUBLE)")): _*)).as("tau"))
+    val pinned = rows.select(col("x").cast("double").as("x"),
+      col("y").cast("double").as("y"))
+      .localCheckpoint(true) // iters+2 aggregate passes re-read it
+    val base = pinned.crossJoin(broadcast(tauFrame))
+    var b = keyedSolve(keyedStats(base.withColumn("w", lit(1.0))))
+    for (_ <- 0 until iters) {
+      val working = base.join(broadcast(b.select("tau", "b0", "b1")), "tau")
+        .selectExpr("tau", "x", "y", s"$EtaSql AS eta")
+        .selectExpr("tau", "x", "y", s"$WSql AS w")
+      b = keyedSolve(keyedStats(working))
+    }
+    base.join(broadcast(b.select("tau", "b0", "b1")), "tau")
+      .selectExpr("tau", "x", "y", "b0", "b1", s"$EtaSql AS eta")
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(sum(${fixedSql(PinSql)}) AS DECIMAL(38,0))").as("sp_i"),
+        expr("CAST(sum(CASE WHEN y <= eta THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("below"),
+        first("b0").as("b0"), first("b1").as("b1"))
+      .selectExpr("tau", "n_rows",
+        "round(b0, 6) + 0.0 AS b_intercept",
+        "round(b1, 6) + 0.0 AS b_slope",
+        s"round(CAST(sp_i AS DOUBLE) / $FixedScale" +
+          " / CAST(n_rows AS DOUBLE), 6) + 0.0 AS pinball_mean",
+        "round(CAST((1000000 * below) div n_rows AS DOUBLE) / 1e6, 6)" +
+          " + 0.0 AS frac_below")
+  }
+
+  /** q164: tail line revenue vs order-line size — the P50/P90 of
+    * l_extendedprice (in k$, keeping features O(10²) per the q32
+    * scaling note) as a line in l_quantity. The mean fit (q32's
+    * object) gives the average unit price; how the TAIL revenue scales
+    * with quantity — do big lines of EXPENSIVE parts exist — is a
+    * quantile question a mean cannot answer. */
+  def lineRevenue(spark: SparkSession, dir: String): DataFrame =
+    quantileFit(Tables.lineitem(spark, dir)
+      .selectExpr("CAST(l_quantity AS DOUBLE) AS x",
+        "CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y"))
+
+  /** DuckDB twin: the keyed CTE cascade from the same shared
+    * fragments — tau cross join, fixed-point sums, guarded 2×2
+    * solves, USING joins, unrolled [[Iters]] times. */
+  val lineRevenueSql: String = {
+    def solveCte(k: Int, src: String): String =
+      s"""r$k AS (SELECT tau, n_rows, $recSql FROM $src),
+         |c$k AS (SELECT tau,
+         |  CASE WHEN $GuardSql THEN $B0Sql / nullif($DetSql, 0.0) END AS b0,
+         |  CASE WHEN $GuardSql THEN $B1Sql / nullif($DetSql, 0.0) END AS b1
+         |FROM r$k)""".stripMargin
+    val iterCtes = (1 to Iters).map { k =>
+      s"""wrk$k AS (
+         |  SELECT tau, $WSql AS w, x, y
+         |  FROM (SELECT b.tau, b.x, b.y, $EtaSql AS eta
+         |        FROM base b JOIN c${k - 1} USING (tau))),
+         |s$k AS (SELECT tau, count(*) AS n_rows, $sumsSql
+         |FROM wrk$k GROUP BY tau),
+         |${solveCte(k, s"s$k")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rws AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+       |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+       |  FROM lineitem),
+       |taus(tau) AS (VALUES (CAST(${Taus.head} AS DOUBLE))${
+      Taus.tail.map(t => s", (CAST($t AS DOUBLE))").mkString}),
+       |base AS (SELECT tau, x, y FROM rws CROSS JOIN taus),
+       |s0 AS (SELECT tau, count(*) AS n_rows, $sumsSql
+       |FROM (SELECT tau, 1.0 AS w, x, y FROM base) GROUP BY tau),
+       |${solveCte(0, "s0")},
+       |$iterCtes,
+       |fin AS (
+       |  SELECT b.tau, b.x, b.y, b0, b1, $EtaSql AS eta
+       |  FROM base b JOIN c$Iters USING (tau)),
+       |agg AS (
+       |  SELECT tau, count(*) AS n_rows,
+       |    CAST(sum(${fixedSql(PinSql)}) AS DECIMAL(38,0)) AS sp_i,
+       |    CAST(sum(CASE WHEN y <= eta THEN 1 ELSE 0 END) AS BIGINT) AS below,
+       |    first(b0) AS b0, first(b1) AS b1
+       |  FROM fin GROUP BY tau)
+       |SELECT tau, n_rows,
+       |  round(b0, 6) + 0.0 AS b_intercept,
+       |  round(b1, 6) + 0.0 AS b_slope,
+       |  round(CAST(sp_i AS DOUBLE) / $FixedScale
+       |    / CAST(n_rows AS DOUBLE), 6) + 0.0 AS pinball_mean,
+       |  round(CAST((1000000 * below) // n_rows AS DOUBLE) / 1e6, 6)
+       |    + 0.0 AS frac_below
+       |FROM agg""".stripMargin
+  }
+}
