@@ -46,12 +46,15 @@ object CompetingRisks {
     * event time: at-risk, per-cause events, censored, all-cause
     * survival, cif_1, cif_2. */
   def cumulativeIncidence(obs: DataFrame): DataFrame = {
+    // duration-spine-bounded and consumed twice (total + risk steps):
+    // checkpoint so the observation subtree runs once (the q161 note)
     val cells = obs.groupBy("dur").agg(
       expr("CAST(count(1) AS BIGINT)").as("cnt_all"),
       expr("CAST(sum(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS BIGINT)")
         .as("d1"),
       expr("CAST(sum(CASE WHEN event = 2 THEN 1 ELSE 0 END) AS BIGINT)")
         .as("d2"))
+      .localCheckpoint(true)
     val totals = cells.agg(
       expr("CAST(sum(cnt_all) AS BIGINT)").as("n_total"))
     val wBelow = Window.orderBy("dur")

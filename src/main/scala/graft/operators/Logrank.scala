@@ -64,11 +64,17 @@ object Logrank {
     * every segment's test runs in the same three shuffles — no
     * per-group jobs, no driver loop. One output row per segment. */
   def logrankBy(obs: DataFrame, seg: String): DataFrame = {
+    // cells is (stratum × duration-spine)-bounded — dimension-grade by
+    // this operator's own precondition — and consumed TWICE (arm
+    // totals + the at-risk steps): checkpoint so the observation
+    // subtree (scans, joins) runs once (the round-9 no-duplicate-
+    // subtree rule; Spark does not CSE repeated frames)
     val cells = obs.groupBy(seg, "dur").agg(
       expr("CAST(sum(arm) AS BIGINT)").as("n1_all"),
       expr("CAST(sum(arm * event) AS BIGINT)").as("d1"),
       expr("CAST(sum(1 - arm) AS BIGINT)").as("n2_all"),
       expr("CAST(sum((1 - arm) * event) AS BIGINT)").as("d2"))
+      .localCheckpoint(true)
     val totals = cells.groupBy(seg).agg(
       expr("CAST(sum(n1_all) AS BIGINT)").as("tn1"),
       expr("CAST(sum(n2_all) AS BIGINT)").as("tn2"))
