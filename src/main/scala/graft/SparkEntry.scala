@@ -179,6 +179,8 @@ object SparkEntry {
     "q162_pipeline_es" -> ((s, d) => operators.Pipeline.trainingPipelineEs(s, d)),
     "q163_competing_risks" -> operators.CompetingRisks.churnIncidence,
     "q164_quantile_reg" -> operators.QuantileRegression.lineRevenue,
+    "q165_rmst" -> operators.Rmst.segmentRmst,
+    "q166_quantile_by" -> operators.QuantileRegression.brandLineRevenue,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -472,5 +474,7 @@ object SparkEntry {
     "q162_pipeline_es" -> operators.Pipeline.trainingPipelineEsSql,
     "q163_competing_risks" -> operators.CompetingRisks.churnIncidenceSql,
     "q164_quantile_reg" -> operators.QuantileRegression.lineRevenueSql,
+    "q165_rmst" -> operators.Rmst.segmentRmstSql,
+    "q166_quantile_by" -> operators.QuantileRegression.brandLineRevenueSql,
   )
 }

@@ -74,28 +74,39 @@ object QuantileRegression {
   private val PinSql =
     "(y - eta) * (tau - (CASE WHEN y - eta < 0.0 THEN 1.0 ELSE 0.0 END))"
 
-  private def keyedStats(rows: DataFrame): DataFrame =
-    rows.groupBy("tau")
+  private def keyedStats(rows: DataFrame, keys: Seq[String]): DataFrame =
+    rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         Terms.map { case (n, t) =>
           expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
         }: _*)
 
-  private def keyedSolve(stats: DataFrame): DataFrame =
+  private def keyedSolve(stats: DataFrame, keys: Seq[String]): DataFrame =
     stats
-      .select(col("tau") +: col("n_rows") +: Terms.map { case (n, _) =>
+      .select(keys.map(col) ++ (col("n_rows") +: Terms.map { case (n, _) =>
         expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
-      }: _*)
-      .select(col("tau"), col("n_rows"),
+      }): _*)
+      .select(keys.map(col) ++ Seq(col("n_rows"),
         expr(s"CASE WHEN $GuardSql THEN $B0Sql / nullif($DetSql, 0.0) END").as("b0"),
-        expr(s"CASE WHEN $GuardSql THEN $B1Sql / nullif($DetSql, 0.0) END").as("b1"))
+        expr(s"CASE WHEN $GuardSql THEN $B1Sql / nullif($DetSql, 0.0) END").as("b1")): _*)
 
   /** Quantile fits over a prepared frame with double columns (x, y):
     * one row per τ — n_rows, tau, coefficients, mean pinball loss,
     * and the below-line fraction (≈ τ at the optimum — the built-in
     * calibration check). */
   def quantileFit(rows: DataFrame, taus: Seq[String] = Taus,
-      iters: Int = Iters): DataFrame = {
+      iters: Int = Iters): DataFrame =
+    quantileFitBy(rows, Seq.empty, taus, iters)
+
+  /** Per-group quantile fits — the q89/q95 grouped-model move: the
+    * election keys become (groups…, tau), so a thousand segment-level
+    * P50/P90 fits cost the SAME iters+2 keyed aggregates (shuffle
+    * carries 5 numbers per (group, τ) cell) and one broadcast
+    * coefficient join per iteration — no per-group jobs, no driver
+    * loop. Degenerate cells (n < 2 or singular) carry NULLs from the
+    * warm start onward, never garbage. */
+  def quantileFitBy(rows: DataFrame, groups: Seq[String],
+      taus: Seq[String] = Taus, iters: Int = Iters): DataFrame = {
     val spark = rows.sparkSession
     // explicit DOUBLE: a bare 0.5 literal parses as DECIMAL in Spark,
     // and decimal tau would propagate a different type (and different
@@ -103,32 +114,46 @@ object QuantileRegression {
     val tauFrame = spark.range(1)
       .select(explode(array(taus.map(t =>
         expr(s"CAST($t AS DOUBLE)")): _*)).as("tau"))
-    val pinned = rows.select(col("x").cast("double").as("x"),
-      col("y").cast("double").as("y"))
+    val keys = groups :+ "tau"
+    val pinned = rows.select(groups.map(col) ++ Seq(
+        col("x").cast("double").as("x"),
+        col("y").cast("double").as("y")): _*)
       .localCheckpoint(true) // iters+2 aggregate passes re-read it
     val base = pinned.crossJoin(broadcast(tauFrame))
-    var b = keyedSolve(keyedStats(base.withColumn("w", lit(1.0))))
+    // the coefficient frame is dimension-grade (|groups|·|τ| rows) and
+    // feeds the NEXT iteration's join: materialize it per iteration so
+    // the final plan is `iters` SHALLOW jobs, not one deep lazy chain —
+    // without this, Catalyst re-optimizes and codegen-compiles the
+    // whole unrolled cascade as a single 100+-node plan (measured
+    // 11.7s → ~2s at sf0.1; the q147 materialize-per-round lesson)
+    def solved(src: DataFrame): DataFrame =
+      keyedSolve(keyedStats(src, keys), keys).localCheckpoint(true)
+    var b = solved(base.withColumn("w", lit(1.0)))
     for (_ <- 0 until iters) {
-      val working = base.join(broadcast(b.select("tau", "b0", "b1")), "tau")
-        .selectExpr("tau", "x", "y", s"$EtaSql AS eta")
-        .selectExpr("tau", "x", "y", s"$WSql AS w")
-      b = keyedSolve(keyedStats(working))
+      val working = base
+        .join(broadcast(b.select(keys.map(col) :+ col("b0") :+ col("b1"): _*)),
+          keys)
+        .selectExpr(keys ++ Seq("x", "y", s"$EtaSql AS eta"): _*)
+        .selectExpr(keys ++ Seq("x", "y", s"$WSql AS w"): _*)
+      b = solved(working)
     }
-    base.join(broadcast(b.select("tau", "b0", "b1")), "tau")
-      .selectExpr("tau", "x", "y", "b0", "b1", s"$EtaSql AS eta")
-      .groupBy("tau")
+    base
+      .join(broadcast(b.select(keys.map(col) :+ col("b0") :+ col("b1"): _*)),
+        keys)
+      .selectExpr(keys ++ Seq("x", "y", "b0", "b1", s"$EtaSql AS eta"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         expr(s"CAST(sum(${fixedSql(PinSql)}) AS DECIMAL(38,0))").as("sp_i"),
         expr("CAST(sum(CASE WHEN y <= eta THEN 1 ELSE 0 END) AS BIGINT)")
           .as("below"),
         first("b0").as("b0"), first("b1").as("b1"))
-      .selectExpr("tau", "n_rows",
+      .selectExpr(keys ++ Seq("n_rows",
         "round(b0, 6) + 0.0 AS b_intercept",
         "round(b1, 6) + 0.0 AS b_slope",
         s"round(CAST(sp_i AS DOUBLE) / $FixedScale" +
           " / CAST(n_rows AS DOUBLE), 6) + 0.0 AS pinball_mean",
         "round(CAST((1000000 * below) div n_rows AS DOUBLE) / 1e6, 6)" +
-          " + 0.0 AS frac_below")
+          " + 0.0 AS frac_below"): _*)
   }
 
   /** q164: tail line revenue vs order-line size — the P50/P90 of
@@ -141,6 +166,70 @@ object QuantileRegression {
     quantileFit(Tables.lineitem(spark, dir)
       .selectExpr("CAST(l_quantity AS DOUBLE) AS x",
         "CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y"))
+
+  /** q166: the q164 tail-revenue line PER BRAND — 25 brands × 2 τs =
+    * 50 simultaneous fits in the same iters+2 aggregates; the brand
+    * dimension arrives by broadcast part join. Which brands' P90
+    * revenue grows super-proportionally with quantity is the
+    * assortment question the pooled q164 line averages away. */
+  def brandLineRevenue(spark: SparkSession, dir: String): DataFrame =
+    quantileFitBy(
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .selectExpr("p_brand",
+          "CAST(l_quantity AS DOUBLE) AS x",
+          "CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y"),
+      Seq("p_brand"))
+
+  /** DuckDB twin of q166: the q164 cascade keyed by (p_brand, tau). */
+  val brandLineRevenueSql: String = {
+    def solveCte(k: Int, src: String): String =
+      s"""r$k AS (SELECT p_brand, tau, n_rows, $recSql FROM $src),
+         |c$k AS (SELECT p_brand, tau,
+         |  CASE WHEN $GuardSql THEN $B0Sql / nullif($DetSql, 0.0) END AS b0,
+         |  CASE WHEN $GuardSql THEN $B1Sql / nullif($DetSql, 0.0) END AS b1
+         |FROM r$k)""".stripMargin
+    val iterCtes = (1 to Iters).map { k =>
+      s"""wrk$k AS (
+         |  SELECT p_brand, tau, $WSql AS w, x, y
+         |  FROM (SELECT b.p_brand, b.tau, b.x, b.y, $EtaSql AS eta
+         |        FROM base b JOIN c${k - 1} USING (p_brand, tau))),
+         |s$k AS (SELECT p_brand, tau, count(*) AS n_rows, $sumsSql
+         |FROM wrk$k GROUP BY 1, 2),
+         |${solveCte(k, s"s$k")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rws AS (
+       |  SELECT p_brand, CAST(l_quantity AS DOUBLE) AS x,
+       |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |taus(tau) AS (VALUES (CAST(${Taus.head} AS DOUBLE))${
+      Taus.tail.map(t => s", (CAST($t AS DOUBLE))").mkString}),
+       |base AS (SELECT p_brand, tau, x, y FROM rws CROSS JOIN taus),
+       |s0 AS (SELECT p_brand, tau, count(*) AS n_rows, $sumsSql
+       |FROM (SELECT p_brand, tau, 1.0 AS w, x, y FROM base) GROUP BY 1, 2),
+       |${solveCte(0, "s0")},
+       |$iterCtes,
+       |fin AS (
+       |  SELECT b.p_brand, b.tau, b.x, b.y, b0, b1, $EtaSql AS eta
+       |  FROM base b JOIN c$Iters USING (p_brand, tau)),
+       |agg AS (
+       |  SELECT p_brand, tau, count(*) AS n_rows,
+       |    CAST(sum(${fixedSql(PinSql)}) AS DECIMAL(38,0)) AS sp_i,
+       |    CAST(sum(CASE WHEN y <= eta THEN 1 ELSE 0 END) AS BIGINT) AS below,
+       |    first(b0) AS b0, first(b1) AS b1
+       |  FROM fin GROUP BY 1, 2)
+       |SELECT p_brand, tau, n_rows,
+       |  round(b0, 6) + 0.0 AS b_intercept,
+       |  round(b1, 6) + 0.0 AS b_slope,
+       |  round(CAST(sp_i AS DOUBLE) / $FixedScale
+       |    / CAST(n_rows AS DOUBLE), 6) + 0.0 AS pinball_mean,
+       |  round(CAST((1000000 * below) // n_rows AS DOUBLE) / 1e6, 6)
+       |    + 0.0 AS frac_below
+       |FROM agg""".stripMargin
+  }
 
   /** DuckDB twin: the keyed CTE cascade from the same shared
     * fragments — tau cross join, fixed-point sums, guarded 2×2

@@ -50,8 +50,10 @@ object WeightedSample {
   private val EsSql = esKeySql("w", "h")
 
   /** The (g, id, w, es) ES-keyed projection of a frame — a pure
-    * per-row function (no shuffle); w ≤ 0 rows excluded. */
-  private[operators] def keyedEs(df: DataFrame, domainCol: String,
+    * per-row function (no shuffle); w ≤ 0 rows excluded. Stateless, so
+    * it applies unchanged to a STREAMING frame (the 18x twin's front
+    * end). */
+  private[graft] def keyedEs(df: DataFrame, domainCol: String,
       keyCol: String, weightCol: String): DataFrame = df
     .filter(col(weightCol) > 0)
     .select(col(domainCol).as("g"), col(keyCol).cast("long").as("id"),

@@ -76,6 +76,42 @@ class QuantileRegressionSpec extends AnyFunSuite {
     assert(rows.head.isNullAt(rows.head.fieldIndex("b_slope")))
   }
 
+  test("grouped fit ≡ independent per-group fits; groups don't contaminate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group A = the ladder; group B = a steeper, shifted ladder —
+    // keyed IRLS must reproduce each group's standalone fit exactly
+    // (same integer program, same iteration path)
+    val a = ladder.withColumn("g", org.apache.spark.sql.functions.lit("A"))
+    val b = ladder.select(col("x"), (col("y") * 3.0 + 5.0).as("y"))
+      .withColumn("g", org.apache.spark.sql.functions.lit("B"))
+    val both = a.unionByName(b)
+    val grouped = QuantileRegression.quantileFitBy(both, Seq("g"), Seq("0.5"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val aAlone = fit(ladder, Seq("0.5"))(0.5)
+    def d(r: org.apache.spark.sql.Row, c: String) = r.getDouble(r.fieldIndex(c))
+    assert(d(grouped("A"), "b_intercept") == d(aAlone, "b_intercept"))
+    assert(d(grouped("A"), "b_slope") == d(aAlone, "b_slope"))
+    // B's ladder is y' = 3y + 5 = 35 + 6x + 3e: slope ≈ 6
+    assert(math.abs(d(grouped("B"), "b_slope") - 6.0) < 0.15)
+  }
+
+  test("registered q166 at sf0.001: a fit per (brand, tau), calibrated") {
+    val rows = QuantileRegression.brandLineRevenue(spark, "/root/testdata/sf0.001")
+      .collect()
+    val brands = rows.map(_.getString(0)).distinct
+    assert(brands.length > 10, s"got ${brands.length} brands")
+    assert(rows.length == brands.length * 2)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("b_slope"))) {
+        val tau = r.getDouble(r.fieldIndex("tau"))
+        val fb = r.getDouble(r.fieldIndex("frac_below"))
+        assert(math.abs(fb - tau) < 0.15,
+          s"${r.getString(0)} tau=$tau frac_below=$fb")
+      }
+    }
+  }
+
   test("registered q164 at sf0.001: one finite row per tau, tail above median") {
     val m = QuantileRegression.lineRevenue(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getDouble(0) -> r).toMap
