@@ -181,6 +181,8 @@ object SparkEntry {
     "q164_quantile_reg" -> operators.QuantileRegression.lineRevenue,
     "q165_rmst" -> operators.Rmst.segmentRmst,
     "q166_quantile_by" -> operators.QuantileRegression.brandLineRevenue,
+    "q167_brier" -> operators.Brier.orderFinishBrier,
+    "q168_trend_test" -> operators.TrendTest.priorityFinishTrend,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -476,5 +478,7 @@ object SparkEntry {
     "q164_quantile_reg" -> operators.QuantileRegression.lineRevenueSql,
     "q165_rmst" -> operators.Rmst.segmentRmstSql,
     "q166_quantile_by" -> operators.QuantileRegression.brandLineRevenueSql,
+    "q167_brier" -> operators.Brier.orderFinishBrierSql,
+    "q168_trend_test" -> operators.TrendTest.priorityFinishTrendSql,
   )
 }

@@ -39,9 +39,10 @@ object Calibration {
   /** Split seed (hash48 family member). */
   val Seed = 156
 
-  /** q156: reliability diagram + ECE for the per-year finish-rate
-    * baseline on orders. */
-  def orderFinishCalibration(spark: SparkSession, dir: String): DataFrame = {
+  /** The audit frame shared by q156 and q167: per-year eval-split
+    * counts with the train-split forecast — (yr, n_ev, x_ev,
+    * p_micro). */
+  private[operators] def evalFrame(spark: SparkSession, dir: String): DataFrame = {
     val rows = Tables.orders(spark, dir)
       .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull)
       .select(expr("year(CAST(o_orderdate AS DATE))").as("yr"),
@@ -52,10 +53,16 @@ object Calibration {
       .groupBy("yr")
       .agg(count(lit(1)).as("n_tr"), sum(col("conv")).as("x_tr"))
       .selectExpr("yr", "(1000000 * x_tr) div n_tr AS p_micro")
-    val evalYears = rows.filter(col("b") >= 5)
+    rows.filter(col("b") >= 5)
       .groupBy("yr")
       .agg(count(lit(1)).as("n_ev"), sum(col("conv")).as("x_ev"))
       .join(broadcast(model), "yr")
+  }
+
+  /** q156: reliability diagram + ECE for the per-year finish-rate
+    * baseline on orders. */
+  def orderFinishCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val evalYears = evalFrame(spark, dir)
       .selectExpr("yr", "n_ev", "x_ev", "p_micro",
         "least(p_micro div 100000, 9) AS bin")
     val bins = evalYears.groupBy("bin")
