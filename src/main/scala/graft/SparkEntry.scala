@@ -183,6 +183,10 @@ object SparkEntry {
     "q166_quantile_by" -> operators.QuantileRegression.brandLineRevenue,
     "q167_brier" -> operators.Brier.orderFinishBrier,
     "q168_trend_test" -> operators.TrendTest.priorityFinishTrend,
+    "q169_mcnemar" -> operators.McNemar.customerUrgencyShift,
+    "q170_wilcoxon_signed" -> operators.SignedRank.customerSpendShift,
+    "q171_avg_precision" -> operators.AvgPrecision.qualityAp,
+    "q172_rrf_fusion" -> textstats.RankFusion.qualityFluencyConsensus,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -480,5 +484,9 @@ object SparkEntry {
     "q166_quantile_by" -> operators.QuantileRegression.brandLineRevenueSql,
     "q167_brier" -> operators.Brier.orderFinishBrierSql,
     "q168_trend_test" -> operators.TrendTest.priorityFinishTrendSql,
+    "q169_mcnemar" -> operators.McNemar.customerUrgencyShiftSql,
+    "q170_wilcoxon_signed" -> operators.SignedRank.customerSpendShiftSql,
+    "q171_avg_precision" -> operators.AvgPrecision.qualityApSql,
+    "q172_rrf_fusion" -> textstats.RankFusion.qualityFluencyConsensusSql,
   )
 }

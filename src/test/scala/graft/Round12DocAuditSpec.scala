@@ -150,7 +150,18 @@ class Round12DocAuditSpec extends AnyFunSuite {
     "q83_auc" -> ("global ROC window over SCORE CELLS (measured 488 →" +
       " 3632): cells grow with data only until the quantized score" +
       " range saturates (the q48/q141 class) — bounded by the score" +
-      " grid, not the corpus; same adjudication as the r10 audit"))
+      " grid, not the corpus; same adjudication as the r10 audit"),
+    "q171_avg_precision" -> ("the SAME score-cell window as q83 over" +
+      " the SAME q61 score frame (measured 488 → 3632, identical" +
+      " cells): AP and AUC read one cell frame two ways — bounded by" +
+      " the quantized score grid, the q83 adjudication verbatim"),
+    "q172_rrf_fusion" -> ("two rank windows over SCORE CELLS (quality" +
+      " 488 → 3632 = the q83 cells; fluency 440 → 3388): competition" +
+      " ranks are cumulative counts over the distinct-score frame —" +
+      " the q83/q48 class, bounded by each score's quantized grid" +
+      " (fluency is a div-floored 1e-6 mean with a saturating range);" +
+      " the fused election itself is a bounded TakeOrderedAndProject," +
+      " no window"))
 
   test("doc/vector-keyed windows do not grow super-linearly un-adjudicated") {
     val violations = scala.collection.mutable.ListBuffer[String]()
