@@ -187,6 +187,8 @@ object SparkEntry {
     "q170_wilcoxon_signed" -> operators.SignedRank.customerSpendShift,
     "q171_avg_precision" -> operators.AvgPrecision.qualityAp,
     "q172_rrf_fusion" -> textstats.RankFusion.qualityFluencyConsensus,
+    "q173_ljung_box" -> operators.LjungBox.dailyRevenueLjungBox,
+    "q174_pettitt" -> operators.Pettitt.dailyRevenuePettitt,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -488,5 +490,7 @@ object SparkEntry {
     "q170_wilcoxon_signed" -> operators.SignedRank.customerSpendShiftSql,
     "q171_avg_precision" -> operators.AvgPrecision.qualityApSql,
     "q172_rrf_fusion" -> textstats.RankFusion.qualityFluencyConsensusSql,
+    "q173_ljung_box" -> operators.LjungBox.dailyRevenueLjungBoxSql,
+    "q174_pettitt" -> operators.Pettitt.dailyRevenuePettittSql,
   )
 }
