@@ -34,10 +34,16 @@ object TrendTest {
     * and a 0/1 outcome. Returns one row: n_total, k_levels, successes,
     * z_ca, p_value. */
   def cochranArmitage(rows: DataFrame): DataFrame =
-    rows
+    fromCells(rows
       .groupBy("w")
       .agg(expr("CAST(count(1) AS BIGINT)").as("n_c"),
-        expr("CAST(sum(succ) AS BIGINT)").as("x_c"))
+        expr("CAST(sum(succ) AS BIGINT)").as("x_c")))
+
+  /** The same test from pre-aggregated level cells (w, n_c, x_c) —
+    * the entry the streaming twin's compacted changelog feeds
+    * ([[graft.streaming.TrendStream]]). */
+  def fromCells(cells: DataFrame): DataFrame =
+    cells
       .agg(
         expr("CAST(sum(n_c) AS BIGINT)").as("n_total"),
         expr("CAST(count(1) AS BIGINT)").as("k_levels"),
