@@ -189,6 +189,7 @@ object SparkEntry {
     "q172_rrf_fusion" -> textstats.RankFusion.qualityFluencyConsensus,
     "q173_ljung_box" -> operators.LjungBox.dailyRevenueLjungBox,
     "q174_pettitt" -> operators.Pettitt.dailyRevenuePettitt,
+    "q175_jonckheere" -> operators.Jonckheere.priorityValueTrend,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -492,5 +493,6 @@ object SparkEntry {
     "q172_rrf_fusion" -> textstats.RankFusion.qualityFluencyConsensusSql,
     "q173_ljung_box" -> operators.LjungBox.dailyRevenueLjungBoxSql,
     "q174_pettitt" -> operators.Pettitt.dailyRevenuePettittSql,
+    "q175_jonckheere" -> operators.Jonckheere.priorityValueTrendSql,
   )
 }
