@@ -190,6 +190,7 @@ object SparkEntry {
     "q173_ljung_box" -> operators.LjungBox.dailyRevenueLjungBox,
     "q174_pettitt" -> operators.Pettitt.dailyRevenuePettitt,
     "q175_jonckheere" -> operators.Jonckheere.priorityValueTrend,
+    "q176_kruskal_wallis" -> operators.KruskalWallis.priorityValueKw,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -494,5 +495,6 @@ object SparkEntry {
     "q173_ljung_box" -> operators.LjungBox.dailyRevenueLjungBoxSql,
     "q174_pettitt" -> operators.Pettitt.dailyRevenuePettittSql,
     "q175_jonckheere" -> operators.Jonckheere.priorityValueTrendSql,
+    "q176_kruskal_wallis" -> operators.KruskalWallis.priorityValueKwSql,
   )
 }
