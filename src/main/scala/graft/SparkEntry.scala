@@ -191,6 +191,7 @@ object SparkEntry {
     "q174_pettitt" -> operators.Pettitt.dailyRevenuePettitt,
     "q175_jonckheere" -> operators.Jonckheere.priorityValueTrend,
     "q176_kruskal_wallis" -> operators.KruskalWallis.priorityValueKw,
+    "q177_friedman" -> operators.Friedman.priorityYearFriedman,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -496,5 +497,6 @@ object SparkEntry {
     "q174_pettitt" -> operators.Pettitt.dailyRevenuePettittSql,
     "q175_jonckheere" -> operators.Jonckheere.priorityValueTrendSql,
     "q176_kruskal_wallis" -> operators.KruskalWallis.priorityValueKwSql,
+    "q177_friedman" -> operators.Friedman.priorityYearFriedmanSql,
   )
 }
