@@ -110,7 +110,19 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q67_dsir" -> "importance-weight cells: quantized range-bounded",
     "q64_domain_rebalance" -> "per-domain counts: dimension-grade",
     "q13_topk_group" -> "per-group rank: group sizes load-bounded",
-    "q90_mrr" -> "per-query rank: k-bounded candidate lists")
+    "q90_mrr" -> "per-query rank: k-bounded candidate lists",
+    "q159_logrank" -> ("per-stratum duration cells: bounded by the" +
+      " observation span — the q110 adjudication on the same spine (r13)"),
+    "q161_logrank_by" -> ("per-(region, duration) cells: the q159" +
+      " spine partitioned further by a dimension-grade stratum (r13)"),
+    "q163_competing_risks" -> ("duration-spine cells (three chained" +
+      " cumulatives over one spine frame): bounded by the observation" +
+      " span — the q110 adjudication (r13)"),
+    "q165_rmst" -> ("per-group duration cells, horizon-CLIPPED (τ = 365" +
+      " caps the spine outright) — stricter than the q110 bound (r13)"),
+    "q170_wilcoxon_signed" -> ("|diff| cells on the dollar grid: grow" +
+      " only until the spend-delta range saturates (the q48/q141" +
+      " class); gridDiv is the documented 100 TB coarsening knob (r13)"))
 
   test("no un-adjudicated window grows its max partition super-linearly") {
     val step = 10.0 // sf0.001 → sf0.01
