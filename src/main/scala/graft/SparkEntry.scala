@@ -192,6 +192,9 @@ object SparkEntry {
     "q175_jonckheere" -> operators.Jonckheere.priorityValueTrend,
     "q176_kruskal_wallis" -> operators.KruskalWallis.priorityValueKw,
     "q177_friedman" -> operators.Friedman.priorityYearFriedman,
+    "q178_nelson_aalen" -> operators.Survival.segmentHazard,
+    "q179_cochran_q" -> operators.CochranQ.priorityUsageQ,
+    "q180_jarque_bera" -> operators.JarqueBera.segmentPriceJb,
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -498,5 +501,8 @@ object SparkEntry {
     "q175_jonckheere" -> operators.Jonckheere.priorityValueTrendSql,
     "q176_kruskal_wallis" -> operators.KruskalWallis.priorityValueKwSql,
     "q177_friedman" -> operators.Friedman.priorityYearFriedmanSql,
+    "q178_nelson_aalen" -> operators.Survival.segmentHazardSql,
+    "q179_cochran_q" -> operators.CochranQ.priorityUsageQSql,
+    "q180_jarque_bera" -> operators.JarqueBera.segmentPriceJbSql,
   )
 }
