@@ -42,7 +42,7 @@ object JarqueBera {
     val pivots = base.groupBy("g").agg(
       expr("CAST(count(1) AS BIGINT)").as("n"),
       expr("CAST(sum(x) AS BIGINT) div CAST(count(1) AS BIGINT)").as("c"))
-    base.join(broadcast(pivots), "g")
+    finishFromSums(base.join(broadcast(pivots), "g")
       .withColumn("d", expr("x - c"))
       .groupBy("g")
       .agg(
@@ -53,7 +53,16 @@ object JarqueBera {
         expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d * d) AS DECIMAL(38,0))")
           .as("t3"),
         expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d * d * d)" +
-          " AS DECIMAL(38,0))").as("t4"))
+          " AS DECIMAL(38,0))").as("t4")))
+  }
+
+  /** The shared-text finish from a sums frame (g, n, t1..t4) centered
+    * at the canonical pivot c = ⌊Σx/n⌋ — used by the batch operator
+    * AND the 18z streaming twin (which re-centers its fixed-pivot
+    * state to the same canonical pivot first, so the two walk an
+    * IDENTICAL IEEE chain). */
+  def finishFromSums(sums: DataFrame): DataFrame = {
+    sums
       .selectExpr("g", "n", "t1", "t2", "t3", "t4",
         s"$DeltaSql AS delta", s"$NdSql AS nd")
       .selectExpr("g", "n", "delta", "nd",
