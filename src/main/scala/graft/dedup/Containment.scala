@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Shingle CONTAINMENT join — the asymmetric near-dup q22's Jaccard
+  * structurally cannot see: a 50-shingle quote pasted into a
+  * 5000-shingle page has J ≈ 0.01 (invisible at any usable Jaccard
+  * threshold) but containment C(A→B) = |S_A ∩ S_B| / |S_A| = 1.0.
+  * This is the "excerpt / quotation / wrapper page" detector a
+  * curation pipeline needs BESIDE symmetric near-dup — the classic
+  * miss when training corpora embed licensed or benchmark text inside
+  * larger documents.
+  *
+  * Candidate generation is NEVER all-pairs: C ≥ t forces A to share at
+  * least one of its n_A − ⌈t·n_A⌉ + 1 globally-RAREST shingles
+  * (prefix filter on the CONTAINED side — same rarity order as q22's
+  * PPJoin), and |S_B| ≥ ⌈t·n_A⌉ (length filter); both are LOSSLESS,
+  * which the oracle proves directly — the DuckDB twin is the plain
+  * all-pairs intersection join, and the gate asserts set equality.
+  * The contained side's prefix keeps only rarest shingles, so hot
+  * boilerplate shingles contribute candidates only through documents
+  * small enough that they ARE mostly boilerplate — the damage the
+  * operator exists to flag.
+  *
+  * Exactness: counts are integers end to end; the one ratio rounds at
+  * display (round 4, both engines). */
+object Containment {
+
+  /** C(A→B) threshold: A counts as contained when half its shingles
+    * appear in B. */
+  val Threshold = 0.5
+  /** Contained docs need this many distinct shingles to score (a
+    * 2-shingle snippet "contained" anywhere is noise). */
+  val MinShingles = 5L
+
+  /** Directional containment pairs (doc_a contained-in doc_b) over a
+    * documents frame with (doc_id, text). Returns
+    * (doc_a, doc_b, na, n_inter, containment). */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    // the q22 barrier note applies verbatim: the distinct IS the
+    // materialization barrier that keeps the shingle pipeline from
+    // re-running per candidate pair
+    val sh = Dedup.docShingles(docs).distinct()
+    val dfreq = sh.groupBy(col("shk")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfreq, "shk")
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("pos",
+        row_number().over(wDoc.orderBy(col("df"), col("shk"))))
+    val prefixA = ranked
+      .filter(col("n_sh") >= MinShingles)
+      .filter(col("pos") <=
+        col("n_sh") - ceil(col("n_sh") * Threshold) + 1)
+      .select(col("doc_id"), col("shk"), col("n_sh"))
+    val fullB = ranked.select(col("doc_id"), col("shk"), col("n_sh"))
+    val cand = prefixA.as("a")
+      .join(fullB.as("b"), col("a.shk") === col("b.shk")
+        && col("a.doc_id") =!= col("b.doc_id")
+        && col("b.n_sh") >= ceil(col("a.n_sh") * Threshold))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(col("a.n_sh")).as("na"))
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shk")).as("ss"))
+    cand
+      .join(docSets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docSets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= Threshold)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("n_inter"),
+        (round(col("containment"), 4) + 0.0).as("containment"))
+  }
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir))
+
+  /** DuckDB twin: the PLAIN all-pairs intersection join — the prefix
+    * and length filters must be invisible in the result (losslessness
+    * is part of what the gate checks). */
+  val containmentPairsSql: String =
+    s"""WITH ${Dedup.docShingleHashesSql},
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM shk a JOIN shk b ON a.shk = b.shk AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(ca.n_sh AS BIGINT) AS na, n_inter,
+       |  round(n_inter * 1.0 / ca.n_sh, 4) + 0.0 AS containment
+       |FROM inter
+       |JOIN counts ca ON doc_a = ca.doc_id
+       |WHERE ca.n_sh >= ${MinShingles}
+       |  AND n_inter * 1.0 / ca.n_sh >= $Threshold""".stripMargin
+}
