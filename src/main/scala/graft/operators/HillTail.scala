@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -27,8 +26,12 @@ import graft.Tables
   * DECIMAL(38,0); the final Hill/α pair is one shared-text double.
   *
   * Plan/scale: one keyed cell aggregate → a descending cumulative
-  * window over cells (bounded by VALUE RANGE — the q48 class, per
-  * group) → one keyed finish. The corpus is touched once. */
+  * walk over cells via [[BandedCumsum]] (per-task work capped at
+  * bandWidth ABSOLUTELY — revenue-sum cells are near-unique per
+  * customer, so an unbanded per-group window would grow with the
+  * customer count, not the value range) → one keyed finish. Group
+  * totals are a dimension-grade aggregate broadcast back. The corpus
+  * is touched once. */
 object HillTail {
 
   /** Hill estimator per group from a frame with (g, x): group key and
@@ -39,12 +42,16 @@ object HillTail {
     val cells = values.filter(col("x") > 0)
       .groupBy("g", "x")
       .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
-    val wAbove = Window.partitionBy("g").orderBy(col("x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy("g")
-    cells
-      .withColumn("cum_above", coalesce(sum("cnt").over(wAbove), lit(0L)))
-      .withColumn("n_rows", sum("cnt").over(wAll))
+      .localCheckpoint(true) // feeds the banded walk AND the totals
+    val totals = cells.groupBy("g")
+      .agg(expr("CAST(sum(cnt) AS BIGINT)").as("n_rows"))
+    // descending cumulative = ascending banded cumsum over -x;
+    // inclusive-minus-self gives the strict-above count exactly
+    BandedCumsum.cumsum(cells.withColumn("negx", -col("x")),
+        Seq("g"), "negx", Seq("cnt"), inputCheckpointed = true)
+      .withColumn("cum_above", col("cum_cnt") - col("cnt"))
+      .drop("negx", "cum_cnt")
+      .join(broadcast(totals), "g")
       .withColumn("k_tail", expr("greatest(n_rows div 100, 10)"))
       .filter(col("cum_above") < col("k_tail"))
       .withColumn("m", expr("least(cnt, k_tail - cum_above)"))

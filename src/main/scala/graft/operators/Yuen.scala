@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -27,9 +26,12 @@ import graft.Tables
   * shared-text chain each.
   *
   * Plan/scale: the q97 sampleCells backbone unpivoted per side → one
-  * cumulative window over cells (value-cardinality-bounded) → one
-  * keyed aggregate per (group, side) → conditional pivot to a row per
-  * group. Row data never meets a window. */
+  * banded cumulative walk over cells ([[BandedCumsum]] — cent-grid
+  * price cells grow until the price RANGE saturates, which is large;
+  * banding caps every in-band task at bandWidth rows absolutely) →
+  * one keyed aggregate per (group, side) → conditional pivot to a row
+  * per group. Row data never meets an unbounded window; side totals
+  * are a dimension-grade aggregate broadcast back. */
 object Yuen {
 
   /** Trim fraction denominator: g = n div 5 (= ⌊0.2n⌋ exactly). */
@@ -44,12 +46,14 @@ object Yuen {
     val sides = cells.selectExpr("g", "v", "'a' AS side", "cx AS c")
       .unionAll(cells.selectExpr("g", "v", "'b' AS side", "cy AS c"))
       .filter(col("c") > 0)
-    val wBefore = Window.partitionBy("g", "side").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy("g", "side")
-    val walked = sides
-      .withColumn("cb", coalesce(sum("c").over(wBefore), lit(0L)))
-      .withColumn("n", sum("c").over(wAll))
+      .localCheckpoint(true) // feeds the banded walk AND the totals
+    val totals = sides.groupBy("g", "side")
+      .agg(expr("CAST(sum(c) AS BIGINT)").as("n"))
+    val walked = BandedCumsum.cumsum(sides, Seq("g", "side"), "v",
+        Seq("c"), inputCheckpointed = true)
+      .withColumn("cb", col("cum_c") - col("c"))
+      .drop("cum_c")
+      .join(broadcast(totals), Seq("g", "side"))
       .withColumn("gt", expr(s"n div $TrimDiv"))
       // kept multiplicity between positions gt+1 .. n-gt
       .withColumn("m", expr(

@@ -122,7 +122,17 @@ class Round10WindowAuditSpec extends AnyFunSuite {
       " caps the spine outright) — stricter than the q110 bound (r13)"),
     "q170_wilcoxon_signed" -> ("|diff| cells on the dollar grid: grow" +
       " only until the spend-delta range saturates (the q48/q141" +
-      " class); gridDiv is the documented 100 TB coarsening knob (r13)"))
+      " class); gridDiv is the documented 100 TB coarsening knob (r13)"),
+    "q178_nelson_aalen" -> ("per-group duration cells: bounded by the" +
+      " observation span — the q110 adjudication on the same spine (r13)"),
+    "q186_cindex" -> ("lattice windows over (duration × score) spines:" +
+      " the duration spine is observation-span-bounded (q110 class)," +
+      " the score spine is the hundred-dollar balance grid (≤ ~110" +
+      " cells) — both dimension-grade, never subject count (r13)"),
+    "q188_hill_tail" -> ("(g, band) revenue cells: BandedCumsum" +
+      " absolute cap + dense-key band guard (r13)"),
+    "q194_yuen_trimmed_t" -> ("(g, side, band) cent-price cells:" +
+      " BandedCumsum absolute cap + dense-key band guard (r13)"))
 
   test("no un-adjudicated window grows its max partition super-linearly") {
     val step = 10.0 // sf0.001 → sf0.01

@@ -37,13 +37,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * both trees collect in the same order (the window audit's cross-SF
   * technique, applied cross-layer).
   *
-  * r11 baseline: ZERO flags on HEAD — every registered join is either
+  * r11 baseline: ZERO flags — every registered join is either
   * key-bounded (orderkey/doc_id multiplicity), dimension-broadcast
   * with a bounded build side, or a candidate-generation join whose key
   * groups are planted-duplicate clusters that stay constant across the
-  * step. The empty allowlist is the measured adjudication record; the
-  * planted-hot-key self-test proves the screen detects the failure
-  * mode it exists for.
+  * step. r13 adds one adjudicated flag (q186's spine-lattice join,
+  * below); the planted-hot-key self-test proves the screen detects
+  * the failure mode it exists for.
   */
 class Round11SkewAuditSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Engine.session()
@@ -111,7 +111,13 @@ class Round11SkewAuditSpec extends AnyFunSuite {
   }
 
   /** query → structural bound adjudicating its flagged join(s). */
-  val allowlist: Map[String, String] = Map()
+  val allowlist: Map[String, String] = Map(
+    "q186_cindex" -> ("the lattice join keys only on g (segment-grade)" +
+      " but BOTH sides are spine frames, not subject rows: left =" +
+      " distinct (g, dur) — bounded by the observation span (the q110" +
+      " duration adjudication); right = distinct (g, s) — the" +
+      " hundred-dollar balance grid (≤ ~110 cells). Per-key work is" +
+      " span × grid, dimension-grade at any corpus size (r13)"))
 
   test("no un-adjudicated join grows a hot key or a fragile broadcast super-linearly") {
     val violations = scala.collection.mutable.ListBuffer[String]()

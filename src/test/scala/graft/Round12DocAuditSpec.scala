@@ -161,7 +161,12 @@ class Round12DocAuditSpec extends AnyFunSuite {
       " the q83/q48 class, bounded by each score's quantized grid" +
       " (fluency is a div-floored 1e-6 mean with a saturating range);" +
       " the fused election itself is a bounded TakeOrderedAndProject," +
-      " no window"))
+      " no window"),
+    "q185_lift_gains" -> ("the SAME score-cell window as q83 over the" +
+      " SAME q61 score frame (measured 488 → 3632, identical cells):" +
+      " the gains walk reads the one distinct-score frame AUC reads —" +
+      " bounded by the quantized score grid, the q83/q171 adjudication" +
+      " verbatim (r13)"))
 
   test("doc/vector-keyed windows do not grow super-linearly un-adjudicated") {
     val violations = scala.collection.mutable.ListBuffer[String]()
