@@ -134,7 +134,9 @@ object CoxPh {
     var beta = totals.select(col(seg), expr("CAST(0e0 AS DOUBLE)").as("b"),
       expr("CAST(NULL AS DOUBLE)").as("si")).localCheckpoint(true)
     for (_ <- 0 until iters) beta = step(beta)
-    beta.join(broadcast(totals), Seq(seg))
+    // LEFT from totals: a group with zero events has no step rows and
+    // falls out of the Newton frame — it still owes a NULL output row
+    totals.join(broadcast(beta), Seq(seg), "left")
       .selectExpr(seg, "n_subjects", "n_events",
         "round(b, 6) + 0.0 AS beta",
         "round(1.0 / sqrt(nullif(si, 0.0)), 6) + 0.0 AS se_beta",
@@ -238,7 +240,7 @@ object CoxPh {
        |    round(b * sqrt(nullif(si, 0.0)), 4) + 0.0 AS z_cox,
        |    round(CAST(floor(exp(least(greatest(b, -18e0), 18e0)) * 1e9
        |      + 5e-1) AS DOUBLE) / 1e9, 6) + 0.0 AS hazard_ratio
-       |  FROM c$Iters JOIN tot USING (g))
+       |  FROM tot LEFT JOIN c$Iters USING (g))
        |SELECT g AS c_mktsegment, n_subjects, n_events, beta, se_beta,
        |  z_cox, hazard_ratio,
        |  round(${pSql("z_cox")}, 6) + 0.0 AS p_value

@@ -132,7 +132,10 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q188_hill_tail" -> ("(g, band) revenue cells: BandedCumsum" +
       " absolute cap + dense-key band guard (r13)"),
     "q194_yuen_trimmed_t" -> ("(g, side, band) cent-price cells:" +
-      " BandedCumsum absolute cap + dense-key band guard (r13)"))
+      " BandedCumsum absolute cap + dense-key band guard (r13)"),
+    "q200_cox_ph" -> ("per-group duration-spine suffix windows (one per" +
+      " Newton iteration): bounded by the observation span — the" +
+      " q110/q159 adjudication on the same spine (r13)"))
 
   test("no un-adjudicated window grows its max partition super-linearly") {
     val step = 10.0 // sf0.001 → sf0.01
