@@ -135,7 +135,9 @@ class Round10WindowAuditSpec extends AnyFunSuite {
       " BandedCumsum absolute cap + dense-key band guard (r13)"),
     "q200_cox_ph" -> ("per-group duration-spine suffix windows (one per" +
       " Newton iteration): bounded by the observation span — the" +
-      " q110/q159 adjudication on the same spine (r13)"))
+      " q110/q159 adjudication on the same spine (r13)"),
+    "q202_gpd_pot" -> ("(g, band) cent-price cells: BandedCumsum" +
+      " absolute cap + dense-key band guard — the q188 walk (r13)"))
 
   test("no un-adjudicated window grows its max partition super-linearly") {
     val step = 10.0 // sf0.001 → sf0.01
