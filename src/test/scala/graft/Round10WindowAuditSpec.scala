@@ -137,7 +137,20 @@ class Round10WindowAuditSpec extends AnyFunSuite {
       " Newton iteration): bounded by the observation span — the" +
       " q110/q159 adjudication on the same spine (r13)"),
     "q202_gpd_pot" -> ("(g, band) cent-price cells: BandedCumsum" +
-      " absolute cap + dense-key band guard — the q188 walk (r13)"))
+      " absolute cap + dense-key band guard — the q188 walk (r13)"),
+    "q201_cvm" -> ("per-year delay cells: the value grid is a" +
+      " DIFFERENCE of two calendar-bounded dates (saturates ≤ ~4800" +
+      " cells at any SF — the synthetic data doesn't enforce TPC-H's" +
+      " 121-day ship window, measured 2317 at sf0.01) — the q48/q141" +
+      " saturating value-cell class (r13 session-5)"),
+    "q209_durbin_watson" -> ("per-priority day cells: bounded by" +
+      " calendar range — the q111/q134 adjudication (r13 session-5)"),
+    "q210_dickey_fuller" -> ("per-priority day cells: bounded by" +
+      " calendar range — the q111/q134 adjudication (r13 session-5)"),
+    "q216_kpss" -> ("per-priority day cells: bounded by calendar" +
+      " range — the q111/q134 adjudication (r13 session-5)"),
+    "q217_yule_walker" -> ("per-priority day cells: bounded by" +
+      " calendar range — the q111/q134 adjudication (r13 session-5)"))
 
   test("no un-adjudicated window grows its max partition super-linearly") {
     val step = 10.0 // sf0.001 → sf0.01
