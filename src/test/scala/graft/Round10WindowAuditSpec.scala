@@ -150,7 +150,10 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q216_kpss" -> ("per-priority day cells: bounded by calendar" +
       " range — the q111/q134 adjudication (r13 session-5)"),
     "q217_yule_walker" -> ("per-priority day cells: bounded by" +
-      " calendar range — the q111/q134 adjudication (r13 session-5)"))
+      " calendar range — the q111/q134 adjudication (r13 session-5)"),
+    "q226_page_hinkley" -> ("per-priority day cells (the q216 walk):" +
+      " bounded by calendar range — the q111/q134 adjudication" +
+      " (r13 session-5)"))
 
   test("no un-adjudicated window grows its max partition super-linearly") {
     val step = 10.0 // sf0.001 → sf0.01
