@@ -131,21 +131,29 @@ object Dedup {
     * signature never leaves its scan task). The only shuffles left are
     * the bucket groupBy and final distinct. Also the shape the streaming
     * twin needs: signatures of a stream are a stateless projection. */
-  private[graft] def bandedSignatures(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  /** The raw k-column MinHash signature frame (doc_id, carry…,
+    * mh0..mhK-1) — shared by the banding path and the q235 estimator
+    * audit. */
+  private[graft] def minhashFrame(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keep = carry.map(col)
     val mhCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("sk"), k => ((k % MinhashP) * a + b) % MinhashP))
         .cast("string").as(s"mh$i")
     }
+    docs
+      .select(col("doc_id") +: col("text") +: keep :+ tokenHashes(col("text")).as("th"): _*)
+      .select(col("doc_id") +: keep :+ shingleKeysFromHashes(col("th"), col("text")).as("sk"): _*)
+      .select((col("doc_id") +: keep) ++ mhCols: _*)
+  }
+
+  private[graft] def bandedSignatures(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
     val bandCols = (0 until MinhashBands).map { b =>
       val slice = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i"))
       md5(concat_ws(",", slice: _*)).as(s"band$b")
     }
     val stackExpr = (0 until MinhashBands).map(b => s"$b, band$b").mkString(", ")
-    docs
-      .select(col("doc_id") +: col("text") +: keep :+ tokenHashes(col("text")).as("th"): _*)
-      .select(col("doc_id") +: keep :+ shingleKeysFromHashes(col("th"), col("text")).as("sk"): _*)
-      .select((col("doc_id") +: keep) ++ mhCols: _*)
+    minhashFrame(docs, carry)
       .select((col("doc_id") +: keep) ++ bandCols: _*)
       .select(col("doc_id") +: keep :+
         expr(s"stack($MinhashBands, $stackExpr) AS (band, band_key)"): _*)

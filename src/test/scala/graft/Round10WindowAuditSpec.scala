@@ -153,6 +153,11 @@ class Round10WindowAuditSpec extends AnyFunSuite {
       " calendar range — the q111/q134 adjudication (r13 session-5)"),
     "q226_page_hinkley" -> ("per-priority day cells (the q216 walk):" +
       " bounded by calendar range — the q111/q134 adjudication" +
+      " (r13 session-5)"),
+    "q232_decision_stump" -> ("(g) hundred-dollar price cells: grow" +
+      " only until the price range saturates (~5.5k cells at the" +
+      " registered span) — the q48/q141/q149 saturating value-cell" +
+      " class; the grid width is the documented coarsening knob" +
       " (r13 session-5)"))
 
   test("no un-adjudicated window grows its max partition super-linearly") {
