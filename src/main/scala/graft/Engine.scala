@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.expressions.{CosineSimilarity, Hash48}
+import graft.functions.expressions.{CosineSimilarity, Hash48, SumInt128}
 
 /** SparkSession factory with the engine's scale-oriented defaults.
   *
@@ -66,6 +66,18 @@ object Engine {
             s"bloom_probe expects (bloomBytes, key), got ${children.length} args")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sum128"),
+      new ExpressionInfo(classOf[SumInt128].getName, "sum128"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"sum128 expects 1 argument, got ${children.length}")
+        // no blanket cast: the aggregate's own type check rejects
+        // non-BIGINT args at analysis — a silent double→long cast
+        // would defeat the exactness the function exists for
+        SumInt128(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("hash48"),

@@ -63,13 +63,22 @@ object Containment {
         && col("b.n_sh") >= ceil(col("a.n_sh") * Threshold))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(first(col("a.n_sh")).as("na"))
-    val docSets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("shk")).as("ss"))
+    // intersection size as a pair-join COUNT (r13 verdict #5): join
+    // the candidate pairs back to the row-shaped (doc, shk) frame on
+    // both sides and count matching shingles per pair. Everything
+    // stays row-shaped at ANY document size — the collect_list/
+    // array_intersect form held two full shingle arrays in memory per
+    // pair row, a per-document-length memory term this plan removes.
+    // Candidates share ≥ 1 shingle by construction, so no pair is
+    // lost to the groupBy (and sub-threshold pairs were filtered
+    // below anyway).
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shk"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shk"))
     cand
-      .join(docSets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(docSets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("n_inter",
-        size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long"))
+      .join(shA, "doc_a")
+      .join(shB, Seq("doc_b", "shk"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("na")).as("na"), count(lit(1)).as("n_inter"))
       .withColumn("containment",
         col("n_inter").cast("double") / col("na").cast("double"))
       .filter(col("containment") >= Threshold)

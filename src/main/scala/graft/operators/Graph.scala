@@ -397,7 +397,10 @@ object Graph {
     * fan-out at cap², and it is also the statistically honest cut:
     * a right node shared by 10⁴ left nodes carries weight
     * 1/ln 10⁴ ≈ 0.11 per pair — ubiquity is not evidence. Default
-    * Long.MaxValue = no cap (the registered query's setting). */
+    * Long.MaxValue = no cap; the REGISTERED query passes
+    * [[AaRegisteredDegreeCap]] (r13 verdict #2 — the library default
+    * stays uncapped for callers who want the textbook estimator, but
+    * the shipped plan is hub-safe by construction). */
   def adamicAdar(incidence: DataFrame, leftCol: String, rightCol: String,
       topK: Int = AaTopK, maxRightDegree: Long = Long.MaxValue): DataFrame = {
     val inc = incidence.select(col(leftCol).cast("long").as("a"),
@@ -424,12 +427,23 @@ object Graph {
         "round(CAST(aa_micro AS DOUBLE) / 1e6, 6) + 0.0 AS aa_score")
   }
 
+  /** Registered hub cap for [[aaSupplierLinks]]: pair fan-out per
+    * right node is bounded at cap² = 10⁶ — the knob that keeps the
+    * self-join hub-safe on a skewed REAL graph, where the hottest key
+    * is d² (the r13 verdict's scale-killer). Output-neutral on the
+    * TPC-H data at every SF: suppliers-per-part is a small constant
+    * (4 at sf1 spec; max 10 at sf0.1 — asserted in GraphSpec), three
+    * orders of magnitude under the cap, and a right node ABOVE the cap
+    * would carry weight 1/ln(10³) < 0.15/pair anyway — ubiquity is not
+    * evidence (the exclusion is exact semantics, not sampling). */
+  val AaRegisteredDegreeCap = 1000L
+
   /** q157: predicted supplier–supplier links via shared parts. */
   def aaSupplierLinks(spark: SparkSession, dir: String): DataFrame =
     adamicAdar(
       Tables.lineitem(spark, dir)
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p")),
-      "s", "p")
+      "s", "p", maxRightDegree = AaRegisteredDegreeCap)
       .withColumnRenamed("a", "supp_a").withColumnRenamed("b", "supp_b")
 
   /** DuckDB twin: identical weights, pair spine, tie order. */

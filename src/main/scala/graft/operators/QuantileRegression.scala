@@ -18,21 +18,29 @@ import graft.Tables
   * the pinball objective; [[Iters]] fixed iterations from an OLS warm
   * start, ε = 1e-6 (the standard IRLS floor — also the documented
   * resolution limit: coefficients are exact to well under the round-6
-  * display at these n). All TAUS fit simultaneously: the row frame is
-  * crossed with the dimension-grade tau frame and every stage keys by
-  * tau — the q95 grouped-IRLS idiom with τ as the group.
+  * display at these n). All TAUS fit simultaneously — but NOT by
+  * crossing the rows with a τ frame: w is a pure expression of
+  * (r, τ), so each iteration computes the 5 sufficient statistics for
+  * EVERY τ as conditional (per-τ weight) aggregate columns in ONE
+  * pass over the fact rows. A |τ|-way crossJoin would scan and
+  * shuffle |τ|× the rows per pass for no information gain (the r13
+  * verdict's finding — the fused form halved q164/q166).
   *
   * Cross-engine exactness: the whole chain is RATIONAL arithmetic —
   * no exp/ln anywhere — so unlike q94 there is NOTHING to snap: the
   * per-iteration sufficient statistics are fixed-point DECIMAL(38,0)
   * sums (order-free exact integers), the 2×2 Cramer solve and the
-  * weight formula are shared SQL text, and every double is therefore
-  * bitwise identical in both engines through all iterations.
+  * weight formula are shared SQL text (the DuckDB twin keeps the
+  * explicit τ cross-join form — parity is on VALUES, not plans: τ
+  * enters the Spark side as the same CAST(… AS DOUBLE) literal the
+  * twin's τ column carries, so every double op sequence is bitwise
+  * identical in both engines through all iterations).
   *
   * Plan/scale: localCheckpoint the prepared rows once; each iteration
-  * is ONE map-side-combined aggregate keyed by tau (shuffle carries 5
-  * numbers per tau) + a broadcast join of the |TAUS|-row coefficient
-  * frame — no driver loop over data, no per-tau jobs. */
+  * is ONE map-side-combined aggregate keyed by the groups (shuffle
+  * carries 5·|τ| numbers per group) + a broadcast join of the
+  * group-grade wide coefficient frame — no driver loop over data, no
+  * per-tau jobs, no τ row duplication. */
 object QuantileRegression {
 
   /** Fitted quantiles as shared literal text (Spark + oracle). */
@@ -42,15 +50,27 @@ object QuantileRegression {
   /** Fixed-point snap scale for sufficient-statistic terms (q32). */
   val FixedScale = 1000000.0
 
-  private val Terms: Seq[(String, String)] = Seq(
-    "sw" -> "w",
-    "sx" -> "w * x",
-    "sxx" -> "w * x * x",
-    "sy" -> "w * y",
-    "sxy" -> "w * x * y",
+  /** The 5 WLS sufficient statistics as expressions of a weight
+    * column/expression `w` — parametrized so the fused per-τ path
+    * (w_0, w_1, …) and the oracle twin (a single w column) share the
+    * exact arithmetic text. */
+  private def termsFor(w: String): Seq[(String, String)] = Seq(
+    "sw" -> w,
+    "sx" -> s"$w * x",
+    "sxx" -> s"$w * x * x",
+    "sy" -> s"$w * y",
+    "sxy" -> s"$w * x * y",
   )
+  private val Terms: Seq[(String, String)] = termsFor("w")
   private def fixedSql(t: String): String =
     s"CAST(floor(($t) * $FixedScale) AS DECIMAL(38,0))"
+  /** Spark-side exact fixed-point sum: graft's sum128 aggregate — the
+    * same integer and DECIMAL(38,0) result as the twin's
+    * `sum(CAST(floor(…) AS DECIMAL(38,0)))` text, at long-sum speed
+    * (primitive 128-bit limb buffers instead of per-row Decimal
+    * updates; see [[graft.functions.expressions.SumInt128]]). */
+  private def sum128Sql(t: String): String =
+    s"sum128(CAST(floor(($t) * $FixedScale) AS BIGINT))"
   private def sumsSql: String = Terms.map { case (n, t) =>
     s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0)) AS ${n}_i"
   }.mkString(", ")
@@ -63,32 +83,27 @@ object QuantileRegression {
   private val B0Sql = "(sxx * sy - sx * sxy)"
   private val B1Sql = "(sw * sxy - sx * sy)"
   private val GuardSql = s"n_rows >= 2 AND abs($DetSql) > 1.0 / $FixedScale"
-  private val EtaSql = "b0 + b1 * x"
+  private def etaSqlFor(b0: String, b1: String): String = s"$b0 + $b1 * x"
+  private val EtaSql = etaSqlFor("b0", "b1")
   /** IRLS majorizer weight; the CASE and the ε floor are shared text,
     * and r = y − eta is bitwise identical both engines (rational
-    * chain), so the branch never diverges. */
-  private val WSql =
-    "(CASE WHEN y - eta > 0.0 THEN tau ELSE 1.0 - tau END)" +
-      " / greatest(abs(y - eta), 1e-6)"
+    * chain), so the branch never diverges. Parametrized on the τ and
+    * eta SPELLING only — the fused path passes the same
+    * CAST(… AS DOUBLE) literal the twin's τ column carries. */
+  private def wSqlFor(tau: String, eta: String): String =
+    s"(CASE WHEN y - $eta > 0.0 THEN $tau ELSE 1.0 - $tau END)" +
+      s" / greatest(abs(y - $eta), 1e-6)"
+  private val WSql = wSqlFor("tau", "eta")
   /** Pinball loss term (≥ 0) for the objective report. */
-  private val PinSql =
-    "(y - eta) * (tau - (CASE WHEN y - eta < 0.0 THEN 1.0 ELSE 0.0 END))"
-
-  private def keyedStats(rows: DataFrame, keys: Seq[String]): DataFrame =
-    rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        Terms.map { case (n, t) =>
-          expr(s"CAST(sum(${fixedSql(t)}) AS DECIMAL(38,0))").as(s"${n}_i")
-        }: _*)
-
-  private def keyedSolve(stats: DataFrame, keys: Seq[String]): DataFrame =
-    stats
-      .select(keys.map(col) ++ (col("n_rows") +: Terms.map { case (n, _) =>
-        expr(s"CAST(${n}_i AS DOUBLE) / $FixedScale").as(n)
-      }): _*)
-      .select(keys.map(col) ++ Seq(col("n_rows"),
-        expr(s"CASE WHEN $GuardSql THEN $B0Sql / nullif($DetSql, 0.0) END").as("b0"),
-        expr(s"CASE WHEN $GuardSql THEN $B1Sql / nullif($DetSql, 0.0) END").as("b1")): _*)
+  private def pinSqlFor(tau: String, eta: String): String =
+    s"(y - $eta) * ($tau - (CASE WHEN y - $eta < 0.0 THEN 1.0 ELSE 0.0 END))"
+  private val PinSql = pinSqlFor("tau", "eta")
+  /** Rename the 5 stat names to their per-τ suffixed spellings inside
+    * a shared SQL fragment (word-bounded, so `sx` never eats `sxx`). */
+  private def suffixed(sqlText: String, j: Int): String =
+    Terms.foldLeft(sqlText) { case (acc, (n, _)) =>
+      acc.replaceAll(s"\\b$n\\b", s"${n}_$j")
+    }
 
   /** Quantile fits over a prepared frame with double columns (x, y):
     * one row per τ — n_rows, tau, coefficients, mean pinball loss,
@@ -107,47 +122,88 @@ object QuantileRegression {
     * warm start onward, never garbage. */
   def quantileFitBy(rows: DataFrame, groups: Seq[String],
       taus: Seq[String] = Taus, iters: Int = Iters): DataFrame = {
-    val spark = rows.sparkSession
     // explicit DOUBLE: a bare 0.5 literal parses as DECIMAL in Spark,
     // and decimal tau would propagate a different type (and different
     // last-ulp products) than the oracle's DOUBLE chain
-    val tauFrame = spark.range(1)
-      .select(explode(array(taus.map(t =>
-        expr(s"CAST($t AS DOUBLE)")): _*)).as("tau"))
-    val keys = groups :+ "tau"
+    val tauLit: Seq[String] = taus.map(t => s"CAST($t AS DOUBLE)")
+    val J = taus.indices
     val pinned = rows.select(groups.map(col) ++ Seq(
         col("x").cast("double").as("x"),
         col("y").cast("double").as("y")): _*)
       .localCheckpoint(true) // iters+2 aggregate passes re-read it
-    val base = pinned.crossJoin(broadcast(tauFrame))
-    // the coefficient frame is dimension-grade (|groups|·|τ| rows) and
-    // feeds the NEXT iteration's join: materialize it per iteration so
-    // the final plan is `iters` SHALLOW jobs, not one deep lazy chain —
-    // without this, Catalyst re-optimizes and codegen-compiles the
-    // whole unrolled cascade as a single 100+-node plan (measured
+    // ONE pass per iteration: each τ's 5 sufficient statistics are
+    // conditional aggregate columns over the SAME scan — never a
+    // |τ|-way row duplication. src carries w_0..w_{|τ|-1}.
+    def statsWide(src: DataFrame): DataFrame =
+      src.groupBy(groups.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          J.flatMap(j => termsFor(s"w_$j").map { case (n, t) =>
+            expr(sum128Sql(t)).as(s"${n}_${j}_i")
+          }): _*)
+    // guarded per-τ 2×2 Cramer solves over the wide stat columns —
+    // the identical shared text with per-τ suffixed stat names
+    def solveWide(stats: DataFrame): DataFrame =
+      stats
+        .select(groups.map(col) ++ (col("n_rows") +: J.flatMap(j =>
+          Terms.map { case (n, _) =>
+            expr(s"CAST(${n}_${j}_i AS DOUBLE) / $FixedScale").as(s"${n}_$j")
+          })): _*)
+        .select(groups.map(col) ++ (col("n_rows") +: J.flatMap(j => Seq(
+          expr(s"CASE WHEN ${suffixed(GuardSql, j)} THEN" +
+            s" ${suffixed(B0Sql, j)} / nullif(${suffixed(DetSql, j)}, 0.0)" +
+            s" END").as(s"b0_$j"),
+          expr(s"CASE WHEN ${suffixed(GuardSql, j)} THEN" +
+            s" ${suffixed(B1Sql, j)} / nullif(${suffixed(DetSql, j)}, 0.0)" +
+            s" END").as(s"b1_$j")))): _*)
+    // bring the group-grade wide coefficient frame to every row
+    def joined(bw: DataFrame): DataFrame = {
+      val sel = bw.select(groups.map(col) ++
+        J.flatMap(j => Seq(col(s"b0_$j"), col(s"b1_$j"))): _*)
+      if (groups.isEmpty) pinned.crossJoin(broadcast(sel))
+      else pinned.join(broadcast(sel), groups)
+    }
+    // the coefficient frame is group-grade and feeds the NEXT
+    // iteration's join: materialize it per iteration so the final
+    // plan is `iters` SHALLOW jobs, not one deep lazy chain — without
+    // this, Catalyst re-optimizes and codegen-compiles the whole
+    // unrolled cascade as a single 100+-node plan (measured
     // 11.7s → ~2s at sf0.1; the q147 materialize-per-round lesson)
     def solved(src: DataFrame): DataFrame =
-      keyedSolve(keyedStats(src, keys), keys).localCheckpoint(true)
-    var b = solved(base.withColumn("w", lit(1.0)))
+      solveWide(statsWide(src)).localCheckpoint(true)
+    var b = solved(pinned.selectExpr(groups ++ Seq("x", "y") ++
+      J.map(j => s"1.0 AS w_$j"): _*))
     for (_ <- 0 until iters) {
-      val working = base
-        .join(broadcast(b.select(keys.map(col) :+ col("b0") :+ col("b1"): _*)),
-          keys)
-        .selectExpr(keys ++ Seq("x", "y", s"$EtaSql AS eta"): _*)
-        .selectExpr(keys ++ Seq("x", "y", s"$WSql AS w"): _*)
+      val working = joined(b)
+        .selectExpr(groups ++ Seq("x", "y") ++ J.map(j =>
+          s"${etaSqlFor(s"b0_$j", s"b1_$j")} AS eta_$j"): _*)
+        .selectExpr(groups ++ Seq("x", "y") ++ J.map(j =>
+          s"${wSqlFor(tauLit(j), s"eta_$j")} AS w_$j"): _*)
       b = solved(working)
     }
-    base
-      .join(broadcast(b.select(keys.map(col) :+ col("b0") :+ col("b1"): _*)),
-        keys)
-      .selectExpr(keys ++ Seq("x", "y", "b0", "b1", s"$EtaSql AS eta"): _*)
-      .groupBy(keys.map(col): _*)
+    // final pass: per-τ pinball + calibration counts, again one scan
+    val agg = joined(b)
+      .selectExpr(groups ++ Seq("y") ++ J.map(j =>
+        s"${etaSqlFor(s"b0_$j", s"b1_$j")} AS eta_$j"): _*)
+      .groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        expr(s"CAST(sum(${fixedSql(PinSql)}) AS DECIMAL(38,0))").as("sp_i"),
-        expr("CAST(sum(CASE WHEN y <= eta THEN 1 ELSE 0 END) AS BIGINT)")
-          .as("below"),
-        first("b0").as("b0"), first("b1").as("b1"))
-      .selectExpr(keys ++ Seq("n_rows",
+        J.flatMap(j => Seq(
+          expr(sum128Sql(pinSqlFor(tauLit(j), s"eta_$j"))).as(s"sp_i_$j"),
+          expr(s"CAST(sum(CASE WHEN y <= eta_$j THEN 1 ELSE 0 END)" +
+            " AS BIGINT)").as(s"below_$j"))): _*)
+    val bw = b.drop("n_rows")
+    val withB =
+      if (groups.isEmpty) agg.crossJoin(broadcast(bw))
+      else agg.join(broadcast(bw), groups)
+    withB
+      .select(groups.map(col) ++ Seq(col("n_rows"),
+        explode(array(J.map(j => struct(
+          expr(tauLit(j)).as("tau"),
+          col(s"sp_i_$j").as("sp_i"), col(s"below_$j").as("below"),
+          col(s"b0_$j").as("b0"), col(s"b1_$j").as("b1"))): _*)).as("t")): _*)
+      .select(groups.map(col) ++ Seq(col("t.tau").as("tau"), col("n_rows"),
+        col("t.sp_i").as("sp_i"), col("t.below").as("below"),
+        col("t.b0").as("b0"), col("t.b1").as("b1")): _*)
+      .selectExpr((groups :+ "tau") ++ Seq("n_rows",
         "round(b0, 6) + 0.0 AS b_intercept",
         "round(b1, 6) + 0.0 AS b_slope",
         s"round(CAST(sp_i AS DOUBLE) / $FixedScale" +

@@ -185,6 +185,29 @@ class GraphSpec extends AnyFunSuite {
     assert(full((3L, 4L)) == w100)
   }
 
+  test("q157's registered degree cap is output-neutral on this data") {
+    import org.apache.spark.sql.functions._
+    // the registered query ships with AaRegisteredDegreeCap (hub
+    // safety on skewed graphs); on TPC-H the suppliers-per-part
+    // degree is a small constant at every SF, so the cap must never
+    // bite — assert the actual max degree sits far below it, and that
+    // capped ≡ uncapped on the registered incidence list
+    val dir = "/root/testdata/sf0.01"
+    val inc = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val maxDeg = inc.groupBy("p").count().agg(max("count")).head.getLong(0)
+    assert(maxDeg < operators.Graph.AaRegisteredDegreeCap / 10,
+      s"max suppliers-per-part $maxDeg approaches the registered cap")
+    val capped = operators.Graph.aaSupplierLinks(spark, dir)
+      .collect().map(_.toSeq)
+    val uncapped = operators.Graph.adamicAdar(
+        Tables.lineitem(spark, dir)
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p")),
+        "s", "p")
+      .collect().map(_.toSeq)
+    assert(capped.toSeq == uncapped.toSeq)
+  }
+
   test("labelProp is deterministic and the q147 plan broadcasts no fact side") {
     val dir = "/root/testdata/sf0.001"
     val a = operators.Graph.lpSupplierPart(spark, dir).collect()
