@@ -50,7 +50,12 @@ object MinhashError {
           .as("sj_i"),
         expr("CAST(sum(CAST(floor(est * 1e6) AS BIGINT)) AS BIGINT)")
           .as("se_i"),
-        expr("CAST(sum(CAST(floor((est - jaccard) * 1e6) AS BIGINT))" +
+        // SYMMETRIC rounding for the SIGNED bias (r13 ADVICE): a plain
+        // floor rounds toward -inf for both signs, biasing the sum
+        // downward by up to 1e-6 regardless of the true sign — fatal
+        // for a quantity whose SIGN is the headline. floor(x + 0.5)
+        // is the Periodogram trig-snap convention.
+        expr("CAST(sum(CAST(floor((est - jaccard) * 1e6 + 0.5) AS BIGINT))" +
           " AS BIGINT)").as("sb_i"),
         expr("CAST(sum(CAST(floor(abs(est - jaccard) * 1e6) AS BIGINT))" +
           " AS BIGINT)").as("sa_i"))
@@ -104,7 +109,7 @@ object MinhashError {
        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        |    CAST(sum(CAST(floor(jaccard * 1e6) AS BIGINT)) AS BIGINT) AS sj_i,
        |    CAST(sum(CAST(floor(est * 1e6) AS BIGINT)) AS BIGINT) AS se_i,
-       |    CAST(sum(CAST(floor((est - jaccard) * 1e6) AS BIGINT)) AS BIGINT)
+       |    CAST(sum(CAST(floor((est - jaccard) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
        |      AS sb_i,
        |    CAST(sum(CAST(floor(abs(est - jaccard) * 1e6) AS BIGINT))
        |      AS BIGINT) AS sa_i

@@ -721,6 +721,59 @@ object Multimodal {
        |FROM documents""".stripMargin
   }
 
+  /** q238: the REAL PNG pixel pipeline under the driver's FULL-HASH
+    * gate (r13 verdict #6 asked for at least rows-only; value-level is
+    * possible because [[buildPng]]'s raster is a pure function of
+    * md5(text) and doc_id). Per document: synthesize the spec-valid
+    * two-IDAT PNG, then run [[parsePng]] — signature check, CRC32
+    * verification of every chunk, IDAT concatenation, JDK inflate,
+    * all FIVE scanline unfilters (the builder cycles filter types
+    * 0..4), per-channel means over the reconstructed raster. The
+    * DuckDB twin recomputes the expected means arithmetically:
+    * pixel k of channel with offset d is digest byte (k+d) mod 16, so
+    * channel_sum = ⌊n/16⌋·Σb + Σ_{(i−d) mod 16 < n mod 16} b_i with
+    * n = w·h. ANY decode failure (bad CRC, wedged inflate, wrong
+    * geometry, filter bug) drops or corrupts rows and the hash/row
+    * gate fails — the real parser is the thing under test. */
+  def pngDecodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodePng(pngPayloads(Tables.documents(spark, dir)))
+      .toDF()
+      .selectExpr("doc_id", "width", "height", "bit_depth", "color_type",
+        "round(mean_r, 6) + 0.0 AS mean_r",
+        "round(mean_g, 6) + 0.0 AS mean_g",
+        "round(mean_b, 6) + 0.0 AS mean_b")
+  }
+
+  /** DuckDB twin of [[pngDecodeAudit]]: exact integer reconstruction
+    * of the channel sums from md5(text) + doc_id geometry; the one
+    * double division (sum/n) is the same IEEE op on the same exact
+    * integers as the decoder's `sr.toDouble / n`. */
+  val pngDecodeAuditSql: String = {
+    // Σ over the first (n mod 16) pixels of channel offset d hits
+    // exactly the byte indices i with ((i - d) mod 16) < (n mod 16)
+    def rem(d: Int): String =
+      s"sum(CASE WHEN (i + ${16 - d}) % 16 < n % 16 THEN v ELSE 0 END)"
+    def mean(d: Int, as: String): String =
+      s"round(CAST((n // 16) * sum(v) + ${rem(d)} AS DOUBLE)" +
+        s" / CAST(n AS DOUBLE), 6) + 0.0 AS $as"
+    s"""WITH geo AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    (4 + doc_id % 13) * (3 + doc_id % 7) AS n,
+       |    CAST(4 + doc_id % 13 AS INT) AS width,
+       |    CAST(3 + doc_id % 7 AS INT) AS height
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, width, height, n, i,
+       |    ('0x' || substr(h, 2 * i + 1, 2))::INT AS v
+       |  FROM geo, range(16) t(i))
+       |SELECT doc_id, width, height, 8 AS bit_depth, 2 AS color_type,
+       |  ${mean(0, "mean_r")},
+       |  ${mean(5, "mean_g")},
+       |  ${mean(11, "mean_b")}
+       |FROM b GROUP BY doc_id, width, height, n""".stripMargin
+  }
+
   // ---- REAL image decode: GIF (LZW) ----
 
   /** Decoded GIF metadata + content stats (first frame).

@@ -25,9 +25,13 @@ import graft.Tables
   * division micro-floored and summed as a BIGINT (q91 move).
   * Degenerate groups (E = 0 or p = 1 — zero denominator, no
   * information) are excluded ALGEBRAICALLY and counted; HL is
-  * round-4 snapped, then the χ²_{G−2} upper tail runs the q173
-  * Wilson–Hilferty + A&S erfc chain (pow 1e-9-snapped); G < 3 → NULL
-  * (df would be ≤ 0).
+  * round-4 snapped, then the χ²_G upper tail runs the q173
+  * Wilson–Hilferty + A&S erfc chain (pow 1e-9-snapped). df = G (not
+  * the in-sample G−2 convention): the model is fitted on the hash
+  * TRAIN split and evaluated on the held-out eval split, where the
+  * statistic is ~χ²_G — the external-validation form (r13 ADVICE:
+  * G−2 on a held-out split is anti-conservative). G < 3 → NULL (the
+  * statistic is uninformative on fewer cells).
   *
   * Plan/scale: the q156 audit frame (one scan → calendar-bounded
   * per-year aggregates → broadcast model join) → ONE 1-row aggregate.
@@ -45,7 +49,8 @@ object HosmerLemeshow {
   private val HlSql = "round(CAST(ts AS DOUBLE) / 1e6, 4) + 0.0"
 
   private val ZSql = {
-    val df = "CAST(n_groups - 2 AS DOUBLE)"
+    // held-out evaluation: df = G, the external-validation form
+    val df = "CAST(n_groups AS DOUBLE)"
     val cb = s"(CAST(floor(pow(hl / $df," +
       " 0.3333333333333333) * 1e9 + 0.5) AS DOUBLE) / 1e9)"
     val mu = s"(1.0 - 2.0 / (9.0 * $df))"
@@ -77,7 +82,7 @@ object HosmerLemeshow {
         expr(s"CAST(sum($TermSql) AS DECIMAL(38,0))").as("ts"))
       .selectExpr("n_groups", "n_degenerate",
         s"CASE WHEN n_groups >= 3 THEN $HlSql END AS hl",
-        "CASE WHEN n_groups >= 3 THEN CAST(n_groups - 2 AS BIGINT) END AS df")
+        "CASE WHEN n_groups >= 3 THEN CAST(n_groups AS BIGINT) END AS df")
       .selectExpr("n_groups", "n_degenerate", "hl", "df",
         s"CASE WHEN hl IS NOT NULL THEN" +
           s" round(${pUpperSql(ZSql)}, 6) + 0.0 END AS p_value")
@@ -123,7 +128,7 @@ object HosmerLemeshow {
        |stat AS (
        |  SELECT n_groups, n_degenerate,
        |    CASE WHEN n_groups >= 3 THEN $HlSql END AS hl,
-       |    CASE WHEN n_groups >= 3 THEN CAST(n_groups - 2 AS BIGINT) END AS df
+       |    CASE WHEN n_groups >= 3 THEN CAST(n_groups AS BIGINT) END AS df
        |  FROM agg)
        |SELECT n_groups, n_degenerate, hl, df,
        |  CASE WHEN hl IS NOT NULL THEN

@@ -73,9 +73,14 @@ object Kpss {
           s" + 0.0 END AS eta")
   }
 
-  /** Registered Bartlett bandwidth: the Schwert-style short rule at
-    * the ~2400-day span, fixed as a literal so both engines share it. */
-  val Lags = 4
+  /** Registered Bartlett bandwidth: the ACTUAL Schwert short rule at
+    * the registered span — q = ⌊4·(n/100)^0.25⌋ = 8 at n ≈ 2400 daily
+    * buckets (r13 ADVICE: the previous literal 4 understated the rule
+    * it cited, and an under-sized bandwidth inflates eta under
+    * positive autocorrelation). Fixed as a literal — not computed from
+    * n at runtime — so both engines share the exact kernel text and
+    * the statistic stays deterministic across data refreshes. */
+  val Lags = 8
 
   /** q216: is daily order revenue level-stationary, per priority —
     * the q210 ADF frame under the reversed null; the PAIR of verdicts

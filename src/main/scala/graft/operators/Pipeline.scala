@@ -54,7 +54,7 @@ object Pipeline {
 
   /** Stages 1–2: curate with carried provenance, keep survivors, ONE
     * materialization. */
-  private def keptFrame(docs: DataFrame): DataFrame =
+  private[graft] def keptFrame(docs: DataFrame): DataFrame =
     Curation.curate(docs, Seq(
         "lang" -> col("lang"),
         "source" -> col("source"),

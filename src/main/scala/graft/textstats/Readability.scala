@@ -59,12 +59,21 @@ object Readability {
           " AS BIGINT))) AS BIGINT)").as("y"))
 
   /** Readability per slice: exact count totals, the pooled FRE/FKG on
-    * them, and the mean of per-doc FRE (micro-summed). Docs with zero
-    * words are excluded (FRE undefined) and counted. */
-  def readability(docs: DataFrame): DataFrame =
-    counts(docs)
-      .withColumn("fre_i",
-        expr(s"CASE WHEN w > 0 THEN CAST(floor($FreSql * 1e6) AS BIGINT) END"))
+    * them, and the mean of per-doc FRE (micro-summed). Docs with ZERO
+    * words (all-whitespace text) produce no token rows, so they carry
+    * no counts and no per-doc FRE (undefined) — they are reported in
+    * `n_excluded` (slice input docs minus scoring docs, the Fertility
+    * convention; r13 ADVICE: the previous build dropped them
+    * SILENTLY, which at corpus scale is an invisible data-loss mode).
+    * `n_docs` counts only scoring docs — the fre_mean denominator. */
+  def readability(docs: DataFrame): DataFrame = {
+    val input = docs.filter(col("text").isNotNull)
+    val perSlice = input.groupBy("slice")
+      .agg(expr("CAST(count(1) AS BIGINT)").as("n_input"))
+    val agg = counts(input)
+      // w = count(1) >= 1 by construction (zero-word docs never reach
+      // the aggregate), so per-doc FRE needs no w guard here
+      .withColumn("fre_i", expr(s"CAST(floor($FreSql * 1e6) AS BIGINT)"))
       .groupBy("slice")
       .agg(
         expr("CAST(count(1) AS BIGINT)").as("n_docs"),
@@ -72,12 +81,16 @@ object Readability {
         expr("CAST(sum(s) AS BIGINT)").as("s"),
         expr("CAST(sum(y) AS BIGINT)").as("y"),
         expr("CAST(sum(fre_i) AS BIGINT)").as("sfre_i"))
-      .selectExpr("slice", "n_docs",
+    perSlice.join(agg, Seq("slice"), "left")
+      .selectExpr("slice",
+        "coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs",
+        "n_input - coalesce(n_docs, CAST(0 AS BIGINT)) AS n_excluded",
         "w AS words", "s AS sentences", "y AS syllables",
         s"round($FreSql, 4) + 0.0 AS fre_pooled",
         s"round($FkgSql, 4) + 0.0 AS fk_grade_pooled",
         "round(CAST(sfre_i AS DOUBLE) / 1e6 / CAST(n_docs AS DOUBLE), 4)" +
           " + 0.0 AS fre_mean")
+  }
 
   /** q221: readability per language slice — the audience-level lens
     * on the same corpus q26/q27/q61 grade; a slice whose FRE drifts
@@ -87,9 +100,13 @@ object Readability {
       .select(col("doc_id"), col("lang").as("slice"), col("text")))
       .withColumnRenamed("slice", "lang")
 
-  /** DuckDB twin: identical regex counts and shared chains. */
+  /** DuckDB twin: identical regex counts and shared chains, incl. the
+    * n_excluded accounting (input docs minus scoring docs). */
   val docReadabilitySql: String =
-    s"""WITH toks AS (
+    s"""WITH inp AS (
+       |  SELECT lang AS slice, CAST(count(*) AS BIGINT) AS n_input
+       |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+       |toks AS (
        |  SELECT doc_id, lang AS slice,
        |    greatest(CAST(1 AS BIGINT),
        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
@@ -104,8 +121,7 @@ object Readability {
        |  FROM toks WHERE length(tok) > 0
        |  GROUP BY 1, 2, 3),
        |scored AS (
-       |  SELECT *, CASE WHEN w > 0 THEN
-       |    CAST(floor($FreSql * 1e6) AS BIGINT) END AS fre_i
+       |  SELECT *, CAST(floor($FreSql * 1e6) AS BIGINT) AS fre_i
        |  FROM perdoc),
        |agg AS (
        |  SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
@@ -113,11 +129,13 @@ object Readability {
        |    CAST(sum(y) AS BIGINT) AS y,
        |    CAST(sum(fre_i) AS BIGINT) AS sfre_i
        |  FROM scored GROUP BY 1)
-       |SELECT slice AS lang, n_docs,
+       |SELECT i.slice AS lang,
+       |  coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs,
+       |  i.n_input - coalesce(n_docs, CAST(0 AS BIGINT)) AS n_excluded,
        |  w AS words, s AS sentences, y AS syllables,
        |  round($FreSql, 4) + 0.0 AS fre_pooled,
        |  round($FkgSql, 4) + 0.0 AS fk_grade_pooled,
        |  round(CAST(sfre_i AS DOUBLE) / 1e6 / CAST(n_docs AS DOUBLE), 4)
        |    + 0.0 AS fre_mean
-       |FROM agg""".stripMargin
+       |FROM inp i LEFT JOIN agg a ON i.slice = a.slice""".stripMargin
 }

@@ -23,7 +23,8 @@ class HosmerLemeshowSpec extends AnyFunSuite {
     val r = hl(Seq((10L, 5L, 500000L), (20L, 10L, 500000L),
       (10L, 2L, 200000L)))
     assert(r.getDouble(r.fieldIndex("hl")) == 0.0)
-    assert(r.getLong(r.fieldIndex("df")) == 1L)
+    // held-out form: df = G (external validation), not in-sample G-2
+    assert(r.getLong(r.fieldIndex("df")) == 3L)
     assert(r.getDouble(r.fieldIndex("p_value")) > 0.9)
   }
 
@@ -31,10 +32,10 @@ class HosmerLemeshowSpec extends AnyFunSuite {
     val r = hl(Seq((10L, 5L, 500000L), (10L, 5L, 500000L),
       (10L, 8L, 500000L)))
     assert(r.getDouble(r.fieldIndex("hl")) == 3.6)
-    assert(r.getLong(r.fieldIndex("df")) == 1L)
-    // χ²₁ tail at 3.6 ≈ 0.058 — the W–H + A&S chain must land near it
+    assert(r.getLong(r.fieldIndex("df")) == 3L)
+    // χ²₃ tail at 3.6 ≈ 0.308 — the W–H + A&S chain must land near it
     val p = r.getDouble(r.fieldIndex("p_value"))
-    assert(p > 0.03 && p < 0.09)
+    assert(p > 0.25 && p < 0.37)
   }
 
   test("degenerate groups (p = 0 or 1) are excluded and counted") {
@@ -45,7 +46,7 @@ class HosmerLemeshowSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("hl")) == 3.6)
   }
 
-  test("fewer than 3 informative groups: NULL (df would be ≤ 0)") {
+  test("fewer than 3 informative groups: NULL (uninformative)") {
     val r = hl(Seq((10L, 5L, 500000L), (10L, 8L, 500000L)))
     assert(r.isNullAt(r.fieldIndex("hl")))
     assert(r.isNullAt(r.fieldIndex("p_value")))

@@ -49,9 +49,12 @@ class ReadabilitySpec extends AnyFunSuite {
     assert(m.getLong(m.fieldIndex("syllables")) == 2L)
   }
 
-  test("a whitespace-only doc is excluded") {
+  test("a whitespace-only doc is excluded AND counted in n_excluded") {
     val m = rd(Seq((1L, "a", "the cat sat."), (2L, "a", "  ")))("a")
     assert(m.getLong(m.fieldIndex("n_docs")) == 1L)
+    // the r13 ADVICE fix: the zero-word doc no longer vanishes
+    // silently — it is reported per slice
+    assert(m.getLong(m.fieldIndex("n_excluded")) == 1L)
   }
 
   test("slices aggregate independently; mean differs from pooled") {
