@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+  * sketch that makes COUNT(DISTINCT) survive 100 TB. Exact distinct
+  * shuffles every key to its reducer; the HLL register table is a
+  * fixed [[M]]·|groups| rows REGARDLESS of cardinality, the register
+  * aggregate (max per bucket) is algebraic — map-side combined, so a
+  * 1000-executor scan ships 256 small integers per group per task —
+  * and partial sketches MERGE by pointwise max ([[merged]]), which is
+  * what lets per-partition / per-day sketches roll up without ever
+  * re-touching the fact rows.
+  *
+  * EXACTNESS (the oracle-parity design): the whole register program
+  * is integer/string arithmetic — hash48 → bucket = top 8 bits,
+  * w = low 40 bits, ρ = 41 − length(bin(w)) (bin() renders without
+  * leading zeros in BOTH engines; w = 0 → ρ = 41) — and the harmonic
+  * denominator Σ 2^(−ρ_max) is cleared to the exact BIGINT
+  * S = Σ 2^(41−ρ_max) (empty buckets contribute 2^41; max S = 2^49,
+  * no overflow). The raw estimate α·m²·2⁴¹/S is then ONE shared-text
+  * double chain off identical literals, and the small-range
+  * linear-counting branch (raw ≤ 2.5m and empty buckets exist:
+  * E = m·ln(m/V)) snaps its single ln to the 1e-9 grid (house rule).
+  * The HLL++ large-range correction is NOT needed: a 48-bit hash has
+  * no collision regime below ~10¹² distinct; at true 100 TB key
+  * spaces swap [[Hashing.hash48]] for a 64-bit splitmix and widen W
+  * — the program text is otherwise unchanged (documented knob).
+  *
+  * Standard error ≈ 1.04/√m = 6.5% at m = 256; raise [[M]] for
+  * tighter bands (the register table stays dimension-grade).
+  *
+  * The registered query q245 carries the EXACT distinct beside the
+  * sketch — the audit pattern (q234/q235/q241): at test scale the
+  * truth is affordable and the relative error is the deliverable;
+  * production reads the sketch alone. */
+object Hll {
+
+  /** Register count m (2^8 buckets from the hash's top byte). */
+  val M = 256
+  /** 2^40 — splits the 48-bit hash into (bucket, 40-bit suffix). */
+  val W2 = 1099511627776L
+  /** 2^41 — the cleared-denominator unit: 2^(41−ρ), ρ ∈ [0, 41]. */
+  val Unit2 = 2199023255552L
+  /** Shared-text α_m·m²·2⁴¹ numerator (α per the standard m ≥ 128
+    * formula α = 0.7213/(1 + 1.079/m)); both engines parse identical
+    * literals and fold with correctly-rounded IEEE ops. */
+  val NumSql = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0"
+
+  private def lnSnap(x: String): String =
+    s"CAST(floor(ln($x) * 1e9 + 5e-1) AS DOUBLE) / 1e9"
+
+  /** Register table (g, b, r) from rows (g, k): max ρ per bucket.
+    * ONE map-side-combined aggregate; ≤ [[M]] rows per group. */
+  def registers(rows: DataFrame): DataFrame =
+    rows
+      .select(col("g"), Hashing.hash48(col("k")).as("h"))
+      .selectExpr("g", s"h div $W2 AS b", s"h % $W2 AS w")
+      .selectExpr("g", "b",
+        "CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END AS rho")
+      .groupBy("g", "b")
+      .agg(expr("CAST(max(rho) AS BIGINT)").as("r"))
+
+  /** Pointwise-max merge of two register tables — the distributed
+    * roll-up primitive (sketch(A ∪ B) ≡ merged(sketch(A), sketch(B)),
+    * spec-pinned). */
+  def merged(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g", "b")
+      .agg(expr("CAST(max(r) AS BIGINT)").as("r"))
+
+  /** Estimate frame (g, v_zero, s, hll_est) from a register table:
+    * v_zero = empty buckets, s = exact cleared denominator, hll_est
+    * the bias-corrected estimate (unrounded — callers round). */
+  def estimate(regs: DataFrame): DataFrame =
+    regs.groupBy("g")
+      .agg(expr("CAST(count(1) AS BIGINT)").as("nb"),
+        expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(41 - r AS INT))) AS BIGINT)").as("s_obs"))
+      .selectExpr("g", s"CAST($M - nb AS BIGINT) AS v_zero",
+        s"s_obs + ($M - nb) * $Unit2 AS s")
+      .selectExpr("g", "v_zero", "s",
+        s"$NumSql / CAST(s AS DOUBLE) AS raw")
+      .selectExpr("g", "v_zero", "s",
+        s"CASE WHEN raw <= 640.0 AND v_zero > 0 THEN" +
+          s" 256.0 * ${lnSnap("256.0 / CAST(v_zero AS DOUBLE)")}" +
+          " ELSE raw END AS hll_est")
+
+  /** rows (g, k string) → (g, v_zero, s, hll_est). */
+  def sketch(rows: DataFrame): DataFrame = estimate(registers(rows))
+
+  /** q245: HLL distinct order keys per return flag on lineitem,
+    * audited against the exact distinct — the rel_err column IS the
+    * deliverable (|rel_err| ≲ 2/√m at these cardinalities). */
+  def orderkeyHll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag AS g", "CAST(l_orderkey AS STRING) AS k")
+      .localCheckpoint(true) // two consumers: sketch + exact audit
+    val exact = li.groupBy("g")
+      .agg(expr("CAST(count(DISTINCT k) AS BIGINT)").as("n_exact"))
+    sketch(li).join(exact, "g")
+      .selectExpr("g AS l_returnflag", "n_exact",
+        "round(hll_est, 4) + 0.0 AS hll_estimate",
+        "round((hll_est - n_exact) / n_exact, 6) + 0.0 AS rel_err")
+  }
+
+  /** DuckDB twin of [[orderkeyHll]]: identical integer register
+    * program (hash spelling per the portable recipe, `//`/`<<` for
+    * `div`/`shiftleft`), identical shared-text estimate. */
+  val orderkeyHllSql: String =
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag AS g,
+       |    ${Hashing.hash48Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |rhos AS (
+       |  SELECT g, h // $W2 AS b,
+       |    CASE WHEN h % $W2 = 0 THEN 41
+       |      ELSE 41 - length(bin(h % $W2)) END AS rho
+       |  FROM keyed),
+       |regs AS (
+       |  SELECT g, b, CAST(max(rho) AS BIGINT) AS r
+       |  FROM rhos GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT g, CAST($M - count(*) AS BIGINT) AS v_zero,
+       |    CAST(sum(1::BIGINT << CAST(41 - r AS INT)) AS BIGINT)
+       |      + ($M - count(*)) * $Unit2 AS s
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT g, v_zero, $NumSql / CAST(s AS DOUBLE) AS raw
+       |  FROM agg),
+       |fin AS (
+       |  SELECT g,
+       |    CASE WHEN raw <= 640.0 AND v_zero > 0 THEN
+       |      256.0 * ${lnSnap("256.0 / CAST(v_zero AS DOUBLE)")}
+       |    ELSE raw END AS hll_est
+       |  FROM est),
+       |ex AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ex.g AS l_returnflag, n_exact,
+       |  round(hll_est, 4) + 0.0 AS hll_estimate,
+       |  round((hll_est - n_exact) / n_exact, 6) + 0.0 AS rel_err
+       |FROM fin JOIN ex ON fin.g = ex.g""".stripMargin
+}

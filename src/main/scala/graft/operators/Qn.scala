@@ -85,6 +85,113 @@ object Qn {
       .agg(expr("CAST(count(1) AS BIGINT)").as("c")))
       .withColumnRenamed("g", "l_returnflag")
 
+  /** Sn normal-consistency constant (Rousseeuw & Croux 1993). */
+  val SnConsistencySql = "1.1926"
+
+  /** Rousseeuw–Croux Sn over the same value cells — the NESTED-median
+    * sibling: Sn = c·lomed_i(himed_{j≠i} |xᵢ − xⱼ|). Where Qn elects
+    * one global order statistic from the pair multiset, Sn first asks
+    * each point "how far is your typical neighbor" (himed = the
+    * (⌊n/2⌋+1)-th of its n−1 distances, capped at n−1 so n = 2
+    * degenerates to the single distance) and then takes the weighted
+    * low median (⌊(n+1)/2⌋-th) of those per-point answers — same 50%
+    * breakdown, ~58% normal efficiency, and the per-point himed
+    * column is itself a usable outlyingness readout. Identical
+    * integer-order-statistic discipline: per-(g, vᵢ) cumulative
+    * counts over merged distances, then a per-g weighted median —
+    * both windows bounded by the SAME [[MaxCells]] guard. Groups with
+    * n < 2 drop (no j ≠ i distances). */
+  def snScale(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = cells
+      .withColumn("n_cells",
+        count(lit(1)).over(Window.partitionBy("g")))
+      .filter(expr(CellGuard.sqlGuard("snScale", "n_cells", MaxCells)))
+      .select("g", "v", "c")
+      .localCheckpoint(true)
+    val totals = guarded.groupBy("g")
+      .agg(expr("CAST(sum(c) AS BIGINT)").as("n_rows"))
+      .selectExpr("g", "n_rows",
+        "least(n_rows div 2 + 1, n_rows - 1) AS hth",
+        "(n_rows + 1) div 2 AS lth")
+    // distances from each value cell to EVERY point but itself: other
+    // cells contribute c_b at |v_a − v_b|, the own cell c_a − 1 at 0
+    val dists = guarded.as("a").join(guarded.as("b"), "g")
+      .select(col("g"), col("a.v").as("va"), col("a.c").as("ca"),
+        abs(col("a.v") - col("b.v")).as("d"),
+        when(col("a.v") === col("b.v"), col("a.c") - 1)
+          .otherwise(col("b.c")).as("m"))
+      .filter(col("m") > 0)
+      .groupBy("g", "va", "d")
+      .agg(expr("CAST(max(ca) AS BIGINT)").as("ca"),
+        expr("CAST(sum(m) AS BIGINT)").as("md"))
+      .withColumn("cum",
+        expr("CAST(sum(md) OVER (PARTITION BY g, va ORDER BY d)" +
+          " AS BIGINT)"))
+    val himed = dists.join(broadcast(totals), "g")
+      .filter(expr("cum >= hth AND cum - md < hth"))
+      .select(col("g"), col("va"), col("ca"), col("d").as("hm"))
+    himed
+      .groupBy("g", "hm")
+      .agg(expr("CAST(sum(ca) AS BIGINT)").as("w"))
+      .withColumn("cumw",
+        expr("CAST(sum(w) OVER (PARTITION BY g ORDER BY hm)" +
+          " AS BIGINT)"))
+      .join(broadcast(totals), "g")
+      .filter(expr("cumw >= lth AND cumw - w < lth"))
+      .selectExpr("g", "n_rows", "CAST(hm AS BIGINT) AS sn_raw",
+        s"round($SnConsistencySql * CAST(hm AS DOUBLE), 4) + 0.0 AS sn")
+  }
+
+  /** q244: Sn of order-line quantity per return flag — the nested-
+    * median reading beside q240 on the identical frame; where the two
+    * disagree materially the spread is asymmetric. */
+  def quantitySn(spark: SparkSession, dir: String): DataFrame =
+    snScale(Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag AS g", "CAST(l_quantity AS BIGINT) AS v")
+      .groupBy("g", "v")
+      .agg(expr("CAST(count(1) AS BIGINT)").as("c")))
+      .withColumnRenamed("g", "l_returnflag")
+
+  /** DuckDB twin of [[quantitySn]]: same cells, nested thresholds. */
+  val quantitySnSql: String =
+    s"""WITH cells AS (
+       |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT g, CAST(sum(c) AS BIGINT) AS n_rows,
+       |    least(CAST(sum(c) AS BIGINT) // 2 + 1,
+       |      CAST(sum(c) AS BIGINT) - 1) AS hth,
+       |    (CAST(sum(c) AS BIGINT) + 1) // 2 AS lth
+       |  FROM cells GROUP BY 1),
+       |dists AS (
+       |  SELECT a.g, a.v AS va, CAST(max(a.c) AS BIGINT) AS ca,
+       |    abs(a.v - b.v) AS d,
+       |    CAST(sum(CASE WHEN a.v = b.v THEN a.c - 1 ELSE b.c END)
+       |      AS BIGINT) AS md
+       |  FROM cells a JOIN cells b ON a.g = b.g
+       |  WHERE (CASE WHEN a.v = b.v THEN a.c - 1 ELSE b.c END) > 0
+       |  GROUP BY 1, 2, 4),
+       |cumd AS (
+       |  SELECT g, va, ca, d, md,
+       |    CAST(sum(md) OVER (PARTITION BY g, va ORDER BY d) AS BIGINT)
+       |      AS cum
+       |  FROM dists),
+       |himed AS (
+       |  SELECT c.g, va, ca, d AS hm
+       |  FROM cumd c JOIN totals t ON c.g = t.g
+       |  WHERE cum >= hth AND cum - md < hth),
+       |wmed AS (
+       |  SELECT g, hm, CAST(sum(ca) AS BIGINT) AS w,
+       |    CAST(sum(sum(ca)) OVER (PARTITION BY g ORDER BY hm)
+       |      AS BIGINT) AS cumw
+       |  FROM himed GROUP BY 1, 2)
+       |SELECT m.g AS l_returnflag, n_rows, CAST(hm AS BIGINT) AS sn_raw,
+       |  round($SnConsistencySql * CAST(hm AS DOUBLE), 4) + 0.0 AS sn
+       |FROM wmed m JOIN totals t ON m.g = t.g
+       |WHERE cumw >= lth AND cumw - w < lth""".stripMargin
+
   /** DuckDB twin: identical cell enumeration, integer thresholds, and
     * consistency constant. */
   val quantityQnSql: String =

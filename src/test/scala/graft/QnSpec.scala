@@ -82,6 +82,53 @@ class QnSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("qnScale")))
   }
 
+  private def bruteSnRaw(xs: Seq[Long]): Long = {
+    val n = xs.length
+    val hth = math.min(n / 2 + 1, n - 1) // himed index, capped for n=2
+    val lth = (n + 1) / 2
+    val hms = xs.indices.map { i =>
+      val ds = xs.indices.filter(_ != i).map(j => math.abs(xs(i) - xs(j))).sorted
+      ds(hth - 1)
+    }.sorted
+    hms(lth - 1)
+  }
+
+  private def snRaw(xs: Seq[Long]): Long =
+    operators.Qn.snScale(cellsOf(xs)).collect().head.getLong(2)
+
+  test("Sn matches the brute-force nested-median reference") {
+    val cases = Seq(
+      Seq(1L, 2L, 4L, 8L, 16L),
+      Seq(3L, 3L, 3L, 7L, 7L, 50L),
+      Seq(0L, 0L, 0L, 0L, 1L),
+      Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L),
+      Seq(5L, 9L), // n = 2: himed caps to the single distance
+    )
+    cases.foreach(xs => assert(snRaw(xs) == bruteSnRaw(xs), s"multiset $xs"))
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { _ =>
+      val xs = Seq.fill(25)(rnd.nextInt(10).toLong)
+      assert(snRaw(xs) == bruteSnRaw(xs), s"multiset $xs")
+    }
+  }
+
+  test("Sn: location-free and 50%-breakdown, like Qn") {
+    val xs = Seq(1L, 5L, 9L, 9L, 14L, 22L)
+    assert(snRaw(xs) == snRaw(xs.map(_ + 500L)))
+    val clean = Seq.fill(12)(Seq(10L, 11L, 12L, 13L)).flatten
+    val dirty = clean ++ Seq.fill(20)(100000L)
+    assert(snRaw(dirty) <= 3L)
+  }
+
+  test("registered q244 at sf0.001: one Sn row per return flag") {
+    val rows = operators.Qn.quantitySn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val raw = r.getLong(r.fieldIndex("sn_raw"))
+      assert(raw > 0L && raw < 50L, s"sn_raw $raw")
+    }
+  }
+
   test("registered q240 at sf0.001: one row per return flag, sane scale") {
     val rows = Qn.quantityQn(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 3)
