@@ -46,10 +46,15 @@ object Hll {
   val W2 = 1099511627776L
   /** 2^41 — the cleared-denominator unit: 2^(41−ρ), ρ ∈ [0, 41]. */
   val Unit2 = 2199023255552L
-  /** Shared-text α_m·m²·2⁴¹ numerator (α per the standard m ≥ 128
-    * formula α = 0.7213/(1 + 1.079/m)); both engines parse identical
-    * literals and fold with correctly-rounded IEEE ops. */
-  val NumSql = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0"
+  /** α_m·m²·2⁴¹ numerator, PINNED as one exponent-notation literal
+    * (exponent form is a DOUBLE literal in both engines; a
+    * decimal-point spelling would be DECIMAL in DuckDB and fold the
+    * α chain differently — the ulp split showed up at a round-4
+    * boundary in testing). Derivation, IEEE double ops left to
+    * right: 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+    * 2199023255552.0 (α per the standard m ≥ 128 formula
+    * α = 0.7213/(1 + 1.079/m)). */
+  val NumSql = "1.0351398986589102e17"
 
   private def lnSnap(x: String): String =
     s"CAST(floor(ln($x) * 1e9 + 5e-1) AS DOUBLE) / 1e9"

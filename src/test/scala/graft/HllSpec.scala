@@ -34,8 +34,7 @@ class HllSpec extends AnyFunSuite {
     }
     val v = regs.count(_ == 0)
     val s = regs.map(r => 1L << (41 - r)).sum
-    val raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 *
-      2199023255552.0 / s.toDouble
+    val raw = 1.0351398986589102e17 / s.toDouble // the pinned NumSql
     if (raw <= 640.0 && v > 0)
       256.0 * (math.floor(math.log(256.0 / v) * 1e9 + 0.5) / 1e9)
     else raw
