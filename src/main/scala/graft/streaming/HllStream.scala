@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming HyperLogLog — the continuous twin of
+  * [[graft.operators.Hll]] with CONSTANT state: 256 register bytes
+  * per group FOREVER, regardless of stream length or key cardinality
+  * (a distinct-set state would grow without bound on an open key
+  * space). Like the bootstrap twin (18s) and unlike the sequential
+  * twins, the state is ORDER-FREE MERGEABLE (registers combine by
+  * pointwise max, which commutes and is idempotent), so there is NO
+  * delivery-order contract and duplicate redelivery is HARMLESS —
+  * at-least-once sources get exactly-once estimates for free (the
+  * set-semantics property the batch spec pins, live).
+  *
+  * The register/estimate program is the batch one verbatim on JVM
+  * primitives (the same md5-derived hash48, the same pinned α·m²·2⁴¹
+  * literal, the same 1e-9 ln snap on the linear-counting branch), so
+  * a replay of any frame equals the batch sketch EXACTLY —
+  * spec-pinned against q245's registered query. */
+object HllStream {
+
+  case class KeyEvent(g: String, k: String)
+  case class HllState(regs: Array[Byte])
+  /** Same columns as the batch estimate frame. */
+  case class HllEstimate(g: String, v_zero: Long, s: Long, hll_est: Double)
+
+  private val W2Mask = (1L << 40) - 1
+
+  /** The batch register update on JVM primitives (parity pinned by
+    * HllSpec's reference and HllStreamSpec's batch-equality test). */
+  private[streaming] def observe(regs: Array[Byte], key: String): Unit = {
+    val h = java.lang.Long.parseLong(
+      graft.functions.Hashing.md5hex(key).substring(0, 12), 16)
+    val b = (h >>> 40).toInt
+    val w = h & W2Mask
+    val rho =
+      if (w == 0L) 41
+      else 41 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > regs(b)) regs(b) = rho.toByte
+  }
+
+  private[streaming] def estimateOf(regs: Array[Byte]): (Long, Long, Double) = {
+    val v = regs.count(_ == 0).toLong
+    val s = regs.map(r => 1L << (41 - r)).sum
+    val raw = 1.0351398986589102e17 / s.toDouble // Hll.NumSql pinned
+    val est =
+      if (raw <= 640.0 && v > 0)
+        256.0 * (math.floor(math.log(256.0 / v) * 1e9 + 0.5) / 1e9)
+      else raw
+    (v, s, est)
+  }
+
+  /** Per-group running distinct estimate, refreshed each trigger
+    * (Update mode). */
+  def hllStream(events: Dataset[KeyEvent]): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (g: String, rows: Iterator[KeyEvent], state: GroupState[HllState]) => {
+          val regs = state.getOption.map(_.regs)
+            .getOrElse(new Array[Byte](256))
+          rows.foreach(r => observe(regs, r.k))
+          state.update(HllState(regs))
+          val (v, s, est) = estimateOf(regs)
+          Iterator(HllEstimate(g, v, s, est))
+        })
+  }
+}
