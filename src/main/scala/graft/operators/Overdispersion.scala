@@ -68,10 +68,11 @@ object Overdispersion {
     poly
   }
 
-  /** q189: are daily order arrivals Poisson within each priority, or
-    * do orders clump? Dense calendar spine per priority — zero days
-    * included. */
-  def dailyOrderDispersion(spark: SparkSession, dir: String): DataFrame = {
+  /** The dense per-priority daily-count frame (g, c) — zero days are
+    * real rows. Shared by q189's test and q253's negative-binomial
+    * fit so both read ONE cohort. */
+  private[operators] def dailyOrderCells(spark: SparkSession,
+      dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .filter(col("o_orderdate").isNotNull && col("o_orderpriority").isNotNull)
       .groupBy(
@@ -86,11 +87,17 @@ object Overdispersion {
     val groups = cells.select("g").distinct()
     val spine = bounds
       .selectExpr("explode(sequence(d_lo, d_hi)) AS d")
-    dispersionTest(spine.crossJoin(broadcast(groups))
+    spine.crossJoin(broadcast(groups))
       .join(cells, Seq("g", "d"), "left")
-      .selectExpr("g", "coalesce(c, 0) AS c"))
-      .withColumnRenamed("g", "o_priority")
+      .selectExpr("g", "coalesce(c, 0) AS c")
   }
+
+  /** q189: are daily order arrivals Poisson within each priority, or
+    * do orders clump? Dense calendar spine per priority — zero days
+    * included. */
+  def dailyOrderDispersion(spark: SparkSession, dir: String): DataFrame =
+    dispersionTest(dailyOrderCells(spark, dir))
+      .withColumnRenamed("g", "o_priority")
 
   /** DuckDB twin: identical dense spine and integer statistics. */
   val dailyOrderDispersionSql: String =
