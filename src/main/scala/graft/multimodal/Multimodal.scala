@@ -774,6 +774,53 @@ object Multimodal {
        |FROM b GROUP BY doc_id, width, height, n""".stripMargin
   }
 
+  /** q255: the REAL WAV pipeline under the driver's FULL-HASH gate —
+    * the audio analog of q238: per document, synthesize the valid
+    * RIFF/WAV PCM payload ([[wavPayloads]]) and run the real chunk-walk
+    * parser ([[decodeWav]]); the DuckDB twin recomputes everything
+    * arithmetically from md5(text) + doc_id (rate/frames from doc_id,
+    * the RMS from the 16-cycled sample-square sum — the q238 cycled-sum
+    * identity on squares). ANY parser fault (magic, chunk walk, fmt
+    * fields, sample read) drops or corrupts rows and the gate fails. */
+  def wavDecodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeWav(wavPayloads(Tables.documents(spark, dir)))
+      .toDF()
+      .selectExpr("doc_id", "sample_rate", "channels", "bits_per_sample",
+        "n_frames",
+        "round(duration_ms, 6) + 0.0 AS duration_ms",
+        "round(rms, 6) + 0.0 AS rms")
+  }
+
+  /** DuckDB twin of [[wavDecodeAudit]]: samples are
+    * s_i = (md5byte(i mod 16) − 128)·256, so the frame-square sum over
+    * n frames is ⌊n/16⌋·Σs² + Σ_{i < n mod 16} s_i² — exact integers;
+    * duration and RMS are the decoder's own IEEE ops on the same
+    * exact operands. */
+  val wavDecodeAuditSql: String =
+    """WITH geo AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+      |    CAST(64 + doc_id % 64 AS INT) AS nf
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, rate, nf, i,
+      |    (('0x' || substr(h, 2 * i + 1, 2))::INT - 128) * 256 AS s
+      |  FROM geo, range(16) t(i)),
+      |agg AS (
+      |  SELECT doc_id, rate, nf,
+      |    (nf // 16) * sum(CAST(s AS BIGINT) * s)
+      |      + sum(CASE WHEN i < nf % 16 THEN CAST(s AS BIGINT) * s
+      |            ELSE 0 END) AS ssq
+      |  FROM b GROUP BY 1, 2, 3)
+      |SELECT doc_id, rate AS sample_rate, 1 AS channels,
+      |  16 AS bits_per_sample, nf AS n_frames,
+      |  round(CAST(nf AS DOUBLE) * 1000.0 / CAST(rate AS DOUBLE), 6)
+      |    + 0.0 AS duration_ms,
+      |  round(sqrt(CAST(ssq AS DOUBLE) / CAST(nf AS DOUBLE)), 6)
+      |    + 0.0 AS rms
+      |FROM agg""".stripMargin
+
   // ---- REAL image decode: GIF (LZW) ----
 
   /** Decoded GIF metadata + content stats (first frame).

@@ -399,4 +399,29 @@ class MultimodalSpec extends AnyFunSuite {
     val corpus = Multimodal.wavPayloads(spark, dir)
     assert(Multimodal.audioFeatures(corpus).count() == corpus.count())
   }
+
+  test("registered q255: every doc decodes, and the RMS matches the" +
+    " cycled-square identity the oracle twin relies on") {
+    val rows = Multimodal.wavDecodeAudit(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length.toLong == nDocs) // zero parser drops on valid payloads
+    val byId = rows.map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.take(5).foreach { case (id, text) =>
+      val h = functions.Hashing.md5hex(text)
+      val s = (0 until 16).map(i =>
+        ((Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16) - 128) * 256).toLong)
+      val nf = 64 + Math.floorMod(id, 64).toInt
+      val ssq = (nf / 16) * s.map(v => v * v).sum +
+        (0 until nf % 16).map(i => s(i) * s(i)).sum
+      val want = BigDecimal(math.sqrt(ssq.toDouble / nf))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val r = byId(id)
+      assert(r.getDouble(r.fieldIndex("rms")) == want, s"doc $id")
+      assert(r.getInt(r.fieldIndex("sample_rate")) ==
+        8000 * (1 + Math.floorMod(id, 3).toInt))
+    }
+  }
 }
