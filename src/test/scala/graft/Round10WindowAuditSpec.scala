@@ -94,6 +94,9 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q116_ccf" -> "day-bucket cells first: bounded by calendar range",
     "q134_amoc" -> "per-type day cells: bounded by calendar range",
     "q135_runs_test" -> "per-type day cells: bounded by calendar range",
+    "q239_decompose" -> ("per-series day cells: bounded by calendar" +
+      " range (301 → 1736 is sparse day-cells FILLING toward the" +
+      " ~2400-day span, then saturating — the q134/q115 class; r14)"),
     "q105_cusum" -> ("per-(type, event) sequential fold BY DESIGN (scaladoc:" +
       " pre-bucket to hour/day at 100 TB; 18n streaming twin is the" +
       " constant-state production path)"),

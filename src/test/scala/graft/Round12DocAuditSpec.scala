@@ -166,7 +166,21 @@ class Round12DocAuditSpec extends AnyFunSuite {
       " SAME q61 score frame (measured 488 → 3632, identical cells):" +
       " the gains walk reads the one distinct-score frame AUC reads —" +
       " bounded by the quantized score grid, the q83/q171 adjudication" +
-      " verbatim (r13)"))
+      " verbatim (r13)"),
+    "q193_containment" -> ("the r14 pair-count join (cand ⋈ shingles" +
+      " on doc_a; measured maxKey 19 → 287, 287 ROWS absolute at" +
+      " sf0.1): rows per hot doc_a = partners(a)·n_sh(a) — partners" +
+      " IS the operator's output (every candidate pair above the" +
+      " prefix filter), so the join is OUTPUT-shaped, the price of" +
+      " exact intersection counts; the 15× step is template-cluster" +
+      " growth in the synthetic corpus (more docs of the same" +
+      " template ⇒ more true containment pairs — the detector is" +
+      " detecting); the 100 TB knobs are the ones candidate" +
+      " GENERATION already has (Threshold / MinShingles / the q22" +
+      " df-cap discipline on prefix shingles), which bound partners" +
+      " before this join ever runs; the sf0.1 broadcast of the" +
+      " shingle frame is the planner's size-based choice and falls" +
+      " back to shuffle past the threshold automatically"))
 
   test("doc/vector-keyed windows do not grow super-linearly un-adjudicated") {
     val violations = scala.collection.mutable.ListBuffer[String]()
