@@ -41,10 +41,12 @@ object Containment {
     * documents frame with (doc_id, text). Returns
     * (doc_a, doc_b, na, n_inter, containment). */
   def containmentPairs(docs: DataFrame): DataFrame = {
-    // the q22 barrier note applies verbatim: the distinct IS the
-    // materialization barrier that keeps the shingle pipeline from
-    // re-running per candidate pair
-    val sh = Dedup.docShingles(docs).distinct()
+    // the distinct is an exchange barrier, but the r14 pair-count
+    // rewrite made this frame FOUR consumers wide (dfreq, ranked,
+    // shA, shB) and ReusedExchange does not cover the whole fan-out —
+    // unpinned, the md5 shingle pipeline re-ran per consumer
+    // (measured 7.4 s → 4.6 s at sf0.1 from this one checkpoint)
+    val sh = Dedup.docShingles(docs).distinct().localCheckpoint(true)
     val dfreq = sh.groupBy(col("shk")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val ranked = sh.join(dfreq, "shk")
@@ -72,11 +74,17 @@ object Containment {
     // Candidates share ≥ 1 shingle by construction, so no pair is
     // lost to the groupBy (and sub-threshold pairs were filtered
     // below anyway).
+    // shuffle_hash on BOTH probe joins: the shingle frame is
+    // corpus-sized, so broadcasting it is exactly the fragile-bcast
+    // shape the doc audit flags (dies at 1000×); and even at sf0.1
+    // the partitioned probes beat the broadcast plan (measured
+    // 7.9 s → 5.0 s — the 42M-row pair×shingle stream shuffles for
+    // the groupBy anyway, so partition-aligned probes are free)
     val shA = sh.select(col("doc_id").as("doc_a"), col("shk"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shk"))
     cand
-      .join(shA, "doc_a")
-      .join(shB, Seq("doc_b", "shk"))
+      .join(shA.hint("shuffle_hash"), "doc_a")
+      .join(shB.hint("shuffle_hash"), Seq("doc_b", "shk"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("na")).as("na"), count(lit(1)).as("n_inter"))
       .withColumn("containment",

@@ -178,9 +178,9 @@ class Round12DocAuditSpec extends AnyFunSuite {
       " detecting); the 100 TB knobs are the ones candidate" +
       " GENERATION already has (Threshold / MinShingles / the q22" +
       " df-cap discipline on prefix shingles), which bound partners" +
-      " before this join ever runs; the sf0.1 broadcast of the" +
-      " shingle frame is the planner's size-based choice and falls" +
-      " back to shuffle past the threshold automatically"))
+      " before this join ever runs; both probe joins carry" +
+      " shuffle_hash hints, so the corpus-sized shingle frame is" +
+      " never broadcast at any SF (r14)"))
 
   test("doc/vector-keyed windows do not grow super-linearly un-adjudicated") {
     val violations = scala.collection.mutable.ListBuffer[String]()
