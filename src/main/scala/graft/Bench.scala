@@ -97,6 +97,15 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
         true
       } catch { case _: Throwable => false }
+      finally {
+        // localCheckpoint(true) pins RDD blocks that nothing ever
+        // frees: over a 256-query pass hundreds of pinned RDDs fill
+        // the block manager and late queries (and the post canary)
+        // pay eviction pressure — measured as the "in-run heat" the
+        // r12-r13 artifacts kept shipping. Isolate queries instead.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(run(warmDir, _)) // warm-up: JIT, codegen, IO paths
     canary(spark) // warm the canary's own codegen path too
