@@ -29,6 +29,12 @@ object Scaling {
           .write.mode("overwrite").format("noop").save()
         true
       } catch { case scala.util.control.NonFatal(_) => false }
+      finally {
+        // Bench's isolation rule (r14): unpinned localCheckpoint
+        // blocks otherwise accumulate across the 2×256-query pass
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     def time(dir: String, name: String): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -15,7 +15,11 @@ object TimeMain {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d)
         .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Bench's isolation rule (r14): free pinned checkpoint blocks
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
     names.foreach(run("/root/testdata/sf0.001", _)) // JIT/codegen warm-up
     names.foreach { n =>
