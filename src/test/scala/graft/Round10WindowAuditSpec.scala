@@ -116,6 +116,11 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q90_mrr" -> "per-query rank: k-bounded candidate lists",
     "q159_logrank" -> ("per-stratum duration cells: bounded by the" +
       " observation span — the q110 adjudication on the same spine (r13)"),
+    "q256_brunner_munzel" -> ("per-(group[, side]) hundred-dollar" +
+      " value cells: grow only until the order-value range saturates" +
+      " (the q48/q141/q149 class; gridDiv is the 100 TB knob — coarsen" +
+      " the grid, midranks + the placement variance absorb the ties" +
+      " exactly); r14"),
     "q161_logrank_by" -> ("per-(region, duration) cells: the q159" +
       " spine partitioned further by a dimension-grade stratum (r13)"),
     "q163_competing_risks" -> ("duration-spine cells (three chained" +
