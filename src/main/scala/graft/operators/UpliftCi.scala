@@ -12,7 +12,8 @@ import graft.functions.Hashing
   * a verdict, q152's CUPED shrinks variance, q144 puts a CI on each
   * arm separately — but arm CIs overlapping says NOTHING about the
   * difference; the uplift needs its own resampling distribution.
-  * Per Poisson resample b (the q144 weights verbatim — each row's
+  * Per Poisson resample b (the q144 threshold rule against the
+  * hash48Seq family member u = hash48(Seed, b:key) — each row's
   * multiplicity a pure function of (key, b), bit-reproducible), the
   * statistic is diff_b = mean₁(b) − mean₀(b), and the CI is exact
   * order statistics over the ≤B diffs (q126 no-interpolation rule).
@@ -31,6 +32,9 @@ import graft.functions.Hashing
   */
 object UpliftCi {
 
+  /** Hash family seed (hash48Seq member b ≡ hash48(Seed, b:key)). */
+  val Seed = 257
+
   /** Per-group uplift CI from obs (g, s ∈ {0,1}, k unique row key,
     * xc exact cents): returns (g, n_x, n_y, n_resamples, diff_mean,
     * ci_lo, ci_hi) in dollars. */
@@ -48,10 +52,14 @@ object UpliftCi {
         " ELSE 0 END) AS DECIMAL(38,0))").as("sx0"),
       expr("CAST(sum(CASE WHEN s = 1 THEN CAST(xc AS DECIMAL(38,0))" +
         " ELSE 0 END) AS DECIMAL(38,0))").as("sx1"))
+    // ONE digest + one key encode per ROW for the whole ×B family
+    // (the q150 posexplode idiom — 200 per-pair md5s per row read
+    // 16.5 s at sf0.1; the fused family form is the difference
+    // between the bootstrap being usable and not)
     val res = base
-      .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
-      .withColumn("u", Hashing.hash48(
-        concat(col("k").cast("string"), lit("#"), col("b").cast("string"))))
+      .select(col("g"), col("s"), col("xc"),
+        posexplode(Hashing.hash48Seq(Seed, b, col("k").cast("string")))
+          .as(Seq("b", "u")))
       .withColumn("w", expr(WSql))
       .groupBy("g", "b")
       .agg(
@@ -59,10 +67,14 @@ object UpliftCi {
           .as("sw0"),
         expr("CAST(sum(CASE WHEN s = 1 THEN w ELSE 0 END) AS BIGINT)")
           .as("sw1"),
-        expr("CAST(sum(CASE WHEN s = 0 THEN CAST(w AS DECIMAL(38,0)) * xc" +
-          " ELSE 0 END) AS DECIMAL(38,0))").as("swx0"),
-        expr("CAST(sum(CASE WHEN s = 1 THEN CAST(w AS DECIMAL(38,0)) * xc" +
-          " ELSE 0 END) AS DECIMAL(38,0))").as("swx1"))
+        // sum128: grouped sum(DECIMAL) costs ~5× a grouped long sum
+        // (the q166 lesson) and this aggregate sees rows × B; w·xc is
+        // Long-safe per row (w ≤ 8), the 128-bit limbs absorb any
+        // group total
+        expr("sum128(CASE WHEN s = 0 THEN CAST(w AS BIGINT) * xc" +
+          " ELSE CAST(0 AS BIGINT) END)").as("swx0"),
+        expr("sum128(CASE WHEN s = 1 THEN CAST(w AS BIGINT) * xc" +
+          " ELSE CAST(0 AS BIGINT) END)").as("swx1"))
       .filter("sw0 > 0 AND sw1 > 0")
       .withColumn("d", expr("CAST(swx1 AS DOUBLE) / CAST(sw1 AS DOUBLE)" +
         " - CAST(swx0 AS DOUBLE) / CAST(sw0 AS DOUBLE)"))
@@ -110,7 +122,7 @@ object UpliftCi {
   /** DuckDB twin: identical weights, conditional-arm sums, and
     * elections. */
   val orderValueUpliftSql: String = {
-    val u = Hashing.hash48Sql("(k)::VARCHAR || '#' || (b)::VARCHAR")
+    val u = Hashing.hash48Sql(Seed, "(b)::VARCHAR || ':' || (k)::VARCHAR")
     val w = Bootstrap.Thresholds
       .map(t => s"(CASE WHEN ($u) >= $t THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")

@@ -26,7 +26,10 @@ class UpliftCiSpec extends AnyFunSuite {
     val diffs = (0 until b).flatMap { bi =>
       var (sw0, sw1) = (0L, 0L); var (sx0, sx1) = (BigInt(0), BigInt(0))
       xs.foreach { case (s, k, x) =>
-        val w = operators.Bootstrap.weightOf(k.toString, bi)
+        // the q144 thresholds against the hash48Seq member spelling
+        val u = java.lang.Long.parseLong(functions.Hashing
+          .md5hex(s"${operators.UpliftCi.Seed}:$bi:$k").substring(0, 12), 16)
+        val w = operators.Bootstrap.Thresholds.count(u >= _)
         if (s == 0) { sw0 += w; sx0 += BigInt(w) * x }
         else { sw1 += w; sx1 += BigInt(w) * x }
       }
