@@ -52,12 +52,30 @@ object IvfPq {
       books: Seq[(Int, Int, Seq[Double])])
 
   /** ADC shortlist depth. Deeper than [[Pq.Rerank]] deliberately:
-    * M = 4 sixteen-dim subspaces is a COARSE code (production IVFADC
-    * runs M = 8–64), so on unstructured data the ADC ordering needs a
-    * deeper exact re-rank to keep the recall ≥ plain-IVF contract
-    * (IvfPqSpec) — size Rerank ≳ the expected per-query candidate
-    * count where codes are this coarse, and shrink it as M grows. */
+    * M coordinate-slice subspaces is still a COARSE code at M = 8
+    * (production IVFADC runs up to M = 64), so on unstructured data
+    * the ADC ordering needs a deeper exact re-rank to keep the recall
+    * ≥ plain-IVF contract (IvfPqSpec) — size Rerank ≳ the expected
+    * per-query candidate count where codes are this coarse, and
+    * shrink it as M grows. */
   val Rerank = 128
+
+  /** Lloyd rounds for the coarse quantizer ([[Kmeans.fit]]). The r14
+    * q241 audit read recall 0.46 with the first-N-vectors stand-in
+    * ([[Ann.fitCentroids]]) — the quantizer, not the code budget, was
+    * the binding defect. Measured frontier at sf0.01 (M = 8,
+    * rerank = 128): first-N/nProbe=4 0.46; lloyd2/nProbe=6 0.74;
+    * lloyd2/nProbe=8 0.78; lloyd3/nProbe=8 0.80 (pure-IVF ceiling at
+    * that probe width: 0.82). Each extra round is one
+    * map-side-combined aggregate over the corpus — dimension-grade. */
+  val CoarseIters = 3
+
+  /** Probe width for the REGISTERED q145/q241 path. Wider than
+    * [[Ann.IvfProbes]] = 4 because the recall audit is the product
+    * here: 8/16 cells at test scale. At corpus scale nCells grows
+    * ~√N and the probed FRACTION shrinks — keep nProbe/nCells on the
+    * measured recall frontier above, not this literal ratio. */
+  val Probes = 8
 
   private def embCast(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -86,12 +104,15 @@ object IvfPq {
           (a, b) => a - b))
       .select(col("vec_id"), col("cell"), col("embedding"))
 
-  /** Fit the full index: IVF centroids on the raw space, PQ codebooks
-    * on the residual space (the [[Pq.fit]] recipe unchanged — the
-    * residual frame carries the standard (vec_id, embedding) shape). */
+  /** Fit the full index: Lloyd-fitted IVF centroids on the raw space
+    * ([[Kmeans.fit]], [[CoarseIters]] rounds — see that constant for
+    * the measured recall frontier vs the first-N stand-in), PQ
+    * codebooks on the residual space (the [[Pq.fit]] recipe
+    * unchanged — the residual frame carries the standard
+    * (vec_id, embedding) shape). */
   def fit(embeddings: DataFrame, nCells: Int = Ann.IvfCells,
       iters: Int = Pq.FitIters): Index = {
-    val cents = Ann.fitCentroids(embeddings, nCells)
+    val cents = Kmeans.fit(embeddings, nCells, CoarseIters)
     Index(cents, Pq.fit(residuals(embeddings, cents), iters))
   }
 
@@ -107,7 +128,7 @@ object IvfPq {
 
   /** IVFADC query: probe → ADC shortlist → exact re-rank. */
   def annIvfAdc(embeddings: DataFrame, idx: Index,
-      nProbe: Int = Ann.IvfProbes, k: Int = Ann.TopK,
+      nProbe: Int = Probes, k: Int = Ann.TopK,
       rerank: Int = Rerank): DataFrame = {
     val cents = idx.centroids.sortBy(_._1)
     val emb = embCast(embeddings)
@@ -197,11 +218,11 @@ object IvfPq {
     // the annPqSql subFit text with `rv` (residual) as the source and
     // the extra per-cell cc lists
     val subFit = (0 until Pq.M).map { m =>
-      s"""sub$m AS (SELECT vec_id, rv[${lo(m)}:${hi(m)}] AS sv FROM resid),
-         |cent0_$m AS (
+      s"""sub$m AS MATERIALIZED (SELECT vec_id, rv[${lo(m)}:${hi(m)}] AS sv FROM resid),
+         |cent0_$m AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, sv AS cv
          |  FROM (SELECT * FROM sub$m ORDER BY vec_id LIMIT ${Pq.Ks})),
-         |asg1_$m AS (
+         |asg1_$m AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT s.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY s.vec_id
@@ -214,11 +235,11 @@ object IvfPq {
          |               CAST(round(unnest(s.sv) * 1.0E9) AS BIGINT) AS fix
          |        FROM asg1_$m a JOIN sub$m s USING (vec_id))
          |  GROUP BY 1, 2),
-         |cent1_$m AS (
+         |cent1_$m AS MATERIALIZED (
          |  SELECT p.cell, coalesce(u.vlist, p.cv) AS cv FROM cent0_$m p
          |  LEFT JOIN (SELECT cell, list(a ORDER BY pos) AS vlist
          |             FROM upd_$m GROUP BY cell) u ON u.cell = p.cell),
-         |codes_$m AS (
+         |codes_$m AS MATERIALIZED (
          |  SELECT vec_id, cell AS c$m FROM (
          |    SELECT s.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY s.vec_id
@@ -256,34 +277,35 @@ object IvfPq {
     val ccText = (0 until Pq.M).map(m => s"cl.cc$m[c.c$m + 1]").mkString(" + ")
     val bnText = (0 until Pq.M).map(m => s"bn.bn$m[c.c$m + 1]").mkString(" + ")
     val exactCos = s"(${VectorMath.dotSql("q.qv", "e.v", Dim)} / (q.qnrm * e.nrm))"
-    s"""WITH emb AS (
+    s"""WITH emb AS MATERIALIZED (
        |  SELECT vec_id, v, ${VectorMath.normSql("v", Dim)} AS nrm
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
        |q AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
        |  FROM emb WHERE vec_id % ${Ann.QueryStride} = 0),
-       |cent AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v, nrm
-       |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT ${Ann.IvfCells})),
+       |${Kmeans.coarseCtes(Ann.IvfCells, CoarseIters, "kc")},
+       |cent AS MATERIALIZED (
+       |  SELECT cell, v, ${VectorMath.normSql("v", Dim)} AS nrm
+       |  FROM kccent$CoarseIters),
        |centn AS (SELECT cell, ${VectorMath.dotSql("v", "v", Dim)} AS cn2 FROM cent),
        |cellscore AS (
        |  SELECT e.vec_id, c.cell, $ccos AS ccos
        |  FROM emb e CROSS JOIN cent c),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell DESC) AS crk
        |  FROM cellscore),
        |assigned AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cell FROM ranked
-       |  WHERE vec_id % ${Ann.QueryStride} = 0 AND crk <= ${Ann.IvfProbes}),
-       |resid AS (
+       |  WHERE vec_id % ${Ann.QueryStride} = 0 AND crk <= $Probes),
+       |resid AS MATERIALIZED (
        |  SELECT e.vec_id, a.cell,
        |    list_transform(range(1, ${Dim + 1}), i -> e.v[i] - c.v[i]) AS rv
        |  FROM emb e JOIN assigned a USING (vec_id)
        |  JOIN cent c ON c.cell = a.cell),
        |$subFit,
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT r.vec_id, r.cell, $codesSel
        |  FROM resid r JOIN codes_0 USING (vec_id)$codesJoin),
        |qp AS (

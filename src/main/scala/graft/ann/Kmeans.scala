@@ -58,21 +58,43 @@ object Kmeans {
         col("best").getField("cos").as("cos"))
   }
 
-  /** Lloyd rounds; empty clusters keep their previous centroid. */
+  /** Lloyd rounds; empty clusters keep their previous centroid.
+    *
+    * The iteration plan is LITERAL-FREE (r15): centroids ride a
+    * broadcast DataFrame and the best cell is `max(struct(cos, cell))`
+    * (lexicographic struct max = highest cos, tie toward the higher
+    * cell — exactly [[assign]]'s order), so every round reuses ONE
+    * compiled plan. The previous literal-centroid projection compiled
+    * a FRESH whole-stage-codegen plan per round (the literals are
+    * baked into the generated source) — measured 7.7 s vs 2.2 s for a
+    * 3-round fit at sf0.1, pure Janino. The FINAL full-corpus
+    * assignment (one plan per job) keeps the literal projection —
+    * that is the right 100 TB shape, one compile amortized over the
+    * corpus scan. Arithmetic is unchanged: same cosine expression on
+    * the same doubles, same fixed-point integer mean — the oracle
+    * text needs no edit. */
   def fit(embeddings: DataFrame, k: Int = K, iters: Int = Iters,
       dim: Int = Ann.Dim): Seq[(Int, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val emb = embCast(embeddings).persist()
     var cent: Seq[(Int, Seq[Double])] =
       emb.orderBy(col("vec_id")).limit(k).collect()
         .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 0 until iters) {
+      val centDf = cent.toDF("cell", "cv")
       // fixed-point mean: exact integer sum of round(x*1e9), then one
       // deterministic double division chain — no float-accumulation
       // order anywhere
       val meanCols = (0 until dim).map(i =>
         round(sum(round(element_at(col("v"), i + 1) * 1e9).cast("long"))
           .cast("double") / 1e9 / count(lit(1)), 6).as(s"d$i"))
-      val upd = assign(emb, cent)
+      val upd = emb.crossJoin(broadcast(centDf))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(
+            VectorMath.cosineFast(col("v"), col("cv")).as("cos"),
+            col("cell"))).getField("cell").as("cluster"),
+          first(col("v")).as("v"))
         .groupBy(col("cluster"))
         .agg(meanCols.head, meanCols.tail: _*)
         .collect()
@@ -132,6 +154,55 @@ object Kmeans {
        |${asgCte("asg2", "cent1").replace("\n", " ")},
        |${updCte("asg2", "cent1", "cent2").replace("\n", " ")},
        |${asgCte("fin", "cent2").replace("\n", " ")}""".stripMargin
+  }
+
+  /** Parameterized Lloyd-fit CTE chain for OTHER oracles that embed a
+    * k-means coarse quantizer (IvfPq's q145/q241): init = first `k`
+    * vectors of the enclosing `emb(vec_id, v)` CTE, `iters` unrolled
+    * assign/update rounds (identical fixed-point update text as
+    * [[fitCtesSql]]), every CTE name carrying `p` as a collision
+    * prefix. The final centroid CTE is `${p}cent${iters}(cell, v)` —
+    * no trailing assignment CTE (quantizer consumers rank cells
+    * themselves).
+    *
+    * Every CTE here is `AS MATERIALIZED`: consumers reference the
+    * final centroids many times (IvfPq's cent feeds cellscore, resid,
+    * qp, and M per-subspace ccl CTEs), and DuckDB re-INLINES a plain
+    * CTE per reference — with a 3-round fit tree behind it that
+    * re-expansion compounds exponentially (measured: the r15 q241
+    * oracle OOM'd before these hints; sub-second after). */
+  private[graft] def coarseCtes(k: Int, iters: Int, p: String,
+      dim: Int = Ann.Dim): String = {
+    def asgCte(name: String, cent: String): String = {
+      val cos = VectorMath.cosineSql("e.v", "c.v", dim)
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cell, cos FROM (
+         |    SELECT e.vec_id, c.cell, $cos AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell DESC) AS rk
+         |    FROM emb e CROSS JOIN $cent c)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    def updCte(asg: String, prev: String, next: String): String =
+      s"""${next}_u AS MATERIALIZED (
+         |  SELECT cluster AS cell, pos,
+         |    round((sum(fix) / 1.0E9) / count(*), 6) AS a
+         |  FROM (SELECT cluster, pos, CAST(round(val * 1.0E9) AS BIGINT) AS fix
+         |        FROM (SELECT $asg.cell AS cluster, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+         |              FROM $asg JOIN emb e ON $asg.vec_id = e.vec_id))
+         |  GROUP BY 1, 2),
+         |$next AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(u.vlist, p.v) AS v FROM $prev p
+         |  LEFT JOIN (SELECT cell, list(a ORDER BY pos) AS vlist FROM ${next}_u GROUP BY cell) u
+         |    ON u.cell = p.cell)""".stripMargin
+    val init =
+      s"""${p}cent0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+         |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${asgCte(s"${p}asg$i", s"${p}cent${i - 1}").replace("\n", " ")},
+         |${updCte(s"${p}asg$i", s"${p}cent${i - 1}", s"${p}cent$i").replace("\n", " ")}""".stripMargin
+    }
+    (init.replace("\n", " ") +: rounds).mkString(",\n")
   }
 
   /** DuckDB twin: same init, `Iters` unrolled assign/update rounds

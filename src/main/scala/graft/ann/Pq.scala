@@ -53,7 +53,7 @@ import graft.functions.VectorMath
 object Pq {
 
   /** Subspaces (codes per vector). */
-  val M = 4
+  val M = 8
   /** Dims per subspace. */
   val SubDim = Ann.Dim / M
   /** Codebook size per subspace (codes fit a byte at ≤256). */
@@ -92,31 +92,48 @@ object Pq {
 
   /** Per-subspace codebooks: (m, code, centroid). Same deterministic
     * recipe as [[Kmeans.fit]] (first-Ks init by vec_id, fixed rounds,
-    * fixed-point means) with L2 assignment on the m-th slice. */
+    * fixed-point means) with L2 assignment on the m-th slice.
+    *
+    * FUSED across subspaces (r15): the per-m loop ran 2·M Spark jobs
+    * (init collect + update collect each) — pure job overhead at
+    * M = 8. Now ONE init collect (the first Ks FULL vectors; every
+    * subspace book is a driver-side slice of them) and ONE
+    * posexplode-fused update aggregate per round (rows (m, code, sv),
+    * one groupBy(m, code)). Bit-identical to the per-m loop — same
+    * rows feed the same fixed-point integer sums, just keyed by
+    * (m, code) instead of per-job — so the unchanged per-m oracle
+    * text still matches exactly. */
   def fit(embeddings: DataFrame, iters: Int = FitIters): Seq[(Int, Int, Seq[Double])] = {
     val emb = embCast(embeddings).persist()
-    val books = (0 until M).flatMap { m =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("v"), m * SubDim + 1, SubDim).as("sv"))
-      var book: Seq[(Int, Seq[Double])] =
-        sub.orderBy(col("vec_id")).limit(Ks).collect()
-          .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
-      for (_ <- 0 until iters) {
-        val meanCols = (0 until SubDim).map(i =>
-          round(sum(round(element_at(col("sv"), i + 1) * 1e9).cast("long"))
-            .cast("double") / 1e9 / count(lit(1)), 6).as(s"d$i"))
-        val upd = sub.withColumn("code", assignCode(col("sv"), book))
-          .groupBy(col("code"))
-          .agg(meanCols.head, meanCols.tail: _*)
-          .collect()
-          .map(r => r.getInt(0) -> (0 until SubDim).map(i => r.getDouble(i + 1)))
-          .toMap
-        book = book.map { case (cid, prev) => (cid, upd.getOrElse(cid, prev)) }
-      }
-      book.map { case (cid, cv) => (m, cid, cv) }
+    val head = emb.orderBy(col("vec_id")).limit(Ks).collect()
+      .map(_.getSeq[Double](1))
+    var books: IndexedSeq[IndexedSeq[(Int, Seq[Double])]] =
+      (0 until M).map(m => head.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(m * SubDim, (m + 1) * SubDim))
+      }.toIndexedSeq)
+    for (_ <- 0 until iters) {
+      val subRows = emb.select(explode(array((0 until M).map { m =>
+        struct(lit(m).as("m"),
+          assignCode(slice(col("v"), m * SubDim + 1, SubDim), books(m))
+            .as("code"),
+          slice(col("v"), m * SubDim + 1, SubDim).as("sv"))
+      }.toIndexedSeq: _*)).as("s"))
+        .select(col("s.m"), col("s.code"), col("s.sv"))
+      val meanCols = (0 until SubDim).map(i =>
+        round(sum(round(element_at(col("sv"), i + 1) * 1e9).cast("long"))
+          .cast("double") / 1e9 / count(lit(1)), 6).as(s"d$i"))
+      val upd = subRows.groupBy(col("m"), col("code"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (0 until SubDim).map(i => r.getDouble(i + 2)))
+        .toMap
+      books = (0 until M).map(m => books(m).map { case (cid, prev) =>
+        (cid, upd.getOrElse((m, cid), prev))
+      })
     }
     emb.unpersist()
-    books
+    (0 until M).flatMap(m => books(m).map { case (cid, cv) => (m, cid, cv) })
   }
 
   /** Ordered codebook for subspace m. */
