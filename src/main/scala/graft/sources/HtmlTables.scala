@@ -55,8 +55,15 @@ object HtmlTables {
     * row_idx 1 is the table's first row (the header row by the usual
     * export convention [[readTable]] applies). */
   def readCells(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("file"), col("value"))
+    cellsOf(spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value")))
+
+  /** The same structure pass over an ALREADY-FETCHED page frame
+    * (file STRING provenance, value STRING html) — the entry point
+    * [[FormPost]] and other fetching sources parse through, so every
+    * HTML-bearing source shares ONE table grammar. */
+  def cellsOf(pages: DataFrame): DataFrame =
+    pages
       .select(col("file"),
         posexplode(regexp_extract_all(col("value"), lit(TableRe), lit(1)))
           .as(Seq("t0", "table_html")))
@@ -75,8 +82,12 @@ object HtmlTables {
     * missing requested column). All values are strings regardless of
     * the declared field types' eventual use — typing is the caller's
     * cleaning step. */
-  def readTable(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val all = readCells(spark, path)
+  def readTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    tableOf(readCells(spark, path), schema)
+
+  /** The mapping pass over a pre-parsed cells frame ([[cellsOf]]'s
+    * output) — shared with [[FormPost]]. */
+  def tableOf(all: DataFrame, schema: StructType): DataFrame = {
     val headers = all.filter(col("row_idx") === 1)
       .select(col("file"), col("table_idx"),
         transform(col("cells"), c => lower(c)).as("header"))
