@@ -150,4 +150,70 @@ object Hll {
        |  round(hll_est, 4) + 0.0 AS hll_estimate,
        |  round((hll_est - n_exact) / n_exact, 6) + 0.0 AS rel_err
        |FROM fin JOIN ex ON fin.g = ex.g""".stripMargin
+
+  // ---- q261: drift monitoring ON a sketch series (sketch → monitor) ----
+
+  /** q261: Page–Hinkley drift evidence over MONTHLY HLL sketches of
+    * distinct shipped orders per return flag — the composed
+    * sketch→monitor pipeline (r14 verdict #8): at 100 TB you cannot
+    * afford exact per-window distincts just to feed a drift monitor;
+    * the production shape is register sketches per time bucket
+    * (map-side-combined, [[M]]·buckets rows total, rolling up by
+    * pointwise max) with the monitor reading the ESTIMATE series.
+    * Month grain per the q143 time-bucket-first doctrine; estimates
+    * enter the exact-integer PH walk as micro-unit BIGINTs
+    * (floor(est·1e6 + 0.5) — both engines round the SAME shared-text
+    * double, so the series is integer-identical and the walk exact).
+    * PH values are therefore in micro-distincts (the /n division at
+    * the end keeps the usual normalization). */
+  def shipMonthHllDrift(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").isNotNull)
+      .selectExpr(
+        "concat(l_returnflag, ':', CAST(year(CAST(l_shipdate AS DATE)) * 12" +
+          " + month(CAST(l_shipdate AS DATE)) - 1 AS STRING)) AS g",
+        "CAST(l_orderkey AS STRING) AS k")
+    val series = sketch(keyed).selectExpr(
+      "split(g, ':')[0] AS g",
+      "CAST(split(g, ':')[1] AS BIGINT) AS t",
+      "CAST(floor(hll_est * 1e6 + 5e-1) AS BIGINT) AS x")
+    PageHinkley.pageHinkley(series)
+      .withColumnRenamed("g", "l_returnflag")
+      .withColumnRenamed("up_day", "up_month")
+      .withColumnRenamed("down_day", "down_month")
+  }
+
+  /** DuckDB twin: the identical register program keyed by
+    * (flag, month), the identical estimate text, the micro-unit
+    * clearing, then [[PageHinkley.phWalkSql]]'s walk verbatim. */
+  val shipMonthHllDriftSql: String =
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag AS rf,
+       |    CAST(year(CAST(l_shipdate AS DATE)) * 12
+       |      + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS t,
+       |    ${Hashing.hash48Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+       |rhos AS (
+       |  SELECT rf, t, h // $W2 AS b,
+       |    CASE WHEN h % $W2 = 0 THEN 41
+       |      ELSE 41 - length(bin(h % $W2)) END AS rho
+       |  FROM keyed),
+       |regs AS (
+       |  SELECT rf, t, b, CAST(max(rho) AS BIGINT) AS r
+       |  FROM rhos GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT rf, t, CAST($M - count(*) AS BIGINT) AS v_zero,
+       |    CAST(sum(1::BIGINT << CAST(41 - r AS INT)) AS BIGINT)
+       |      + ($M - count(*)) * $Unit2 AS s
+       |  FROM regs GROUP BY 1, 2),
+       |est0 AS (
+       |  SELECT rf, t, v_zero, $NumSql / CAST(s AS DOUBLE) AS raw
+       |  FROM agg),
+       |series AS (
+       |  SELECT rf AS g, t,
+       |    CAST(floor((CASE WHEN raw <= 640.0 AND v_zero > 0 THEN
+       |        256.0 * ${lnSnap("256.0 / CAST(v_zero AS DOUBLE)")}
+       |      ELSE raw END) * 1e6 + 5e-1) AS BIGINT) AS x
+       |  FROM est0),
+       |${PageHinkley.phWalkSql("series", "l_returnflag", "up_month", "down_month")}""".stripMargin
 }

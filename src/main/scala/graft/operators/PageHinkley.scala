@@ -77,20 +77,15 @@ object PageHinkley {
       .agg(expr("CAST(sum(usd) AS BIGINT)").as("x")))
       .withColumnRenamed("g", "o_orderpriority")
 
-  /** DuckDB twin: identical integer walk; the struct election is
-    * mirrored as (ORDER BY v DESC, t ASC LIMIT per-group 1) pivots. */
-  val dailyRevenuePhSql: String =
-    s"""WITH daily AS (
-       |  SELECT o_orderpriority AS g,
-       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS t,
-       |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
-       |  FROM orders
-       |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
-       |  GROUP BY 1, 2),
-       |fit AS (
+  /** The PH walk as reusable CTE text over a `$src(g, t, x)` series
+    * CTE — shared by the q226 oracle and the q261 sketch-drift oracle
+    * (same integer walk, different series and output naming). */
+  def phWalkSql(src: String, keyAs: String,
+      upDay: String = "up_day", downDay: String = "down_day"): String =
+    s"""fit AS (
        |  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s_i
-       |  FROM daily GROUP BY 1),
+       |  FROM $src GROUP BY 1),
        |walked AS (
        |  SELECT d.g, n_rows, t,
        |    CAST(n_rows AS HUGEINT)
@@ -98,7 +93,7 @@ object PageHinkley {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
        |      - CAST(row_number() OVER (PARTITION BY d.g ORDER BY t)
        |          AS HUGEINT) * s_i AS m
-       |  FROM daily d JOIN fit ON d.g = fit.g),
+       |  FROM $src d JOIN fit ON d.g = fit.g),
        |extrema AS (
        |  SELECT g, n_rows, t, m,
        |    min(m) OVER (PARTITION BY g ORDER BY t
@@ -116,16 +111,29 @@ object PageHinkley {
        |up AS (
        |  SELECT g, CAST(max(n_rows) AS BIGINT) AS n_buckets,
        |    max(CASE WHEN urk = 1 THEN uv END) AS uv,
-       |    CAST(max(CASE WHEN urk = 1 THEN t END) AS BIGINT) AS up_day,
+       |    CAST(max(CASE WHEN urk = 1 THEN t END) AS BIGINT) AS $upDay,
        |    max(CASE WHEN drk = 1 THEN dv END) AS dv,
-       |    CAST(max(CASE WHEN drk = 1 THEN t END) AS BIGINT) AS down_day
+       |    CAST(max(CASE WHEN drk = 1 THEN t END) AS BIGINT) AS $downDay
        |  FROM ranked GROUP BY g)
-       |SELECT g AS o_orderpriority, n_buckets,
+       |SELECT g AS $keyAs, n_buckets,
        |  round(CAST(uv AS DOUBLE) / CAST(n_buckets AS DOUBLE), 4)
        |    + 0.0 AS ph_up,
-       |  up_day,
+       |  $upDay,
        |  round(CAST(dv AS DOUBLE) / CAST(n_buckets AS DOUBLE), 4)
        |    + 0.0 AS ph_down,
-       |  down_day
+       |  $downDay
        |FROM up""".stripMargin
+
+  /** DuckDB twin: identical integer walk; the struct election is
+    * mirrored as (ORDER BY v DESC, t ASC LIMIT per-group 1) pivots. */
+  val dailyRevenuePhSql: String =
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS g,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS t,
+       |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders
+       |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+       |  GROUP BY 1, 2),
+       |${phWalkSql("daily", "o_orderpriority")}""".stripMargin
+
 }

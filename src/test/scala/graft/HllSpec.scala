@@ -98,4 +98,44 @@ class HllSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("n_exact")) > 0)
     }
   }
+
+  test("q261 composition: planted cardinality step peaks PH at the step month") {
+    import spark.implicits._
+    // 12 months: months 0-5 have ~40 distinct keys, months 6-11 have
+    // ~400 - the upward-drift evidence must peak where the regime
+    // turns (the PH walk's minimum is at the last small month)
+    val rows = (0 until 12).flatMap { t =>
+      val n = if (t < 6) 40 else 400
+      (1 to n).map(i => ("A", t.toLong, s"k-$t-$i"))
+    }.toDF("g", "t", "k0")
+    val keyed = rows.selectExpr("concat(g, ':', CAST(t AS STRING)) AS g", "k0 AS k")
+    val series = Hll.sketch(keyed).selectExpr(
+      "split(g, ':')[0] AS g", "CAST(split(g, ':')[1] AS BIGINT) AS t",
+      "CAST(floor(hll_est * 1e6 + 5e-1) AS BIGINT) AS x")
+    val ph = operators.PageHinkley.pageHinkley(series).collect()
+    assert(ph.length == 1)
+    val r = ph(0)
+    // the retrospective centered walk declines through the low regime
+    // (min at the last small month) then climbs to 0: the drawup peaks
+    // at the END, the drawdown at the STEP, and with 6 rising vs 5
+    // falling segments the upward side carries the larger evidence
+    assert(r.getLong(r.fieldIndex("up_day")) == 11L,
+      "drawup must peak at the series end after a level step")
+    assert(r.getLong(r.fieldIndex("down_day")) == 5L,
+      "drawdown must peak at the last pre-step month")
+    assert(r.getDouble(r.fieldIndex("ph_up")) >
+      r.getDouble(r.fieldIndex("ph_down")),
+      "step-up series must carry more upward than downward evidence")
+  }
+
+  test("registered q261 at sf0.001: one row per flag, months counted") {
+    val rows = Hll.shipMonthHllDrift(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_buckets")) > 12,
+        "monthly series should span years of ship dates")
+      assert(r.getDouble(r.fieldIndex("ph_up")) >= 0.0)
+      assert(r.getDouble(r.fieldIndex("ph_down")) >= 0.0)
+    }
+  }
 }
