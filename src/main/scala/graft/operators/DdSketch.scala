@@ -118,14 +118,22 @@ object DdSketch {
       .localCheckpoint(true) // sketch + exact + counts share the scan
     val ns = rows.groupBy("g").agg(count(lit(1)).as("n"))
     val est = quantiles(sketch(rows), ns, Ps)
-    // exact type-1 quantile: the value at rank ⌈p·n⌉ in (x, k) order
-    val wRn = Window.partitionBy(col("g")).orderBy(col("x"), col("k"))
-    val ranked = rows.withColumn("rn", row_number().over(wRn))
+    // exact type-1 quantile over VALUE CELLS (the q16 shape): the
+    // smallest value whose per-(g, value) cumulative count reaches
+    // rank ⌈p·n⌉ — identical to the rank-ordered value, ties
+    // collapsed; the cells window partition is bounded by the
+    // distinct-value range, not the row count (Round10WindowAuditSpec
+    // adjudication)
+    val cells = rows.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cumc", sum(col("c")).over(wCum))
     val exact = ns.select(col("g"), explode(typedLit(Ps)).as("p"),
         ceil(col("p") * col("n")).cast("long").as("r"))
-      .join(ranked, "g")
-      .filter(col("rn") === col("r"))
-      .select(col("g"), col("p"), col("x").as("exact"))
+      .join(cum, "g")
+      .filter(col("cumc") >= col("r"))
+      .groupBy(col("g"), col("p"))
+      .agg(min(col("x")).as("exact"))
     est.join(exact, Seq("g", "p"))
       .select(col("g"), (round(col("p"), 2) + 0.0).as("p"), col("n"),
         (round(col("est"), 6) + 0.0).as("est"),
@@ -170,12 +178,17 @@ object DdSketch {
        |    power(2.0e0, CAST((2 * i - 1) // $twoB AS DOUBLE))
        |      * ($rootsLit)[CAST((2 * i - 1) % $twoB AS INT) + 1] AS est
        |  FROM picked),
-       |ranked AS (
-       |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, k) AS rn
-       |  FROM rows_),
+       |cells AS (
+       |  SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM rows_ GROUP BY 1, 2),
+       |cum2 AS (
+       |  SELECT g, x, CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+       |  FROM cells),
        |exact AS (
-       |  SELECT t.g, t.p, r2.x AS exact
-       |  FROM targets t JOIN ranked r2 ON r2.g = t.g AND r2.rn = t.r)
+       |  SELECT t.g, t.p, min(c2.x) AS exact
+       |  FROM targets t JOIN cum2 c2 ON c2.g = t.g
+       |  WHERE c2.cumc >= t.r
+       |  GROUP BY 1, 2)
        |SELECT e.g, round(e.p, 2) + 0.0 AS p, e.n,
        |  round(e.est, 6) + 0.0 AS est, x2.exact,
        |  round((e.est - x2.exact) / x2.exact, 6) + 0.0 AS rel_err

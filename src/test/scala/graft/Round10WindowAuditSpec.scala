@@ -78,6 +78,10 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q126_winsorize" -> "(g, band) value cells: BandedCumsum cap + CellGuard (r10)",
     "q141_psi" -> "(g, band) whole-dollar cells: BandedCumsum cap + CellGuard (r10)",
     "q16_percentiles" -> "value cells: range-bounded cent cells",
+    "q260_ddsketch" -> ("exact-AUDIT side only: value cells (the q16" +
+      " class, range-bounded); production reads the sketch walk, whose" +
+      " window is log-bucket-bounded (~B·log2(range) rows) — the" +
+      " q24/q245 audit-price doctrine (r15)"),
     "q71_mad_outliers" -> "value cells: range-bounded cent cells",
     "q102_theil_sen" -> "slope cells over bounded value grid; CellGuard (r10)",
     "q117_pareto" -> "(band) partitions: bandWidth is the documented knob",
