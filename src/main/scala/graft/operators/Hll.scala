@@ -151,6 +151,120 @@ object Hll {
        |  round((hll_est - n_exact) / n_exact, 6) + 0.0 AS rel_err
        |FROM fin JOIN ex ON fin.g = ex.g""".stripMargin
 
+  // ---- q262: sketch SET ALGEBRA (union merge + inclusion–exclusion) ----
+
+  /** q262: distinct-key OVERLAP between groups from sketches alone —
+    * the audience-overlap question ("how many orders appear under
+    * both return flags") that exact set intersection answers with a
+    * full shuffle of both key sets, and HLL answers from three
+    * register tables: |A∩B| ≈ E(A) + E(B) − E(A∪B), where the UNION
+    * sketch is the pointwise register max ([[merged]]'s primitive —
+    * this row is WHY sketches must merge). The audit carries the
+    * exact overlap beside it (q241/q245 doctrine) because
+    * inclusion–exclusion AMPLIFIES sketch error — the difference of
+    * three ±1.04/√m estimates can be far off a SMALL true overlap
+    * (relative to overlap size), while staying tight relative to the
+    * UNIVERSE the sketches actually measure; rel_err_union reports
+    * the honest denominator beside the headline one. */
+  def flagOverlapHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag AS g", "CAST(l_orderkey AS STRING) AS k")
+      .localCheckpoint(true) // consumers: registers + exact overlap
+    val regs = registers(li).localCheckpoint(true) // single + union ests
+    val flags = li.select("g").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val pairs = for (a <- flags; b <- flags if a < b) yield (a, b)
+    val members = pairs
+      .flatMap { case (a, b) => Seq((s"$a|$b", a), (s"$a|$b", b)) }
+      .toDF("pair", "g")
+    val singles = estimate(regs).select(col("g"), col("hll_est"))
+    val unions = estimate(
+      regs.join(broadcast(members), "g")
+        .groupBy(col("pair").as("g"), col("b"))
+        .agg(expr("CAST(max(r) AS BIGINT)").as("r")))
+      .select(col("g").as("pair"), col("hll_est").as("est_union"))
+    val dk = li.distinct()
+    val exact = dk.as("a").join(dk.as("b"),
+        col("a.k") === col("b.k") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("flag_a"), col("b.g").as("flag_b"))
+      .agg(expr("CAST(count(1) AS BIGINT)").as("n_exact_overlap"))
+    pairs.toDF("flag_a", "flag_b")
+      .join(singles.select(col("g").as("flag_a"), col("hll_est").as("ea")), "flag_a")
+      .join(singles.select(col("g").as("flag_b"), col("hll_est").as("eb")), "flag_b")
+      .withColumn("pair", concat(col("flag_a"), lit("|"), col("flag_b")))
+      .join(unions, "pair")
+      .join(exact, Seq("flag_a", "flag_b"))
+      .selectExpr("flag_a", "flag_b", "n_exact_overlap",
+        "round(ea + eb - est_union, 4) + 0.0 AS overlap_est",
+        "round((ea + eb - est_union - n_exact_overlap)" +
+          " / CAST(n_exact_overlap AS DOUBLE), 6) + 0.0 AS rel_err",
+        "round((ea + eb - est_union - n_exact_overlap)" +
+          " / est_union, 6) + 0.0 AS rel_err_union")
+  }
+
+  /** DuckDB twin: the q245 register program, the literal pair↔member
+    * table, pointwise-max union registers, the shared estimate text
+    * on singles and unions, inclusion–exclusion, and the exact
+    * distinct-pair overlap join. */
+  val flagOverlapHllSql: String = {
+    val estText =
+      s"""SELECT g, CASE WHEN raw <= 640.0 AND v_zero > 0 THEN
+         |    256.0 * ${lnSnap("256.0 / CAST(v_zero AS DOUBLE)")}
+         |  ELSE raw END AS hll_est
+         |FROM (SELECT g, v_zero, $NumSql / CAST(s AS DOUBLE) AS raw
+         |      FROM %s)""".stripMargin.replace("\n", " ")
+    s"""WITH keyed AS (
+       |  SELECT DISTINCT l_returnflag AS g, CAST(l_orderkey AS VARCHAR) AS k
+       |  FROM lineitem),
+       |hashed AS (
+       |  SELECT g, ${Hashing.hash48Sql("k")} AS h FROM keyed),
+       |regs AS (
+       |  SELECT g, h // $W2 AS b,
+       |    CAST(max(CASE WHEN h % $W2 = 0 THEN 41
+       |      ELSE 41 - length(bin(h % $W2)) END) AS BIGINT) AS r
+       |  FROM hashed GROUP BY 1, 2),
+       |flags AS (SELECT DISTINCT g FROM regs),
+       |pairs AS (
+       |  SELECT a.g AS flag_a, b.g AS flag_b, a.g || '|' || b.g AS pair
+       |  FROM flags a JOIN flags b ON a.g < b.g),
+       |members AS (
+       |  SELECT pair, flag_a AS g FROM pairs
+       |  UNION ALL SELECT pair, flag_b AS g FROM pairs),
+       |uregs AS (
+       |  SELECT m.pair AS g, r2.b, CAST(max(r2.r) AS BIGINT) AS r
+       |  FROM regs r2 JOIN members m ON m.g = r2.g
+       |  GROUP BY 1, 2),
+       |sagg AS (
+       |  SELECT g, CAST($M - count(*) AS BIGINT) AS v_zero,
+       |    CAST(sum(1::BIGINT << CAST(41 - r AS INT)) AS BIGINT)
+       |      + ($M - count(*)) * $Unit2 AS s
+       |  FROM regs GROUP BY 1),
+       |uagg AS (
+       |  SELECT g, CAST($M - count(*) AS BIGINT) AS v_zero,
+       |    CAST(sum(1::BIGINT << CAST(41 - r AS INT)) AS BIGINT)
+       |      + ($M - count(*)) * $Unit2 AS s
+       |  FROM uregs GROUP BY 1),
+       |sest AS (${estText.format("sagg")}),
+       |uest AS (${estText.format("uagg")}),
+       |exact AS (
+       |  SELECT a.g AS flag_a, b.g AS flag_b,
+       |    CAST(count(*) AS BIGINT) AS n_exact_overlap
+       |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.g < b.g
+       |  GROUP BY 1, 2)
+       |SELECT p.flag_a, p.flag_b, x.n_exact_overlap,
+       |  round(sa.hll_est + sb.hll_est - u.hll_est, 4) + 0.0 AS overlap_est,
+       |  round((sa.hll_est + sb.hll_est - u.hll_est - x.n_exact_overlap)
+       |    / CAST(x.n_exact_overlap AS DOUBLE), 6) + 0.0 AS rel_err,
+       |  round((sa.hll_est + sb.hll_est - u.hll_est - x.n_exact_overlap)
+       |    / u.hll_est, 6) + 0.0 AS rel_err_union
+       |FROM pairs p
+       |JOIN sest sa ON sa.g = p.flag_a
+       |JOIN sest sb ON sb.g = p.flag_b
+       |JOIN uest u ON u.g = p.pair
+       |JOIN exact x ON x.flag_a = p.flag_a AND x.flag_b = p.flag_b""".stripMargin
+  }
+
   // ---- q261: drift monitoring ON a sketch series (sketch → monitor) ----
 
   /** q261: Page–Hinkley drift evidence over MONTHLY HLL sketches of

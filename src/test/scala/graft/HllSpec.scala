@@ -138,4 +138,37 @@ class HllSpec extends AnyFunSuite {
       assert(r.getDouble(r.fieldIndex("ph_down")) >= 0.0)
     }
   }
+
+  test("q262 set algebra: planted identical and disjoint sets bracket the overlap") {
+    import spark.implicits._
+    def overlapEst(rowsA: Seq[String], rowsB: Seq[String]): Double = {
+      val rows = (rowsA.map(("A", _)) ++ rowsB.map(("B", _))).toDF("g", "k")
+      val regs = Hll.registers(rows)
+      val members = Seq(("A|B", "A"), ("A|B", "B")).toDF("pair", "g")
+      val ea = Hll.sketch(rows.filter($"g" === "A")).collect()(0).getDouble(3)
+      val eb = Hll.sketch(rows.filter($"g" === "B")).collect()(0).getDouble(3)
+      val eu = Hll.estimate(regs.join(members, "g")
+        .groupBy($"pair".as("g"), $"b")
+        .agg(org.apache.spark.sql.functions.expr("CAST(max(r) AS BIGINT)").as("r")))
+        .collect()(0).getDouble(3)
+      ea + eb - eu
+    }
+    val ks = (1 to 500).map(i => s"key-$i")
+    // identical sets: overlap estimate ≈ the set size
+    val same = overlapEst(ks, ks)
+    assert(math.abs(same - 500) / 500 < 0.2, s"identical-set overlap $same")
+    // disjoint sets: overlap ≈ 0 relative to the union
+    val disj = overlapEst(ks, (1 to 500).map(i => s"other-$i"))
+    assert(math.abs(disj) / 1000 < 0.2, s"disjoint-set overlap $disj")
+  }
+
+  test("registered q262 at sf0.001: one row per flag pair, exact beside sketch") {
+    val rows = Hll.flagOverlapHll(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_exact_overlap")) > 0)
+      // inclusion-exclusion stays tight relative to the UNION universe
+      assert(math.abs(r.getDouble(r.fieldIndex("rel_err_union"))) < 0.25)
+    }
+  }
 }
