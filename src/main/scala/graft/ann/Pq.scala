@@ -58,11 +58,23 @@ object Pq {
   val SubDim = Ann.Dim / M
   /** Codebook size per subspace (codes fit a byte at ≤256). */
   val Ks = 16
-  /** Lloyd rounds per subspace codebook. */
+  /** Lloyd rounds per subspace codebook (the default callers like
+    * q145's residual fit inherit). */
   val FitIters = 1
 
-  /** ADC shortlist size per query for the exact re-rank stage. */
-  val Rerank = 50
+  /** Lloyd rounds for the REGISTERED q69/q265 codebooks (r15: 1 → 3 —
+    * the q145 lesson replayed on the PQ books themselves: the first-Ks
+    * init plus a single round left sf0.1 recall at 0.455 even after
+    * the ADC-128 shortlist; three rounds move the books off the init's
+    * happenstance geometry). */
+  val RegFitIters = 3
+
+  /** ADC shortlist size per query for the exact re-rank stage
+    * (r15: 50 → 128, q145's depth — the measured sf0.1 frontier in
+    * BASELINE.md: ADC-50 read recall 0.455/0.435 (PQ/OPQ), ADC-128
+    * buys back most of what 8-subspace quantization loses at 8k
+    * vectors for ~1.6% of the corpus touched per query). */
+  val Rerank = 128
 
   private def embCast(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -104,25 +116,43 @@ object Pq {
     * (m, code) instead of per-job — so the unchanged per-m oracle
     * text still matches exactly. */
   def fit(embeddings: DataFrame, iters: Int = FitIters): Seq[(Int, Int, Seq[Double])] = {
-    val emb = embCast(embeddings).persist()
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embCast(embeddings)
     val head = emb.orderBy(col("vec_id")).limit(Ks).collect()
       .map(_.getSeq[Double](1))
     var books: IndexedSeq[IndexedSeq[(Int, Seq[Double])]] =
       (0 until M).map(m => head.zipWithIndex.map { case (v, i) =>
         (i, v.slice(m * SubDim, (m + 1) * SubDim))
       }.toIndexedSeq)
+    // long (vec_id, m, sv) layout persisted across rounds; rounds ride
+    // a BROADCAST codebook frame instead of baking centroid literals —
+    // literals would Janino-compile a fresh whole-stage plan per round
+    // (the Kmeans.fit r15 lesson). min(struct(d2, cell)) is the same
+    // (d2 ASC, cell ASC) election as [[assignCode]]'s array_sort and
+    // the oracle's row_number order; zip_with on two array COLUMNS is
+    // the identical fold arithmetic as against a literal, so the
+    // fitted books are bit-identical to the literal-projection path.
+    val sub = emb.select(col("vec_id"), explode(array((0 until M).map { m =>
+      struct(lit(m).as("m"), slice(col("v"), m * SubDim + 1, SubDim).as("sv"))
+    }.toIndexedSeq: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .persist()
+    val d2 = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
     for (_ <- 0 until iters) {
-      val subRows = emb.select(explode(array((0 until M).map { m =>
-        struct(lit(m).as("m"),
-          assignCode(slice(col("v"), m * SubDim + 1, SubDim), books(m))
-            .as("code"),
-          slice(col("v"), m * SubDim + 1, SubDim).as("sv"))
-      }.toIndexedSeq: _*)).as("s"))
-        .select(col("s.m"), col("s.code"), col("s.sv"))
+      val bookDf = books.zipWithIndex.flatMap { case (bk, m) =>
+        bk.map { case (cid, cv) => (m, cid, cv) }
+      }.toDF("m", "cell", "cv")
       val meanCols = (0 until SubDim).map(i =>
         round(sum(round(element_at(col("sv"), i + 1) * 1e9).cast("long"))
           .cast("double") / 1e9 / count(lit(1)), 6).as(s"d$i"))
-      val upd = subRows.groupBy(col("m"), col("code"))
+      val upd = sub.join(broadcast(bookDf), "m")
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(d2.as("d2"), col("cell"))).getField("cell").as("code"),
+          first(col("sv")).as("sv"))
+        .groupBy(col("m"), col("code"))
         .agg(meanCols.head, meanCols.tail: _*)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) ->
@@ -132,7 +162,7 @@ object Pq {
         (cid, upd.getOrElse((m, cid), prev))
       })
     }
-    emb.unpersist()
+    sub.unpersist()
     (0 until M).flatMap(m => books(m).map { case (cid, cv) => (m, cid, cv) })
   }
 
@@ -151,9 +181,15 @@ object Pq {
 
   /** q69: ADC cosine top-k (shortlist + exact re-rank) for the
     * standard query set over the PQ-encoded corpus. */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val embeddings = Tables.embeddings(spark, dir)
-    val books = fit(embeddings)
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqFrame(Tables.embeddings(spark, dir))
+
+  /** The whole q69 program over an arbitrary (vec_id, embedding)
+    * frame — the reuse point for q265's rotated-space OPQ variant
+    * (rotation is orthonormal, so the cosine program is unchanged in
+    * the rotated coordinates). */
+  def annPqFrame(embeddings: DataFrame): DataFrame = {
+    val books = fit(embeddings, RegFitIters)
     val emb = embCast(embeddings)
     val codes = encode(embeddings, books)
     val queries = emb.filter(col("vec_id") % Ann.QueryStride === 0)
@@ -201,48 +237,65 @@ object Pq {
   /** DuckDB twin: per-subspace fit CTEs (identical init, L2 tie order,
     * fixed-point means), wide code assignment, per-query lookup lists,
     * the identical 2·M-index scoring text, shortlist, exact re-rank. */
-  val annPqSql: String = {
+  val annPqSql: String = annPqSqlFrom(
+    "", "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+
+  /** [[annPqSql]] parameterized over the vector source (the q261
+    * phWalkSql builder move): `pre` is extra leading CTE text (with
+    * trailing comma) and `src` a subquery yielding (vec_id, v) —
+    * q69's own text is the builder applied to the raw embeddings
+    * source, byte-identical to the pre-refactor val. */
+  def annPqSqlFrom(pre: String, src: String): String = {
     def lo(m: Int) = m * SubDim + 1
     def hi(m: Int) = (m + 1) * SubDim
+    // [[RegFitIters]] Lloyd rounds per subspace: asg{r}/upd{r}/cent{r}
+    // chains off cent{r-1}; cents are MATERIALIZED (each is referenced
+    // by the next round AND by codes/tl/nl — DuckDB re-inlines plain
+    // CTEs per reference, the q241 OOM lesson)
+    val R = RegFitIters
     val subFit = (0 until M).map { m =>
-      s"""sub$m AS (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv FROM emb),
+      val rounds = (1 to R).map { r =>
+        s"""asg${r}_$m AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT s.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${sqDistSql("s.sv", "c.cv")} ASC, c.cell ASC) AS rk
+           |    FROM sub$m s CROSS JOIN cent${r - 1}_$m c)
+           |  WHERE rk = 1),
+           |upd${r}_$m AS (
+           |  SELECT cell, pos, round((sum(fix) / 1.0E9) / count(*), 6) AS a
+           |  FROM (SELECT a.cell, generate_subscripts(s.sv, 1) AS pos,
+           |               CAST(round(unnest(s.sv) * 1.0E9) AS BIGINT) AS fix
+           |        FROM asg${r}_$m a JOIN sub$m s USING (vec_id))
+           |  GROUP BY 1, 2),
+           |cent${r}_$m AS MATERIALIZED (
+           |  SELECT p.cell, coalesce(u.vlist, p.cv) AS cv FROM cent${r - 1}_$m p
+           |  LEFT JOIN (SELECT cell, list(a ORDER BY pos) AS vlist
+           |             FROM upd${r}_$m GROUP BY cell) u ON u.cell = p.cell)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""sub$m AS MATERIALIZED (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv FROM emb),
          |cent0_$m AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, sv AS cv
          |  FROM (SELECT * FROM sub$m ORDER BY vec_id LIMIT $Ks)),
-         |asg1_$m AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT s.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY s.vec_id
-         |        ORDER BY ${sqDistSql("s.sv", "c.cv")} ASC, c.cell ASC) AS rk
-         |    FROM sub$m s CROSS JOIN cent0_$m c)
-         |  WHERE rk = 1),
-         |upd_$m AS (
-         |  SELECT cell, pos, round((sum(fix) / 1.0E9) / count(*), 6) AS a
-         |  FROM (SELECT a.cell, generate_subscripts(s.sv, 1) AS pos,
-         |               CAST(round(unnest(s.sv) * 1.0E9) AS BIGINT) AS fix
-         |        FROM asg1_$m a JOIN sub$m s USING (vec_id))
-         |  GROUP BY 1, 2),
-         |cent1_$m AS (
-         |  SELECT p.cell, coalesce(u.vlist, p.cv) AS cv FROM cent0_$m p
-         |  LEFT JOIN (SELECT cell, list(a ORDER BY pos) AS vlist
-         |             FROM upd_$m GROUP BY cell) u ON u.cell = p.cell),
+         |$rounds,
          |codes_$m AS (
          |  SELECT vec_id, cell AS c$m FROM (
          |    SELECT s.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY s.vec_id
          |        ORDER BY ${sqDistSql("s.sv", "c.cv")} ASC, c.cell ASC) AS rk
-         |    FROM sub$m s CROSS JOIN cent1_$m c)
+         |    FROM sub$m s CROSS JOIN cent${R}_$m c)
          |  WHERE rk = 1),
          |tl_$m AS (
          |  SELECT query_id, list(pdot ORDER BY cell) AS t$m FROM (
          |    SELECT q.query_id, c.cell,
          |      ${VectorMath.dotSql(s"(q.qv[${lo(m)}:${hi(m)}])", "c.cv", SubDim)} AS pdot
-         |    FROM q CROSS JOIN cent1_$m c)
+         |    FROM q CROSS JOIN cent${R}_$m c)
          |  GROUP BY query_id),
          |nl_$m AS (
          |  SELECT list(cn2 ORDER BY cell) AS n$m FROM (
          |    SELECT cell, ${VectorMath.dotSql("cv", "cv", SubDim)} AS cn2
-         |    FROM cent1_$m))"""
+         |    FROM cent${R}_$m))"""
         .stripMargin.replace("\n", " ")
     }.mkString(",\n")
     val codesJoin = (1 until M)
@@ -253,9 +306,9 @@ object Pq {
     val n2Text = (0 until M).map(m => s"nt.n$m[c.c$m + 1]").mkString(" + ")
     val ntabCross = (0 until M).map(m => s"nl_$m").mkString(" CROSS JOIN ")
     val exactCos = s"(${VectorMath.dotSql("q.qv", "e.v", Ann.Dim)} / (q.qnrm * e.nrm))"
-    s"""WITH emb AS (
+    s"""WITH ${pre}emb AS (
        |  SELECT vec_id, v, ${VectorMath.normSql("v", Ann.Dim)} AS nrm
-       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+       |  FROM ($src)),
        |q AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
        |  FROM emb WHERE vec_id % ${Ann.QueryStride} = 0),
