@@ -230,6 +230,108 @@ object Correlation {
        |$rows""".stripMargin
   }
 
+  // ------------------------------------------------------- VIF (q267)
+
+  /** Value-only sum set (no rank maps — VIF is a raw-variable
+    * diagnostic): the 9 exact fixed-point sums the Pearson block of
+    * [[TermExprs]] uses, same names so [[rhoRawSql]] applies
+    * unchanged. */
+  private val ValTermExprs: Seq[(String, String)] = {
+    val vcols = VarNames.map("v" + _._1)
+    vcols.map(c => (s"s_$c", c)) ++
+      vcols.map(c => (s"s_${c}_$c", s"$c * $c")) ++
+      VarPairs.map { case (a, b) => (s"s_v${a}_v$b", s"v$a * v$b") }
+  }
+
+  /** q267: variance-inflation factors — for each measure, how much
+    * the OTHER two inflate its OLS coefficient variance:
+    * VIF_a = 1/(1 − R_a²) with R_a² the R² of regressing a on (b, c);
+    * for three variables R_a² is closed-form in the pairwise
+    * correlations: (r_ab² + r_ac² − 2·r_ab·r_ac·r_bc)/(1 − r_bc²).
+    * The multicollinearity check every multi-regressor fit in the
+    * deck (q89/q94/q95) should read before trusting its SEs — q106
+    * asks "is the association routed through z?", VIF asks "can the
+    * solver even separate the regressors?".
+    *
+    * Cost: ONE map-side-combined aggregate producing 9 exact
+    * fixed-point sums (the q68 value block without its rank maps —
+    * no joins at all), fanned out through a longer shared-text chain.
+    * NULL rules: a zero-variance variable NULLs its raw ρ and every
+    * VIF touching it; exactly-collinear controls (r_bc² = 1) hit the
+    * nullif; R² ≥ 1 up to fp (numerically collinear) returns NULL
+    * vif rather than a negative artifact. */
+  def vif(fact: DataFrame): DataFrame = {
+    val prep = fact.select(VarNames.map { case (v, _) =>
+      expr(s"floor(${SrcCols(v)} * $ValScale.0)").as(s"v$v")
+    }: _*)
+    val stats = prep.agg(
+      count(lit(1)).as("n_rows"),
+      ValTermExprs.map { case (n, t) =>
+        expr(s"CAST(sum(CAST(floor($t) AS DECIMAL(38,0))) AS DECIMAL(38,0))").as(n)
+      }: _*)
+      .localCheckpoint(true) // 1 row; fan out 3 VIF rows, scan once
+    val recovered = stats.select(
+      col("n_rows") +: expr("CAST(n_rows AS DOUBLE)").as("nd") +:
+        ValTermExprs.map { case (n, _) => expr(s"CAST($n AS DOUBLE)").as(n) }: _*)
+    val order = Seq("q", "d", "t")
+    val rows = order.map { a =>
+      val Seq(b, c) = order.filterNot(_ == a)
+      def rho(x: String, y: String) = {
+        val (p, q) = if (order.indexOf(x) < order.indexOf(y)) (x, y) else (y, x)
+        rhoRawSql(s"s_v$p", s"s_v$q", s"s_v${p}_v$q", s"s_v${p}_v$p", s"s_v${q}_v$q")
+      }
+      val (rab, rac, rbc) = (rho(a, b), rho(a, c), rho(b, c))
+      val r2 = s"(($rab * $rab + $rac * $rac - 2e0 * $rab * $rac * $rbc)" +
+        s" / nullif(1e0 - $rbc * $rbc, 0e0))"
+      recovered.selectExpr(
+        s"'${VarNames.toMap.apply(a)}' AS variable",
+        "n_rows",
+        s"round($r2, 6) + 0.0 AS r2_others",
+        s"CASE WHEN $r2 >= 0e0 AND $r2 < 1e0 THEN round(1e0 / (1e0 - $r2), 4) + 0.0 END AS vif")
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  def vif(spark: SparkSession, dir: String): DataFrame =
+    vif(Tables.lineitem(spark, dir))
+
+  /** DuckDB twin: identical snapped sums, identical shared ρ/R²/VIF
+    * chain. */
+  val vifSql: String = {
+    val prepCols = VarNames.map { case (v, _) =>
+      s"floor(${SrcCols(v)} * $ValScale.0) AS v$v"
+    }.mkString(", ")
+    val sums = ValTermExprs.map { case (n, t) =>
+      s"CAST(sum(CAST(floor($t) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS $n"
+    }.mkString(",\n    ")
+    val recov = ValTermExprs.map { case (n, _) => s"CAST($n AS DOUBLE) AS $n" }
+      .mkString(", ")
+    val order = Seq("q", "d", "t")
+    val rows = order.map { a =>
+      val Seq(b, c) = order.filterNot(_ == a)
+      def rho(x: String, y: String) = {
+        val (p, q) = if (order.indexOf(x) < order.indexOf(y)) (x, y) else (y, x)
+        rhoRawSql(s"s_v$p", s"s_v$q", s"s_v${p}_v$q", s"s_v${p}_v$p", s"s_v${q}_v$q")
+      }
+      val (rab, rac, rbc) = (rho(a, b), rho(a, c), rho(b, c))
+      val r2 = s"(($rab * $rab + $rac * $rac - 2e0 * $rab * $rac * $rbc)" +
+        s" / nullif(1e0 - $rbc * $rbc, 0e0))"
+      s"""SELECT '${VarNames.toMap.apply(a)}' AS variable, n_rows,
+         |  round($r2, 6) + 0.0 AS r2_others,
+         |  CASE WHEN $r2 >= 0e0 AND $r2 < 1e0 THEN round(1e0 / (1e0 - $r2), 4) + 0.0 END AS vif
+         |FROM recovered""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH prep AS (
+       |  SELECT $prepCols FROM lineitem),
+       |stats AS (
+       |  SELECT count(*) AS n_rows,
+       |    $sums
+       |  FROM prep),
+       |recovered AS (
+       |  SELECT n_rows, CAST(n_rows AS DOUBLE) AS nd, $recov FROM stats)
+       |$rows""".stripMargin
+  }
+
   // ------------------------------------------------------------ Kendall τ-b
 
   /** Shared τ-b / z text over recovered doubles. Inputs are exact
