@@ -332,6 +332,103 @@ object Correlation {
        |$rows""".stripMargin
   }
 
+  // ------------------------------------------- Fisher z CI (q269)
+
+  private def lnSnap(x: String): String =
+    s"CAST(floor(ln($x) * 1e9 + 5e-1) AS DOUBLE) / 1e9"
+
+  /** z_{0.975}, pinned (the q94 CI literal). */
+  private val ZCrit = "1.959963984540054"
+
+  /** tanh via exp — exp is already relied on cross-engine by the A&S
+    * erfc chain; one shared-text spelling. */
+  private def tanhSql(x: String): String =
+    s"((exp(2e0 * $x) - 1e0) / (exp(2e0 * $x) + 1e0))"
+
+  /** q269: Fisher-z 95% confidence intervals for the three q68
+    * Pearson correlations — the inference step the point estimate
+    * lacks: atanh(r) is approximately normal with SE 1/√(n−3), so
+    * CI = tanh(atanh(r) ± z·SE). Completes the correlation family the
+    * way q158 completes q94's GLM: estimate → interval.
+    *
+    * Exactness: r is the round-4-snapped shared-text ρ (identical to
+    * q68's displayed value), atanh's single ln rides the house 1e-9
+    * snap, tanh is one shared exp spelling, and the interval
+    * arithmetic is a fixed chain off those snapped doubles. Guards:
+    * |r| = 1 (exact collinearity) hits the nullif inside atanh;
+    * n ≤ 3 NULLs the SE; a zero-variance column NULLs r itself.
+    *
+    * Cost: the q267 shape — ONE 9-sum value aggregate, no rank maps,
+    * fanned into 3 rows. */
+  def corrCi(fact: DataFrame): DataFrame = {
+    val prep = fact.select(VarNames.map { case (v, _) =>
+      expr(s"floor(${SrcCols(v)} * $ValScale.0)").as(s"v$v")
+    }: _*)
+    val stats = prep.agg(
+      count(lit(1)).as("n_rows"),
+      ValTermExprs.map { case (n, t) =>
+        expr(s"CAST(sum(CAST(floor($t) AS DECIMAL(38,0))) AS DECIMAL(38,0))").as(n)
+      }: _*)
+      .localCheckpoint(true)
+    val recovered = stats.select(
+      col("n_rows") +: expr("CAST(n_rows AS DOUBLE)").as("nd") +:
+        ValTermExprs.map { case (n, _) => expr(s"CAST($n AS DOUBLE)").as(n) }: _*)
+    val rows = VarPairs.map { case (a, b) =>
+      val r4 = s"round(${rhoRawSql(s"s_v$a", s"s_v$b", s"s_v${a}_v$b",
+        s"s_v${a}_v$a", s"s_v${b}_v$b")}, 4)"
+      recovered.selectExpr(
+        s"'${VarNames.toMap.apply(a)}' AS var_a",
+        s"'${VarNames.toMap.apply(b)}' AS var_b",
+        "n_rows",
+        s"$r4 + 0.0 AS pearson_r",
+        s"(5e-1 * ${lnSnap(s"((1e0 + $r4) / nullif(1e0 - $r4, 0e0))")}) AS zr",
+        s"CASE WHEN n_rows > 3 THEN 1e0 / sqrt(nd - 3e0) END AS se")
+        .selectExpr("var_a", "var_b", "n_rows", "pearson_r",
+          s"round(${tanhSql(s"(zr - $ZCrit * se)")}, 4) + 0.0 AS ci_lo",
+          s"round(${tanhSql(s"(zr + $ZCrit * se)")}, 4) + 0.0 AS ci_hi")
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  def corrCi(spark: SparkSession, dir: String): DataFrame =
+    corrCi(Tables.lineitem(spark, dir))
+
+  /** DuckDB twin: identical snapped sums, identical atanh/tanh chain. */
+  val corrCiSql: String = {
+    val prepCols = VarNames.map { case (v, _) =>
+      s"floor(${SrcCols(v)} * $ValScale.0) AS v$v"
+    }.mkString(", ")
+    val sums = ValTermExprs.map { case (n, t) =>
+      s"CAST(sum(CAST(floor($t) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS $n"
+    }.mkString(",\n    ")
+    val recov = ValTermExprs.map { case (n, _) => s"CAST($n AS DOUBLE) AS $n" }
+      .mkString(", ")
+    val rows = VarPairs.map { case (a, b) =>
+      val r4 = s"round(${rhoRawSql(s"s_v$a", s"s_v$b", s"s_v${a}_v$b",
+        s"s_v${a}_v$a", s"s_v${b}_v$b")}, 4)"
+      s"""SELECT '${VarNames.toMap.apply(a)}' AS var_a,
+         |  '${VarNames.toMap.apply(b)}' AS var_b, n_rows,
+         |  $r4 + 0.0 AS pearson_r,
+         |  (5e-1 * ${lnSnap(s"((1e0 + $r4) / nullif(1e0 - $r4, 0e0))")}) AS zr,
+         |  CASE WHEN n_rows > 3 THEN 1e0 / sqrt(nd - 3e0) END AS se
+         |FROM recovered""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH prep AS (
+       |  SELECT $prepCols FROM lineitem),
+       |stats AS (
+       |  SELECT count(*) AS n_rows,
+       |    $sums
+       |  FROM prep),
+       |recovered AS (
+       |  SELECT n_rows, CAST(n_rows AS DOUBLE) AS nd, $recov FROM stats),
+       |zrows AS (
+       |$rows)
+       |SELECT var_a, var_b, n_rows, pearson_r,
+       |  round(${tanhSql(s"(zr - $ZCrit * se)")}, 4) + 0.0 AS ci_lo,
+       |  round(${tanhSql(s"(zr + $ZCrit * se)")}, 4) + 0.0 AS ci_hi
+       |FROM zrows""".stripMargin
+  }
+
   // ------------------------------------------------------------ Kendall τ-b
 
   /** Shared τ-b / z text over recovered doubles. Inputs are exact

@@ -88,6 +88,136 @@ object Kmv {
         "round(CAST(s_lines AS DOUBLE) / CAST(s_orders AS DOUBLE), 6) + 0.0 AS lines_mean_kmv")
   }
 
+  // -------------- q270: KMV set algebra (theta-sketch intersection) --------------
+
+  /** Shared estimate text off a (sz, hk) pair. */
+  private def estSql(sz: String, hk: String): String =
+    s"CASE WHEN $sz < $K THEN CAST($sz AS DOUBLE)" +
+      s" ELSE $EstNum / (CAST($hk AS DOUBLE) + 1.0) END"
+
+  /** q270: distinct-key JACCARD and intersection between groups from
+    * sketches alone — the theta-sketch move (Dasgupta et al. 2016)
+    * KMV enables and HLL cannot: because the sketch RETAINS sample
+    * hashes, two sketches compose exactly —
+    *
+    *   U_k = bottom-k(bk(A) ∪ bk(B))  ≡  bottom-k(A ∪ B)   (the KMV
+    *   merge law: each of the union's k smallest is among its own
+    *   set's k smallest — so merging the two 2 KiB sketches equals
+    *   re-sketching the full union, spec-pinned),
+    *
+    *   Ĵ = |{h ∈ U_k : h ∈ bk(A) ∧ h ∈ bk(B)}| / |U_k|  (the union
+    *   sample is uniform over A ∪ B; membership in both sketches is
+    *   decidable AT SKETCH LEVEL for exactly these hashes),
+    *
+    *   |A ∩ B| ≈ Ĵ · est(U_k).
+    *
+    * q262 estimated overlap by HLL inclusion–exclusion, which
+    * AMPLIFIES error (three estimates differenced); the KMV route is
+    * one ratio of exact small counts times one estimate — and it
+    * yields Jaccard directly, the quantity the dedup deck thresholds
+    * on. The exact audit rides beside it (q262 doctrine), computed
+    * via |A∩B| = n_a + n_b − |A∪B| so the truth path needs no
+    * pair-join either. */
+  def flagJaccardKmv(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag AS g", "CAST(l_orderkey AS STRING) AS k")
+      .withColumn("h", Hashing.hash48(col("k")))
+      .select("g", "h")
+    val dh = keyed.distinct().localCheckpoint(true) // exact audit base
+    val sk = bottomK(dh).localCheckpoint(true)      // 3 sketch rows
+    val pairs = sk.selectExpr("g AS ga", "hs AS ha")
+      .join(sk.selectExpr("g AS gb", "hs AS hb"), col("ga") < col("gb"))
+      .withColumn("uhs", slice(array_sort(array_union(col("ha"), col("hb"))), 1, K))
+      .selectExpr("ga", "gb",
+        "CAST(size(uhs) AS BIGINT) AS szu",
+        s"CASE WHEN size(uhs) >= $K THEN element_at(uhs, $K) END AS hku",
+        "CAST(size(array_intersect(array_intersect(uhs, ha), hb)) AS BIGINT) AS n_both")
+    val cnt = dh.groupBy("g").agg(expr("CAST(count(1) AS BIGINT)").as("n_g"))
+    val inter = dh.selectExpr("g AS ga", "h")
+      .join(dh.selectExpr("g AS gb", "h"), Seq("h"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(expr("CAST(count(1) AS BIGINT)").as("n_int"))
+    pairs
+      .join(broadcast(cnt.selectExpr("g AS ga", "n_g AS n_a")), "ga")
+      .join(broadcast(cnt.selectExpr("g AS gb", "n_g AS n_b")), "gb")
+      .join(broadcast(inter), Seq("ga", "gb"), "left")
+      .selectExpr("ga", "gb", "szu", "hku", "n_both", "n_a", "n_b",
+        "coalesce(n_int, CAST(0 AS BIGINT)) AS n_int")
+      .selectExpr("ga", "gb", "n_int", "n_a + n_b - n_int AS n_union",
+        "CAST(n_both AS DOUBLE) / nullif(CAST(szu AS DOUBLE), 0e0) AS jacc_raw",
+        s"${estSql("szu", "hku")} AS est_u")
+      .selectExpr("ga AS flag_a", "gb AS flag_b", "n_int AS n_int_exact",
+        "n_union AS n_union_exact",
+        "round(CAST(n_int AS DOUBLE) / nullif(CAST(n_union AS DOUBLE), 0e0), 6) + 0.0 AS jacc_exact",
+        "round(jacc_raw, 6) + 0.0 AS jacc_kmv",
+        "round(jacc_raw * est_u, 4) + 0.0 AS int_kmv",
+        "round(jacc_raw - CAST(n_int AS DOUBLE) / nullif(CAST(n_union AS DOUBLE), 0e0), 6) + 0.0 AS err_jacc")
+  }
+
+  /** DuckDB twin: per-flag ranked sketches, the pair union sketch
+    * recomputed from the FULL deduplicated hash set (≡ the Spark
+    * side's sketch merge by the KMV merge law), identical shared
+    * estimate/ratio text. */
+  val flagJaccardKmvSql: String =
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag AS g,
+       |    ${Hashing.hash48Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |dh AS (SELECT g, h FROM keyed GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT g, h FROM (
+       |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+       |    FROM dh)
+       |  WHERE r <= $K),
+       |flags AS (SELECT DISTINCT g FROM dh),
+       |pairsrc AS (
+       |  SELECT a.g AS ga, b.g AS gb FROM flags a JOIN flags b ON a.g < b.g),
+       |upool AS (
+       |  SELECT p.ga, p.gb, d.h
+       |  FROM pairsrc p JOIN dh d ON d.g = p.ga OR d.g = p.gb
+       |  GROUP BY 1, 2, 3),
+       |ubk AS (
+       |  SELECT ga, gb, h FROM (
+       |    SELECT ga, gb, h,
+       |      row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+       |    FROM upool)
+       |  WHERE r <= $K),
+       |usum AS (
+       |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS szu,
+       |    CASE WHEN count(*) >= $K THEN max(h) END AS hku
+       |  FROM ubk GROUP BY 1, 2),
+       |both_ AS (
+       |  SELECT u.ga, u.gb, CAST(count(*) AS BIGINT) AS n_both
+       |  FROM ubk u
+       |  JOIN bk x ON x.g = u.ga AND x.h = u.h
+       |  JOIN bk y ON y.g = u.gb AND y.h = u.h
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM dh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_int
+       |  FROM dh a JOIN dh b ON a.h = b.h AND a.g < b.g
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT u.ga, u.gb,
+       |    CAST(coalesce(i.n_int, 0) AS BIGINT) AS n_int,
+       |    ca.n_g + cb.n_g - CAST(coalesce(i.n_int, 0) AS BIGINT) AS n_union,
+       |    CAST(coalesce(b.n_both, 0) AS DOUBLE)
+       |      / nullif(CAST(u.szu AS DOUBLE), 0e0) AS jacc_raw,
+       |    ${estSql("u.szu", "u.hku")} AS est_u
+       |  FROM usum u
+       |  LEFT JOIN both_ b ON b.ga = u.ga AND b.gb = u.gb
+       |  JOIN cnt ca ON ca.g = u.ga
+       |  JOIN cnt cb ON cb.g = u.gb
+       |  LEFT JOIN inter i ON i.ga = u.ga AND i.gb = u.gb)
+       |SELECT ga AS flag_a, gb AS flag_b, n_int AS n_int_exact,
+       |  n_union AS n_union_exact,
+       |  round(CAST(n_int AS DOUBLE) / nullif(CAST(n_union AS DOUBLE), 0e0), 6) + 0.0 AS jacc_exact,
+       |  round(jacc_raw, 6) + 0.0 AS jacc_kmv,
+       |  round(jacc_raw * est_u, 4) + 0.0 AS int_kmv,
+       |  round(jacc_raw - CAST(n_int AS DOUBLE) / nullif(CAST(n_union AS DOUBLE), 0e0), 6) + 0.0 AS err_jacc
+       |FROM est""".stripMargin
+
   /** DuckDB twin: identical hash stream, the kept set as the ranked
     * selection over deduplicated hashes, identical shared-text
     * estimate and sample means. */

@@ -77,6 +77,40 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(est - 20000.0) / 20000.0 < 0.25) // ~4σ at 6.3%
   }
 
+  test("q270 brackets: identical sets read J = 1, disjoint sets J = 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // identical: two groups over the same 600 keys; disjoint: no overlap
+    def sketchOf(keys: Seq[String]) = {
+      val df = keys.map(k => ("G", k)).toDF("g", "k")
+        .select(col("g"), Hashing.hash48(col("k")).as("h"))
+      Kmv.bottomK(df.distinct(), 64)
+        .selectExpr("hs").as[Seq[Long]].collect().head
+    }
+    val a = sketchOf((0 until 600).map(i => s"x$i"))
+    val b = sketchOf((0 until 600).map(i => s"x$i"))     // identical
+    val c = sketchOf((0 until 600).map(i => s"y$i"))     // disjoint
+    def jacc(p: Seq[Long], q: Seq[Long], k: Int): Double = {
+      val u = (p ++ q).distinct.sorted.take(k)
+      u.count(h => p.contains(h) && q.contains(h)).toDouble / u.size
+    }
+    assert(jacc(a, b, 64) == 1.0)
+    assert(jacc(a, c, 64) == 0.0)
+  }
+
+  test("q270 registered shape: three flag pairs, error columns sane") {
+    val df = Kmv.flagJaccardKmv(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(df.columns.toSeq == Seq("flag_a", "flag_b", "n_int_exact",
+      "n_union_exact", "jacc_exact", "jacc_kmv", "int_kmv", "err_jacc"))
+    rows.foreach { r =>
+      val jk = r.getDouble(r.fieldIndex("jacc_kmv"))
+      assert(jk >= 0.0 && jk <= 1.0)
+      assert(math.abs(r.getDouble(r.fieldIndex("err_jacc"))) < 0.2)
+    }
+  }
+
   test("registered shape: one row per return flag, both audits present") {
     val df = Kmv.orderkeyKmv(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
