@@ -469,7 +469,25 @@ object Graph {
 
   /** DuckDB twin: the identical integer recurrence, unrolled one CTE
     * pair (contributions, ranks) per iteration. */
-  val pagerankSupplierPartSql: String = {
+  val pagerankSupplierPartSql: String = pagerankSqlFrom(
+    s"""sp AS (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |edges AS (
+       |  SELECT s * 2 AS src, p * 2 + 1 AS dst FROM sp
+       |  UNION ALL
+       |  SELECT p * 2 + 1 AS src, s * 2 AS dst FROM sp)""".stripMargin,
+    s"""SELECT id // 2 AS node_key,
+       |  CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       |  r AS centrality
+       |FROM r$Iters""".stripMargin)
+
+  /** [[pagerankSupplierPartSql]] parameterized over the graph (the
+    * q261/q265 builder move): `pre` is leading CTE text that must
+    * define `edges (src, dst)` (no trailing comma); `finalSelect`
+    * consumes `r$Iters (id, r)`. q65's own text is the builder applied
+    * to its supplier–part graph, byte-identical to the pre-refactor
+    * val. */
+  def pagerankSqlFrom(pre: String, finalSelect: String): String = {
     val iters = (1 to Iters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""c$i AS (
@@ -482,20 +500,12 @@ object Graph {
          |  FROM nodes CROSS JOIN nn LEFT JOIN c$i c ON c.id = nodes.id)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH sp AS (
-       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-       |edges AS (
-       |  SELECT s * 2 AS src, p * 2 + 1 AS dst FROM sp
-       |  UNION ALL
-       |  SELECT p * 2 + 1 AS src, s * 2 AS dst FROM sp),
+    s"""WITH $pre,
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |r0 AS (SELECT id, $Scale // nn.n AS r FROM nodes CROSS JOIN nn),
        |$iters
-       |SELECT id // 2 AS node_key,
-       |  CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
-       |  r AS centrality
-       |FROM r$Iters""".stripMargin
+       |$finalSelect""".stripMargin
   }
 }
