@@ -64,6 +64,78 @@ object PropTest {
         s"round(${pSql("z")}, 6) + 0.0 AS p_value")
   }
 
+  // ------------------ q275: power analysis / MDE (experiment design) ------------------
+
+  /** z_{0.975} and z_{0.80}, pinned literals (the q94/q269 CI family;
+    * z_{0.80} from the standard normal quantile — A&S 26.2.23-grade
+    * precision is irrelevant here because both engines share the
+    * literal). */
+  private val Z975 = "1.959963984540054"
+  private val Z80 = "0.8416212335729143"
+
+  /** q275: the experiment-DESIGN companion to the testing deck — q132
+    * tests a finished experiment, q250 guards its assignment, q153
+    * monitors it sequentially; this answers the question asked BEFORE
+    * any of them: at the observed baseline rate and unit count, what
+    * effect could a 50/50 test even detect, and how many units per
+    * arm would a 5%-relative-lift detection need? Standard two-sample
+    * proportion power approximation (α = 0.05 two-sided, 80% power,
+    * equal variances):
+    *
+    *   MDE_abs = (z_{0.975}+z_{0.80})·√(2·p̂(1−p̂)/n_arm)
+    *   n_arm(δ) = ⌈2·(z_{0.975}+z_{0.80})²·p̂(1−p̂)/δ²⌉,  δ = 0.05·p̂
+    *
+    * One row per event type: p̂ = distinct users with the type /
+    * distinct users — exact integer counts into one shared-text
+    * closed-form chain (n_arm here = half the observed units, the
+    * 50/50 design read). Degenerate rates (p̂ = 0 or 1) NULL the
+    * design columns (nullif on δ², zero variance). */
+  def conversionPowerMde(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select("user_id", "event_type").localCheckpoint(true)
+    val total = ev.agg(
+      expr("CAST(count(DISTINCT user_id) AS BIGINT)").as("n_units"))
+    ev.groupBy("event_type")
+      .agg(expr("CAST(count(DISTINCT user_id) AS BIGINT)").as("converters"))
+      .crossJoin(broadcast(total))
+      .selectExpr("event_type", "n_units", "converters",
+        "CAST(converters AS DOUBLE) / CAST(n_units AS DOUBLE) AS p_raw",
+        "CAST(n_units AS DOUBLE) / 2e0 AS n_arm")
+      .selectExpr("event_type", "n_units", "converters",
+        "round(p_raw, 6) + 0.0 AS p_hat",
+        s"round(($Z975 + $Z80) * sqrt(2e0 * p_raw * (1e0 - p_raw) / n_arm), 6)" +
+          " + 0.0 AS mde_abs",
+        s"CAST(ceil(2e0 * ($Z975 + $Z80) * ($Z975 + $Z80) * p_raw * (1e0 - p_raw)" +
+          " / nullif((5e-2 * p_raw) * (5e-2 * p_raw), 0e0)) AS BIGINT)" +
+          " AS n_arm_5pct_lift")
+  }
+
+  /** DuckDB twin: identical exact counts, identical pinned-z chain. */
+  val conversionPowerMdeSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |total AS (
+       |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_units FROM ev),
+       |conv AS (
+       |  SELECT event_type,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS converters
+       |  FROM ev GROUP BY 1),
+       |rates AS (
+       |  SELECT event_type, n_units, converters,
+       |    CAST(converters AS DOUBLE) / CAST(n_units AS DOUBLE) AS p_raw,
+       |    CAST(n_units AS DOUBLE) / 2e0 AS n_arm
+       |  FROM conv CROSS JOIN total)
+       |SELECT event_type, n_units, converters,
+       |  round(p_raw, 6) + 0.0 AS p_hat,
+       |  round(($Z975 + $Z80) * sqrt(2e0 * p_raw * (1e0 - p_raw) / n_arm), 6)
+       |    + 0.0 AS mde_abs,
+       |  CAST(ceil(2e0 * ($Z975 + $Z80) * ($Z975 + $Z80) * p_raw * (1e0 - p_raw)
+       |    / nullif((5e-2 * p_raw) * (5e-2 * p_raw), 0e0)) AS BIGINT)
+       |    AS n_arm_5pct_lift
+       |FROM rates""".stripMargin
+
   /** q132: are purchase-HEAVY users (purchase share above the 1/5
     * uniform-type expectation) equally common in the even and odd hash
     * buckets (they should be — an A/A sanity read; "ever purchased"
