@@ -163,6 +163,9 @@ class Round10WindowAuditSpec extends AnyFunSuite {
       " range — the q111/q134 adjudication (r13 session-5)"),
     "q217_yule_walker" -> ("per-priority day cells: bounded by" +
       " calendar range — the q111/q134 adjudication (r13 session-5)"),
+    "q272_ar_backtest" -> ("per-priority day cells (q217's frame with" +
+      " the holdout split): bounded by calendar range — the q111/q134" +
+      " adjudication (r15 session-3)"),
     "q226_page_hinkley" -> ("per-priority day cells (the q216 walk):" +
       " bounded by calendar range — the q111/q134 adjudication" +
       " (r13 session-5)"),
