@@ -106,6 +106,65 @@ object Chunking {
   def pack(spark: SparkSession, dir: String): DataFrame =
     pack(Tables.documents(spark, dir))
 
+  // -------- q276: packing utilization / fragmentation audit --------
+
+  /** q276: the numbers that PRICE a q58 packing before a training run
+    * — per shard: token utilization (total tokens over sequences ×
+    * capacity: concatenation wastes only each shard's final partial
+    * sequence, so utilization → 1 as shards grow; a LOW value means
+    * shards are too small for the capacity) and the document
+    * BOUNDARY-CROSSING rate (docs spanning ≥ 2 training sequences —
+    * the attention-contamination/truncation proxy that decides between
+    * concat packing and best-fit bin packing). Both metrics are pure
+    * arithmetic over q58's own output — the audit composes the
+    * operator it audits (q241 doctrine).
+    *
+    * Exactness: total tokens, sequence counts and crossing counts are
+    * exact integers off q58's provenance columns; the two rates are
+    * one shared-text division each. Plan: q58's partitioned window +
+    * ONE keyed aggregate. */
+  def packUtilization(spark: SparkSession, dir: String): DataFrame =
+    pack(spark, dir)
+      .groupBy("shard")
+      .agg(
+        expr("CAST(count(1) AS BIGINT)").as("n_docs"),
+        expr("CAST(max(end_off) AS BIGINT)").as("total_tokens"),
+        expr("CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_crossing"))
+      .selectExpr("shard", "n_docs", "total_tokens", "n_crossing",
+        s"CAST(floor((total_tokens - 1) / $PackCapacity) + 1 AS BIGINT) AS n_seqs")
+      .selectExpr("shard", "n_docs", "total_tokens", "n_seqs",
+        s"round(CAST(total_tokens AS DOUBLE)" +
+          s" / nullif(CAST(n_seqs AS DOUBLE) * $PackCapacity.0, 0e0), 6)" +
+          " + 0.0 AS utilization",
+        "n_crossing",
+        "round(CAST(n_crossing AS DOUBLE)" +
+          " / nullif(CAST(n_docs AS DOUBLE), 0e0), 6) + 0.0 AS crossing_rate")
+
+  /** DuckDB twin: q58's statement verbatim, one aggregate, the same
+    * shared rate texts. */
+  lazy val packUtilizationSql: String =
+    s"""WITH packed AS (
+       |${packSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |agg AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(max(end_off) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+       |  FROM packed GROUP BY 1),
+       |seqs AS (
+       |  SELECT shard, n_docs, total_tokens, n_crossing,
+       |    CAST(floor((total_tokens - 1) / $PackCapacity) + 1 AS BIGINT) AS n_seqs
+       |  FROM agg)
+       |SELECT shard, n_docs, total_tokens, n_seqs,
+       |  round(CAST(total_tokens AS DOUBLE)
+       |    / nullif(CAST(n_seqs AS DOUBLE) * $PackCapacity.0, 0e0), 6)
+       |    + 0.0 AS utilization,
+       |  n_crossing,
+       |  round(CAST(n_crossing AS DOUBLE)
+       |    / nullif(CAST(n_docs AS DOUBLE), 0e0), 6) + 0.0 AS crossing_rate
+       |FROM seqs""".stripMargin
+
   val packSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, doc_id % $PackShards AS shard,

@@ -73,4 +73,24 @@ class ChunkingSpec extends AnyFunSuite {
       .count() == 0)
     packed.unpersist()
   }
+
+  test("q276: utilization and crossing rate match hand arithmetic per shard") {
+    val util = Chunking.packUtilization(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val packed = Chunking.pack(spark, dir).collect()
+    assert(util.nonEmpty)
+    packed.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val r = util(shard)
+      val t = rows.map(_.getLong(4)).max // max end_off
+      val nSeqs = (t - 1) / Chunking.PackCapacity + 1
+      val crossing = rows.count(_.getLong(7) > 1)
+      assert(r.getLong(r.fieldIndex("n_docs")) == rows.length.toLong)
+      assert(r.getLong(r.fieldIndex("total_tokens")) == t)
+      assert(r.getLong(r.fieldIndex("n_seqs")) == nSeqs)
+      assert(r.getLong(r.fieldIndex("n_crossing")) == crossing.toLong)
+      val u = r.getDouble(r.fieldIndex("utilization"))
+      assert(math.abs(u - t.toDouble / (nSeqs * Chunking.PackCapacity)) < 1e-5)
+      assert(u > 0.0 && u <= 1.0)
+    }
+  }
 }
