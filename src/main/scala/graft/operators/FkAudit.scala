@@ -27,15 +27,20 @@ import graft.Tables
 object FkAudit {
 
   /** One relationship audit row: child/parent frames with the key
-    * columns named fk/pk, plus display names. */
+    * columns named fk/pk, plus display names. Dimension-grade parents
+    * broadcast (a shuffled anti-join on a dimension key concentrates
+    * the fact side's hottest key in one task — the r11 skew class);
+    * `factParent = true` switches to the shuffle_hash fact-fact
+    * posture where the parent could never broadcast. */
   def auditOne(child: DataFrame, parent: DataFrame,
-               rel: String): DataFrame = {
+               rel: String, factParent: Boolean = false): DataFrame = {
     val totals = child.agg(
       expr("CAST(count(fk) AS BIGINT)").as("n_child"),
       expr("CAST(count(1) - count(fk) AS BIGINT)").as("n_null_fk"))
+    val parentSide =
+      if (factParent) parent.hint("shuffle_hash") else broadcast(parent)
     val orphans = child.filter(col("fk").isNotNull)
-      .join(parent.hint("shuffle_hash"), col("fk") === col("pk"),
-        "left_anti")
+      .join(parentSide, col("fk") === col("pk"), "left_anti")
       .agg(expr("CAST(count(1) AS BIGINT)").as("n_orphans"))
     totals.crossJoin(orphans)
       .selectExpr(s"'$rel' AS relationship", "n_child", "n_null_fk",
@@ -48,7 +53,8 @@ object FkAudit {
     def p(df: DataFrame, k: String) = df.selectExpr(s"$k AS pk")
     Seq(
       auditOne(c(Tables.lineitem(spark, dir), "l_orderkey"),
-        p(Tables.orders(spark, dir), "o_orderkey"), "lineitem->orders"),
+        p(Tables.orders(spark, dir), "o_orderkey"), "lineitem->orders",
+        factParent = true),
       auditOne(c(Tables.lineitem(spark, dir), "l_partkey"),
         p(Tables.part(spark, dir), "p_partkey"), "lineitem->part"),
       auditOne(c(Tables.lineitem(spark, dir), "l_suppkey"),

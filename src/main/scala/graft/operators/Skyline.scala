@@ -35,16 +35,22 @@ object Skyline {
 
   /** 2-D skyline over (g, x minimize, y maximize) cells carrying a
     * weight column n (pre-aggregated units per cell). Returns the
-    * frontier cells (g, x, y, n). */
+    * frontier cells (g, x, y, n).
+    *
+    * Plan note: only the per-x MAXIMUM y can ever reach the frontier,
+    * so the window runs over the (g, x, max y) REDUCTION — a shuffle
+    * aggregate first, window partitions bounded by the x-RANGE (order
+    * counts are load-bounded), never by unit count. The winning cells
+    * join back for their weights. */
   def skyline2d(cells: DataFrame): DataFrame = {
-    val wSameX = Window.partitionBy("g", "x")
+    val perX = cells.groupBy("g", "x").agg(max("y").as("ymax"))
     val wBelowX = Window.partitionBy("g").orderBy("x")
       .rangeBetween(Window.unboundedPreceding, -1)
-    cells
-      .withColumn("mx_same", max("y").over(wSameX))
-      .withColumn("mx_below", max("y").over(wBelowX))
-      .filter(col("y") === col("mx_same") &&
-        (col("mx_below").isNull || col("y") > col("mx_below")))
+    val frontier = perX
+      .withColumn("mx_below", max("ymax").over(wBelowX))
+      .filter(col("mx_below").isNull || col("ymax") > col("mx_below"))
+      .select(col("g"), col("x"), col("ymax").as("y"))
+    frontier.join(cells, Seq("g", "x", "y"))
       .select("g", "x", "y", "n")
   }
 
@@ -81,14 +87,17 @@ object Skyline {
       |  SELECT c_mktsegment AS g, x, y, CAST(count(*) AS BIGINT) AS n
       |  FROM per_cust JOIN customer ON o_custkey = c_custkey
       |  GROUP BY 1, 2, 3),
+      |per_x AS (
+      |  SELECT g, x, max(y) AS ymax FROM cells GROUP BY 1, 2),
       |walked AS (
-      |  SELECT g, x, y, n,
-      |    max(y) OVER (PARTITION BY g, x) AS mx_same,
-      |    max(y) OVER (PARTITION BY g ORDER BY x
+      |  SELECT g, x, ymax,
+      |    max(ymax) OVER (PARTITION BY g ORDER BY x
       |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_below
-      |  FROM cells)
+      |  FROM per_x),
+      |frontier AS (
+      |  SELECT g, x, ymax AS y FROM walked
+      |  WHERE mx_below IS NULL OR ymax > mx_below)
       |SELECT g AS c_mktsegment, x AS n_orders, y AS spend_cents,
       |  n AS n_customers
-      |FROM walked
-      |WHERE y = mx_same AND (mx_below IS NULL OR y > mx_below)""".stripMargin
+      |FROM frontier JOIN cells USING (g, x, y)""".stripMargin
 }

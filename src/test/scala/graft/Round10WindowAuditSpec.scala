@@ -94,6 +94,11 @@ class Round10WindowAuditSpec extends AnyFunSuite {
     "q72_resample_locf" -> "per-(user, hour-range) grid; bounded spine",
     "q124_ewma" -> "per-user series: events/user is load-bounded",
     "q110_survival" -> "per-group duration cells: bounded by the observation span",
+    "q281_weibull" -> ("the q110 KM duration-spine windows verbatim" +
+      " (q281 fits THROUGH the registered q110 chain — one maintained" +
+      " derivation): bounded by the observation span, the q110" +
+      " adjudication; the fit stage itself adds only a keyed aggregate" +
+      " over event-time cells (r15)"),
     "q111_acf" -> "day-bucket cells first: bounded by calendar range",
     "q116_ccf" -> "day-bucket cells first: bounded by calendar range",
     "q134_amoc" -> "per-type day cells: bounded by calendar range",

@@ -147,6 +147,11 @@ class Round12DocAuditSpec extends AnyFunSuite {
       " (SURVEY §2; measured 63 → 625 on the 10× doc step):" +
       " PackShards is the parallelism knob a 100 TB caller raises —" +
       " same adjudication as the r10 window audit"),
+    "q276_pack_utilization" -> ("q58's OWN (shard) window — the audit" +
+      " composes the operator it prices (SURVEY §2), so it inherits" +
+      " q58's shard-local-by-design partitions verbatim (measured the" +
+      " identical 63 → 625): PackShards is the knob, the q58" +
+      " adjudication applies unchanged (r15)"),
     "q83_auc" -> ("global ROC window over SCORE CELLS (measured 488 →" +
       " 3632): cells grow with data only until the quantized score" +
       " range saturates (the q48/q141 class) — bounded by the score" +
