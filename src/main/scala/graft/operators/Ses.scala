@@ -42,8 +42,9 @@ object Ses {
     (1 to Lags).map(j => Alpha * BigDecimal("0.7").pow(j - 1))
   private val WTot: BigDecimal = Weights.sum
 
-  /** Shared-text truncated-SES dot product over lag columns l1..lJ. */
-  private val XhatSql: String =
+  /** Shared-text truncated-SES dot product over lag columns l1..lJ
+    * (public: q310's coverage audit reuses the predictor verbatim). */
+  val XhatSqlText: String =
     "((" + Weights.zipWithIndex.map { case (w, i) =>
       s"$w * CAST(l${i + 1} AS DOUBLE)"
     }.mkString(" + ") + s") / $WTot)"
@@ -71,7 +72,7 @@ object Ses {
         expr("CAST(count(1) AS BIGINT)").as("n_naive"))
     val test = walked
       .filter(col("is_test") && expr(allLagsSql()))
-      .selectExpr("g", "x", s"$XhatSql AS xhat")
+      .selectExpr("g", "x", s"$XhatSqlText AS xhat")
       .selectExpr("g",
         "CAST(floor(abs(xhat - CAST(x AS DOUBLE)) * 1e2) AS DECIMAL(38,0)) AS ae_i",
         "CAST(floor(2e0 * abs(xhat - CAST(x AS DOUBLE))" +
@@ -135,7 +136,7 @@ object Ses {
        |      / nullif(abs(xhat) + abs(CAST(x AS DOUBLE)), 0e0) * 1e9)
        |      AS HUGEINT) AS sm_i
        |  FROM (
-       |    SELECT g, x, $XhatSql AS xhat
+       |    SELECT g, x, $XhatSqlText AS xhat
        |    FROM walked
        |    WHERE is_test AND ${allLagsSql()})),
        |tagg AS (
