@@ -87,6 +87,49 @@ object Bench {
       .findAllMatchIn(objOf(line, "best"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** Anchor resets for DELIBERATE re-parameterizations (r15 verdict
+    * "What's wrong" #1): when a query's algorithm is re-tuned on
+    * purpose — q145/q241's Lloyd-fitted M=8 recall fix priced the
+    * plan from 2.49/3.23 s up to the 5.69/6.8 s quiet-box anchors in
+    * BASELINE.md — the monotone `best` still carries the OBSOLETE
+    * config's time, so the query reads as a >2× "regression" forever
+    * and permanently triggers the third-run pass. A reset FLOORS the
+    * stale carried best at the adjudicated new anchor; it never
+    * raises a best that fresh runs under the new config have already
+    * beaten (max semantics below), so the monotone-min property is
+    * preserved within a configuration. Each entry must cite its
+    * BASELINE.md adjudication. */
+  private[graft] val BestResets: Map[String, Double] = Map(
+    "q145_ann_ivfpq" -> 5.69,  // BASELINE.md r15 "New sf0.1 anchors"
+    "q241_ivfpq_recall" -> 6.8 // same adjudication (recall 0.46→0.80)
+  )
+
+  /** Reset keys the prior line has ALREADY applied (carried in the
+    * line as `"best_reset":["q…", …]`). A reset fires exactly once:
+    * after it lifts the stale best to the new anchor, later runs
+    * leave the key alone so mins the NEW configuration legitimately
+    * earns below the anchor are kept (floor-every-run would discard
+    * them). */
+  private[graft] def appliedResets(line: String): Set[String] =
+    "\"(q[0-9][0-9a-z_]*)\"".r
+      .findAllMatchIn {
+        val i = line.indexOf("\"best_reset\":[")
+        val j = if (i < 0) -1 else line.indexOf(']', i)
+        if (j < 0) "" else line.substring(i, j + 1)
+      }
+      .map(_.group(1)).toSet
+
+  /** Carried best with any not-yet-applied reparameterization floors
+    * applied. Returns (floored map, keys applied now or before). */
+  private[graft] def resetBest(best: Map[String, Double],
+      already: Set[String]): (Map[String, Double], Set[String]) = {
+    val floored = best.map { case (k, v) =>
+      k -> (if (!already.contains(k)) BestResets.get(k).filter(_ > v).getOrElse(v)
+            else v)
+    }
+    (floored, already ++ BestResets.keySet.filter(best.contains))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -127,7 +170,8 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get(out0))
       catch { case _: Throwable => "" }
     val onDisk = priorReadings(prevLine)
-    val prevBest = bestReadings(prevLine)
+    val (prevBest, resetsApplied) =
+      resetBest(bestReadings(prevLine), appliedResets(prevLine))
     // per-query reference = the TIGHTER of (previous line's readings,
     // the monotone all-time best): an inflated mid-round reading can
     // no longer loosen the trigger (the q106-r11 escape)
@@ -190,8 +234,10 @@ object Bench {
     }.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = adjusted.map(_._2).filter(_ >= 0).sum
     val heat = s"""{"ratio":$heatBefore,"rerun":${reheated.size},"ratio_after":$heatAfter}"""
+    val resets = resetsApplied.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"best":$best,"heat":$heat,"canary_s":[$canaryPre,$canaryPost],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rt,"best":$best,"best_reset":$resets,"heat":$heat,"canary_s":[$canaryPre,$canaryPost],"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the line to a file: the driver's BENCH_r08/_r09
     // artifacts were head-truncated stdout tails (parsed: null), losing

@@ -40,6 +40,33 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(Bench.bestReadings(line).isEmpty)
   }
 
+  test("resetBest lifts a stale pre-reparam best exactly once (r15 verdict #1)") {
+    // first run after the q145 re-parameterization: stale 2.49 carried
+    // from the obsolete M=4/first-N config is floored at the 5.69
+    // BASELINE.md anchor; an untouched query passes through
+    val (b1, applied1) = Bench.resetBest(
+      Map("q145_ann_ivfpq" -> 2.49, "q78_cube" -> 0.42), Set.empty)
+    assert(b1("q145_ann_ivfpq") == 5.69)
+    assert(b1("q78_cube") == 0.42)
+    assert(applied1.contains("q145_ann_ivfpq"))
+    // later run: the NEW config legitimately earned 4.5 < 5.69 — the
+    // already-applied reset must NOT re-floor it away
+    val (b2, _) = Bench.resetBest(Map("q145_ann_ivfpq" -> 4.5), applied1)
+    assert(b2("q145_ann_ivfpq") == 4.5)
+    // a best already above the floor is never touched
+    val (b3, _) = Bench.resetBest(Map("q145_ann_ivfpq" -> 6.1), Set.empty)
+    assert(b3("q145_ann_ivfpq") == 6.1)
+  }
+
+  test("appliedResets round-trips through the emitted line") {
+    val withResets = line.replace(""","canary_s"""",
+      ""","best_reset":["q145_ann_ivfpq","q241_ivfpq_recall"],"canary_s"""")
+    assert(Bench.appliedResets(withResets) ==
+      Set("q145_ann_ivfpq", "q241_ivfpq_recall"))
+    assert(Bench.appliedResets(line).isEmpty)
+    assert(Bench.appliedResets("").isEmpty)
+  }
+
   test("the committed r10 artifact parses and covers the full suite") {
     val path = java.nio.file.Paths.get("bench_out.json")
     if (java.nio.file.Files.exists(path)) {
