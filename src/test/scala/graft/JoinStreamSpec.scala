@@ -66,6 +66,20 @@ class JoinStreamSpec extends AnyFunSuite {
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("q311: the registered replay row reproduces its own batch twin") {
+    // the driver hash-checks this against DuckDB; here pin the same
+    // contract in-suite so a replay regression fails fast
+    val got = JoinStream.replayAttribution(spark, dir)
+      .collect().map(key).toSet
+    val events = Tables.events(spark, dir)
+    val want = JoinStream.attributionJoin(
+        JoinStream.impressionsOf(events), JoinStream.conversionsOf(events))
+      .filter(col("conv_id") =!= col("event_id"))
+      .collect().map(key).toSet
+    assert(got == want, s"replay ${got.size} vs batch ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("a row older than the watermark on arrival is dropped, not joined") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
