@@ -1,0 +1,292 @@
+package graft.ann
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph-based ANN — the HNSW family (Malkov & Yashunin 2018), the one
+  * major similarity-search family the `ann/` deck lacked (r15 verdict
+  * "Next round" #1). Reference: n/a — brief-mandated similarity-search
+  * surface beyond the reference's own operators.
+  *
+  * DISTRIBUTED SHAPE (the standard one): the corpus is sharded by
+  * `pmod(vec_id, NShards)`, each shard builds an INDEPENDENT in-memory
+  * HNSW graph over its own vectors inside one `flatMapGroups` task, and
+  * every query searches every shard's graph; the per-shard beam results
+  * (efSearch candidates each, exact cosine attached at emit time) union
+  * into one frame and a per-query window rank keeps the global top-k.
+  * No cross-shard edges exist — recall comes from the union: a true
+  * neighbor lives in exactly one shard, and that shard's graph only has
+  * to surface it into its OWN top-efSearch beam for the global re-rank
+  * to keep it. Per-shard graph memory is O(shardRows · M), bounded by
+  * choosing NShards ∝ corpus/targetShardRows — at 100 TB the shard is
+  * the unit that must fit an executor, exactly like every bucketed
+  * candidate generator in `dedup/` (the scaladoc contract those share).
+  *
+  * DETERMINISM (what makes the audit row reproducible run-to-run):
+  * shard membership is a pure function of vec_id; insertion order is
+  * vec_id-ascending within the shard; the level draw is the standard
+  * geometric `floor(−ln(u)·mL)` with u derived from a fixed splitmix64
+  * avalanche of vec_id (no RNG state); every heap/beam tie breaks on
+  * (distance, id). Two runs produce identical graphs and identical
+  * candidate sets — HnswSpec pins this.
+  *
+  * WHY ROWS-ONLY (no DuckDB twin — the driver records the weaker
+  * rows-only check): HNSW construction is inherently SEQUENTIAL — each
+  * insertion's edge set depends on a beam search over the graph built
+  * by all prior insertions, a doubly-nested recursion that plain SQL
+  * (even recursive CTEs) cannot express; there is no fixed-point form
+  * to hand DuckDB, unlike the Lloyd fit the q145 oracle replays. The
+  * correctness story is instead: (a) the q312 recall audit measures
+  * the returned set against q24's EXACT brute-force truth — the audit
+  * IS the deliverable (the q234/q241 doctrine); (b) HnswSpec asserts
+  * determinism, exact-graph recall at small ef, and the beam contract
+  * under sbt.
+  */
+object Hnsw {
+
+  /** Max neighbors per node per layer (layer 0 keeps 2·M, the paper's
+    * Mmax0 rule). 8 matches the corpus: 64-dim, shard ≈ 125–500 rows
+    * at test SF. */
+  val M = 8
+  /** Construction beam width. */
+  val EfConstruction = 32
+  /** Query beam width per shard. The union across shards re-ranks
+    * NShards·EfSearch candidates exactly, so recall grows with BOTH
+    * knobs; 24 puts q312 recall at/above the 0.80 IVF-PQ frontier. */
+  val EfSearch = 24
+  /** Corpus shards = independent graphs. Test-scale value; at corpus
+    * scale set NShards ≈ corpus / targetShardRows (executor-memory
+    * unit), not this literal. */
+  val NShards = 4
+
+  /** Level normalization mL = 1/ln(M) (the paper's default). */
+  val LevelMult: Double = 1.0 / math.log(M.toDouble)
+
+  private[ann] case class Cand(query_id: Long, neighbor_id: Long, cos: Double)
+
+  /** splitmix64 avalanche — a pure, stateless id→u64 mix (public
+    * domain constant set), the house md5-for-determinism idiom without
+    * the string round-trip. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic geometric level draw for vec_id. */
+  private[graft] def levelOf(id: Long): Int = {
+    val u = ((mix64(id) >>> 11).toDouble + 1.0) / 9007199254740993.0 // (0,1)
+    math.min(8, (-math.log(u) * LevelMult).toInt)
+  }
+
+  /** One shard's graph: arrays indexed by local node id (insertion
+    * order = vec_id ascending). Edges per (node, level). */
+  private[ann] final class ShardGraph(ids: Array[Long], vecs: Array[Array[Double]]) {
+    val n: Int = ids.length
+    private val norms: Array[Double] = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    private val levels: Array[Int] = ids.map(levelOf)
+    // edges(node)(level) — level dimension sized lazily per node
+    private val edges: Array[Array[mutable.ArrayBuffer[Int]]] =
+      levels.map(l => Array.fill(l + 1)(mutable.ArrayBuffer.empty[Int]))
+    private var entry: Int = -1
+
+    /** Cosine distance 1 − cos(a_i, b): lower = closer; ties on id. */
+    private def dist(i: Int, q: Array[Double], qn: Double): Double = {
+      val v = vecs(i); var d = 0.0; var k = 0
+      while (k < v.length) { d += v(k) * q(k); k += 1 }
+      1.0 - d / (norms(i) * qn)
+    }
+
+    def cosTo(i: Int, q: Array[Double], qn: Double): Double =
+      1.0 - dist(i, q, qn)
+
+    /** Greedy descent at one level: walk to the closest neighbor until
+      * no improvement. Deterministic — neighbor lists have a fixed
+      * order and strict improvement is required to move. */
+    private def greedy(q: Array[Double], qn: Double, ep: Int, level: Int): Int = {
+      var cur = ep
+      var curD = dist(cur, q, qn)
+      var improved = true
+      while (improved) {
+        improved = false
+        val nb = edges(cur)(level)
+        var i = 0
+        while (i < nb.length) {
+          val c = nb(i)
+          val d = dist(c, q, qn)
+          if (d < curD || (d == curD && c < cur)) {
+            cur = c; curD = d; improved = true
+          }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Best-first beam (Algorithm 2): returns up to ef nodes closest to
+      * q at `level`, ascending by (dist, id). */
+    private def searchLayer(q: Array[Double], qn: Double, ep: Int,
+        ef: Int, level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.HashSet[Integer]()
+      implicit val ordAsc: Ordering[(Double, Int)] = Ordering.Tuple2
+      // candidates: closest first; results: farthest first (bounded ef)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](ordAsc.reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](ordAsc)
+      val d0 = dist(ep, q, qn)
+      visited.add(ep); cand.enqueue((d0, ep)); res.enqueue((d0, ep))
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        val worst = res.head._1
+        if (cd > worst && res.size >= ef) { cand.clear() }
+        else {
+          val nb = edges(c)(level)
+          var i = 0
+          while (i < nb.length) {
+            val e = nb(i)
+            if (!visited.contains(e)) {
+              visited.add(e)
+              val d = dist(e, q, qn)
+              if (res.size < ef || d < res.head._1 ||
+                  (d == res.head._1 && e < res.head._2)) {
+                cand.enqueue((d, e)); res.enqueue((d, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      res.foreach(out += _)
+      out.sortInPlace()
+      out
+    }
+
+    /** Select up to m neighbors from a (dist,id)-ascending pool —
+      * simple closest-first selection (the paper's SELECT-SIMPLE;
+      * adequate at M=8 on 64-dim, and one less code path to pin). */
+    private def selectM(pool: mutable.ArrayBuffer[(Double, Int)], m: Int,
+        self: Int): Seq[Int] =
+      pool.iterator.filter(_._2 != self).take(m).map(_._2).toSeq
+
+    /** Insert node i (ids/vecs index), Algorithm 1. */
+    private def insert(i: Int): Unit = {
+      val q = vecs(i); val qn = norms(i)
+      val lvl = levels(i)
+      if (entry < 0) { entry = i; return }
+      var ep = entry
+      val entryLvl = levels(entry)
+      var l = entryLvl
+      while (l > lvl) { ep = greedy(q, qn, ep, math.min(l, levels(ep))); l -= 1 }
+      l = math.min(lvl, entryLvl)
+      while (l >= 0) {
+        val w = searchLayer(q, qn, ep, EfConstruction, l)
+        val nbs = selectM(w, M, i)
+        nbs.foreach { e =>
+          edges(i)(l) += e
+          val back = edges(e)(l)
+          back += i
+          val mmax = if (l == 0) 2 * M else M
+          if (back.length > mmax) {
+            // keep the mmax closest to e, ties on id — deterministic
+            val eq = vecs(e); val en = norms(e)
+            val kept = back.map(x => (dist(x, eq, en), x)).sorted.take(mmax).map(_._2)
+            back.clear(); back ++= kept
+          }
+        }
+        ep = w.head._2
+        l -= 1
+      }
+      if (lvl > entryLvl) entry = i
+    }
+
+    def build(): this.type = { var i = 0; while (i < n) { insert(i); i += 1 }; this }
+
+    /** Query: greedy from the entry down to level 1, beam at level 0;
+      * emit up to ef (globalId, cos) pairs, self excluded. */
+    def search(queryId: Long, q: Array[Double], ef: Int): Seq[Cand] = {
+      if (entry < 0) return Nil
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      var ep = entry
+      var l = levels(entry)
+      while (l > 0) { ep = greedy(q, qn, ep, l); l -= 1 }
+      searchLayer(q, qn, ep, ef, 0).iterator
+        .filter { case (_, i) => ids(i) != queryId }
+        .map { case (d, i) => Cand(queryId, ids(i), 1.0 - d) }
+        .toSeq
+    }
+  }
+
+  private def embCast(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** q312 — HNSW top-k over the embeddings corpus: per-shard graphs,
+    * union of per-shard beams, exact global re-rank. Output shape =
+    * q24's (query_id, neighbor_id, rk, cos). */
+  def annHnsw(embeddings: DataFrame,
+      efSearch: Int = EfSearch, nShards: Int = NShards): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embCast(embeddings).as[(Long, Array[Double])]
+    // query side: the standard QueryStride rule — a k-bounded driver
+    // collect (the codebook-collect doctrine; queries are the SMALL
+    // side of ANN by definition)
+    val queries: Array[(Long, Array[Double])] =
+      emb.filter(_._1 % Ann.QueryStride == 0).collect().sortBy(_._1)
+    val cands = emb
+      .groupByKey { case (id, _) => math.floorMod(id, nShards.toLong) }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val g = new ShardGraph(rows.map(_._1), rows.map(_._2)).build()
+        queries.iterator.flatMap { case (qid, qv) => g.search(qid, qv, efSearch) }
+      }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.toDF()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Ann.TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        (round(col("cos"), 4) + 0.0).as("cos"))
+  }
+
+  def docAnnHnsw(spark: SparkSession, dir: String): DataFrame =
+    annHnsw(Tables.embeddings(spark, dir))
+
+  /** q313 — recall of [[annHnsw]] against q24's brute-force truth (the
+    * q241 audit shape: semijoin on (query_id, neighbor_id), per-query
+    * floor so a fully-missed query reads 0, shared-text divisions). */
+  def hnswRecall(embeddings: DataFrame): DataFrame = {
+    val emb = embeddings.localCheckpoint(true) // both paths scan it
+    val truth = Ann.annBrute(emb)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val returned = annHnsw(emb).select("query_id", "neighbor_id")
+    val perQuery = truth
+      .join(returned, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(expr("CAST(count(1) AS BIGINT)").as("n_hit_q"))
+    val queries = truth.select("query_id").distinct()
+    val floor = queries
+      .join(perQuery, Seq("query_id"), "left")
+      .selectExpr("coalesce(n_hit_q, CAST(0 AS BIGINT)) AS n_hit_q")
+      .agg(expr("CAST(min(n_hit_q) AS BIGINT)").as("min_hit"),
+        expr("CAST(sum(n_hit_q) AS BIGINT)").as("n_hit"),
+        expr("CAST(count(1) AS BIGINT)").as("n_queries"))
+    truth.agg(expr("CAST(count(1) AS BIGINT)").as("n_truth"))
+      .crossJoin(floor)
+      .selectExpr("n_queries", s"CAST(${Ann.TopK} AS INT) AS k",
+        "n_truth", "n_hit",
+        "round(CAST(n_hit AS DOUBLE)" +
+          " / nullif(CAST(n_truth AS DOUBLE), 0e0), 6) + 0.0 AS recall",
+        s"round(CAST(min_hit AS DOUBLE) / ${Ann.TopK}.0, 6) + 0.0" +
+          " AS recall_worst")
+  }
+
+  def docHnswRecall(spark: SparkSession, dir: String): DataFrame =
+    hnswRecall(Tables.embeddings(spark, dir))
+}
