@@ -256,7 +256,18 @@ object EventStream {
         col("approx_users"), col("n_events"))
 
   case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  /** start/last are epoch MICROS — an epoch-millis Long would truncate
+    * the microsecond precision the batch twin keeps (the ScdOpen
+    * lesson; caught by the q314 hash gate at registration). */
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  private def tsMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
 
@@ -276,25 +287,26 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapUs = gapMs * 1000L
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+            Iterator(Session(user, microsTs(s.start), microsTs(s.last), s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
                 // merge if within gap of the session's SPAN — a late but
                 // in-watermark event may precede state.start, so bounds
                 // take min/max rather than assuming arrival order
-                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                case Some(s) if t >= s.start - gapUs && t <= s.last + gapUs =>
                   cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
                     s.n + 1, s.sum + e.value))
                 case Some(s) =>
-                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  closed ::= Session(user, microsTs(s.start), microsTs(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -302,7 +314,9 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // the timeout clock is millis; round the expiry UP so a
+              // sub-millisecond remainder can't fire the timeout early
+              state.setTimeoutTimestamp(Math.floorDiv(s.last + gapUs + 999L, 1000L))
             }
             closed.reverseIterator
           }
@@ -467,4 +481,85 @@ object EventStream {
         count(lit(1)).as("n_events"),
         (round(sum(col("value")), 4) + 0.0).as("sum_value"))
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+  /** q314 — gap sessionization EXECUTED under the driver's full-hash
+    * gate (r15 verdict #5: promote the highest-value spec-only twins
+    * via the q259 replay pattern). Replays the events table through
+    * [[sessionize]] — the flatMapGroupsWithState twin with the batch
+    * operator's exact `> gapMs` boundary semantics (the native
+    * `session_window` variant differs on ties at exactly the gap) —
+    * in event-time order across three micro-batches, then closes every
+    * open session by advancing the watermark with two sentinel events
+    * for a reserved user (−1, filtered from the output): sentinel 1
+    * raises max event time past every possible timeout, sentinel 2
+    * triggers the batch that runs with that watermark so the
+    * EventTimeTimeout fires for all quiet users. The oracle is q18's
+    * own SQL projected away from session_seq (a session is already
+    * unique per (user_id, session_start)) — replay ≡ batch is the
+    * contract, so the hash match checks a live stateful streaming
+    * execution, session-merge logic, timeout path and all.
+    *
+    * Scale note (q259 doctrine): the collect/feed is the REPLAY
+    * HARNESS; the operator under test keeps ONE small state record per
+    * active user, evicted by event-time timeout — that bound is the
+    * 100 TB path. */
+  def replaySessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.events(spark, dir)
+        .select(col("ts"), col("user_id").cast("long"),
+          col("event_type"), col("value").cast("double"))
+        .as[Event].collect()
+        .sortBy(e => (e.ts.getTime, e.user_id, e.value))
+      val maxTs = feed.map(_.ts.getTime).max
+      val gapMs = 30 * 60 * 1000L
+      val sentinel1 = Event(new Timestamp(maxTs + gapMs + 20 * 60000L), -1L, "sentinel", 0.0)
+      val sentinel2 = Event(new Timestamp(maxTs + gapMs + 80 * 60000L), -1L, "sentinel", 0.0)
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q314_sess_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val q = sessionize(input.toDS(), gapMs = gapMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val rows: Seq[Session] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          input.addData(sentinel1); q.processAllAvailable()
+          input.addData(sentinel2); q.processAllAvailable()
+          spark.table(name).as[Session]
+            .filter(col("user_id") >= 0L).collect().toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      rows.toDS().toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          (round(col("sum_value"), 4) + 0.0).as("sum_value"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replaySessionize]]: the q18 statement projected
+    * away from session_seq (replay ≡ batch is the contract). */
+  val replaySessionizeSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |    OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), numbered AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 4) + 0.0 AS sum_value
+      |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 }

@@ -68,4 +68,88 @@ object HeavyHittersStream {
           counters.iterator.map { case (t, c) => MgCounter(part, t, c, c + decs) }
         })
   }
+
+  /** q315 — the Misra–Gries stream EXECUTED under the driver's
+    * full-hash gate, via its own GUARANTEE (r15 verdict #5). The MG
+    * theorem says: any term whose true frequency in its group exceeds
+    * N_group/(C+1) MUST survive in the summary. So the registered row
+    * is exactly that set — the guaranteed-heavy terms with their EXACT
+    * counts — computed by semijoining the exact-count heavy set
+    * against the stream's FINAL summary (last Update-mode emission per
+    * (part, term)). If the MG implementation is correct the semijoin
+    * keeps every guaranteed row and the output equals the
+    * SQL-expressible exact set (the oracle); if it ever LOSES a
+    * guaranteed term, the row count drops and the hash gate catches
+    * it. (MG's allowed false positives are discarded by the semijoin —
+    * they are not errors.) Bound validity (lower ≤ exact ≤ upper) is
+    * pinned separately in HeavyHittersStreamSpec.
+    *
+    * Terms are routed to groups by hash48 here (not the production
+    * path's xxhash64) because the oracle must reproduce the routing —
+    * hash48 is the repo's twinnable hash family; the MG machinery is
+    * identical either way.
+    *
+    * Scale note (q259 doctrine): the collect/feed is the replay
+    * harness; the operator's state is ≤ C counters per group
+    * REGARDLESS of stream length — that bound is the 100 TB path. */
+  def replayGuaranteed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val toks = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"),
+          pmod(graft.functions.Hashing.hash48(col("col")), lit(Partitions.toLong))
+            .cast("int").as("part"),
+          col("col").as("term"))
+      // corpus arrival order: (doc_id, pos) — deterministic replay;
+      // the guarantee (and thus the oracle) holds for ANY order
+      val feed = toks.orderBy(col("doc_id"), col("pos"))
+        .select(col("part"), col("term")).as[TokRow].collect()
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q315_mg_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TokRow]
+      val q = heavyHitters(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val survivors: Set[(Int, String)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          // final summary = last emission per (part, term)
+          spark.table(name).collect().zipWithIndex
+            .groupBy(r => (r._1.getInt(0), r._1.getString(1)))
+            .map { case (k, vs) => (k, vs.maxBy(_._2)) }.keys.toSet
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      val exact = toks.groupBy(col("part"), col("term"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val totals = toks.groupBy(col("part"))
+        .agg(count(lit(1)).cast("long").as("n_part"))
+      val surv = survivors.toSeq.toDF("part", "term")
+      exact.join(totals, Seq("part"))
+        .filter(col("n") * (Capacity + 1) > col("n_part"))
+        .join(broadcast(surv), Seq("part", "term"), "left_semi")
+        .select(col("part"), col("term"), col("n"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayGuaranteed]]: the exact guaranteed-heavy
+    * set — identical tokenization, hash48 routing, and threshold. */
+  val replayGuaranteedSql: String = {
+    val h48 = graft.functions.Hashing.hash48Sql("term")
+    s"""WITH toks AS (
+       |  SELECT CAST($h48 % $Partitions AS INT) AS part, term
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+       |cnt AS (SELECT part, term, CAST(count(*) AS BIGINT) AS n
+       |        FROM toks GROUP BY 1, 2),
+       |tot AS (SELECT part, CAST(count(*) AS BIGINT) AS n_part
+       |        FROM toks GROUP BY 1)
+       |SELECT c.part, c.term, c.n FROM cnt c JOIN tot t USING (part)
+       |WHERE c.n * ${Capacity + 1} > t.n_part""".stripMargin
+  }
 }

@@ -83,4 +83,59 @@ object TimeDecayStream {
           out.iterator
       }
   }
+
+  /** q316 — the time-decay attribution stream EXECUTED under the
+    * driver's full-hash gate (r15 verdict #5; TimeDecayStreamSpec
+    * already proved the ordered replay bit-exact vs q294 — this
+    * registers that execution). Events replay in (ts, event_id) order
+    * across three micro-batches (the touch window must carry across
+    * batch boundaries), per-(purchase, type) credits collect from the
+    * append sink, and the channel rollup — the same integer→display
+    * arithmetic as the batch operator — hash-matches q294's own
+    * oracle.
+    *
+    * Scale note (q259 doctrine): the collect/feed is the replay
+    * harness; the operator's per-user state is the trailing lookback
+    * window's touches — bounded by one user's week of activity, never
+    * stream history. */
+  def replayRollup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.events(spark, dir)
+        .select(col("user_id").cast("long"), col("ts"),
+          col("event_id").cast("long"), col("event_type"), col("value"))
+        .as[TdEvent].collect()
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q316_td_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TdEvent]
+      val q = timeDecayStream(input.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append").start()
+      val credits: Seq[TdCredit] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          spark.table(name).as[TdCredit].collect().toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      credits.toDS().toDF()
+        .groupBy(col("touch_type"))
+        .agg(expr("CAST(sum(n_pairs) AS BIGINT)").as("n_pairs"),
+          expr("round(CAST(sum(share_n) AS DOUBLE) / 1e9, 4) + 0.0")
+            .as("conversions"),
+          expr("round(CAST(sum(rev_n) AS DOUBLE) / 1e4, 4) + 0.0")
+            .as("revenue"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayRollup]]: q294's own oracle — replay ≡
+    * batch is the contract under test. */
+  val replayRollupSql: String = graft.operators.TimeDecay.eventTimeDecaySql
 }

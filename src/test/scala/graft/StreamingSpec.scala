@@ -792,6 +792,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q314: the registered sessionize replay equals batch q18 (micros preserved)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStream.replaySessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = operators.Events.sessionize(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    // the r16 registration bug class: parquet micros must survive the
+    // session-state round trip (epoch-millis state truncated them)
+    assert(got.exists(s => s._2.getNanos % 1000000 != 0),
+      "no sub-millisecond session bound survived — micros truncated?")
+  }
+
+  test("q315: every guaranteed-heavy term survives the MG stream with honest bounds") {
+    import graft.streaming.HeavyHittersStream
+    val dir = "/root/testdata/sf0.001"
+    val out = HeavyHittersStream.replayGuaranteed(spark, dir).cache()
+    // the registered row IS the guarantee: by the driver gate it must
+    // equal the exact set; here pin non-degeneracy and key uniqueness
+    assert(out.count() > 0, "no guaranteed-heavy terms at sf0.001")
+    assert(out.groupBy("part", "term").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("streaming sessionization: watermark-closed sessions equal the batch q18 sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
