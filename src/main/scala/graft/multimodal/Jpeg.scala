@@ -138,6 +138,13 @@ object Jpeg {
   }
   private val EncDc = new Huff(flatCounts(EncDcSyms.length, 4), EncDcSyms)
   private val EncAc = new Huff(flatCounts(EncAcSyms.length, 7), EncAcSyms)
+  /** Progressive AC table: EOB-run classes (nbits<<4, nbits ≤ 8) —
+    * which double as the (r, s=0) codes the sequential table never
+    * uses — plus the (run, size) pairs and ZRL. */
+  private val EncAcProgSyms: Array[Int] =
+    ((0 to 8).map(_ << 4) ++
+      (for (r <- 0 to 8; s <- 1 to 6) yield (r << 4) | s) ++ Seq(0xF0)).toArray
+  private val EncAcProg = new Huff(flatCounts(EncAcProgSyms.length, 7), EncAcProgSyms)
 
   // ---- bit IO ----
 
@@ -283,6 +290,184 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** One REAL progressive JPEG (SOF2) per document with the SAME
+    * quantized coefficients as [[buildCoefJpeg]] ([[coefVal]]), coded
+    * through a full successive-approximation scan script (T.81 G.1.2):
+    * interleaved DC first (Al=1) → DC refinement (raw bits) → per-
+    * component AC first scans (Ss=1..63, Al=1, EOB-run accumulation
+    * ACROSS blocks) → per-component AC refinement scans (Ah=1→Al=0:
+    * correction-bit buffering, newly-significant (r<<4)|1 codes, EOB
+    * runs carrying the buffered bits — the figure-G.7 machinery).
+    * Because the final coefficients are identical, the decoded pixels
+    * — and therefore the q317 oracle — are EXACTLY q258's. */
+  private[graft] def buildCoefJpegProgressive(id: Long, dig: Array[Byte]): Array[Byte] = {
+    val w = coefWidth(id); val h = coefHeight(id)
+    val bw = w / 8; val bh = h / 8; val nBlocks = bw * bh
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    marker(0xE0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    def dqt(tq: Int, q: Array[Int]): Unit = {
+      marker(0xDB); u16(2 + 1 + 64); u8(tq)
+      ZigZag.foreach(nat => u8(q(nat)))
+    }
+    dqt(0, QLuma); dqt(1, QChroma)
+    marker(0xC2); u16(8 + 3 * 3) // SOF2: progressive DCT, Huffman
+    u8(8); u16(h); u16(w); u8(3)
+    for (c <- 0 until 3) { u8(c + 1); u8(0x11); u8(if (c == 0) 0 else 1) }
+    def dht(tcTh: Int, t: Huff): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + t.symbols.length); u8(tcTh)
+      t.counts.foreach(u8); t.symbols.foreach(u8)
+    }
+    dht(0x00, EncDc); dht(0x10, EncAcProg)
+    dht(0x01, EncDc); dht(0x11, EncAcProg)
+    // quantized coefficient value at zigzag slot z for (component, block)
+    def zval(c: Int, b: Int, z: Int): Int = {
+      val k = CoefZz.indexOf(z)
+      if (k < 0) 0 else coefVal(dig, c, b, k)
+    }
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(6 + 2 * comps.length)
+      u8(comps.length)
+      comps.foreach { c =>
+        u8(c + 1); u8(if (c == 0) 0x00 else 0x11)
+      }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+
+    // ---- scan 1: DC first, interleaved, Al = 1 (diffs of v >> 1) ----
+    sos(Seq(0, 1, 2), 0, 0, 0, 1)
+    locally {
+      val bwr = new BitWriter(out)
+      val pred = new Array[Int](3)
+      def putVal(t: Huff, sym: Int, v: Int, size: Int): Unit = {
+        val (code, len) = t.encode(sym)
+        bwr.put(code, len)
+        if (size > 0) bwr.put(if (v < 0) v + (1 << size) - 1 else v, size)
+      }
+      for (b <- 0 until nBlocks; c <- 0 until 3) {
+        val sv = zval(c, b, 0) >> 1 // arithmetic shift — the DC point transform
+        val diff = sv - pred(c); pred(c) = sv
+        val t = bitLen(math.abs(diff))
+        putVal(EncDc, t, diff, t)
+      }
+      bwr.flush()
+    }
+
+    // ---- scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits) ----
+    sos(Seq(0, 1, 2), 0, 0, 1, 0)
+    locally {
+      val bwr = new BitWriter(out)
+      for (b <- 0 until nBlocks; c <- 0 until 3)
+        bwr.put(zval(c, b, 0) & 1, 1)
+      bwr.flush()
+    }
+
+    // ---- scans 3–5: AC first per component, Ss=1 Se=63 Al=1 ----
+    for (c <- 0 until 3) {
+      sos(Seq(c), 1, 63, 0, 1)
+      val bwr = new BitWriter(out)
+      def putSym(sym: Int): Unit = {
+        val (code, len) = EncAcProg.encode(sym); bwr.put(code, len)
+      }
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val nbits = bitLen(eobrun) - 1
+        putSym(nbits << 4)
+        if (nbits > 0) bwr.put(eobrun - (1 << nbits), nbits)
+        eobrun = 0
+      }
+      for (b <- 0 until nBlocks) {
+        // magnitudes at this approximation: |v| >> 1, sign reinstated
+        var lastNz = 0
+        var z = 1
+        while (z < 64) { if (math.abs(zval(c, b, z)) >> 1 != 0) lastNz = z; z += 1 }
+        if (lastNz == 0) { eobrun += 1; if (eobrun == 32767) flushEob() }
+        else {
+          flushEob()
+          var run = 0
+          z = 1
+          while (z <= lastNz) {
+            val v = zval(c, b, z)
+            val temp = math.abs(v) >> 1
+            if (temp == 0) run += 1
+            else {
+              while (run > 15) { putSym(0xF0); run -= 16 }
+              val s = bitLen(temp)
+              val sv = if (v < 0) -temp else temp
+              putSym((run << 4) | s)
+              bwr.put(if (sv < 0) sv + (1 << s) - 1 else sv, s)
+              run = 0
+            }
+            z += 1
+          }
+          if (lastNz < 63) { eobrun += 1; if (eobrun == 32767) flushEob() }
+        }
+      }
+      flushEob()
+      bwr.flush()
+    }
+
+    // ---- scans 6–8: AC refinement per component, Ah=1 Al=0 ----
+    for (c <- 0 until 3) {
+      sos(Seq(c), 1, 63, 1, 0)
+      val bwr = new BitWriter(out)
+      def putSym(sym: Int): Unit = {
+        val (code, len) = EncAcProg.encode(sym); bwr.put(code, len)
+      }
+      var eobrun = 0
+      val beBuf = scala.collection.mutable.ArrayBuffer.empty[Int] // bits riding the EOB run
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          val nbits = bitLen(eobrun) - 1
+          putSym(nbits << 4)
+          if (nbits > 0) bwr.put(eobrun - (1 << nbits), nbits)
+          eobrun = 0
+        }
+        beBuf.foreach(bwr.put(_, 1)); beBuf.clear()
+      }
+      for (b <- 0 until nBlocks) {
+        // EOB index: the LAST newly-significant (|v| == 1) coefficient
+        var eobIdx = 0
+        var z = 1
+        while (z < 64) { if (math.abs(zval(c, b, z)) == 1) eobIdx = z; z += 1 }
+        var run = 0
+        val brBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        z = 1
+        while (z < 64) {
+          val v = zval(c, b, z)
+          val temp = math.abs(v)
+          if (temp == 0) run += 1
+          else if (temp > 1) brBuf += (temp & 1) // history-nonzero: correction bit
+          else { // newly significant
+            while (run > 15 && z <= eobIdx) {
+              flushEob(); putSym(0xF0); run -= 16
+              brBuf.foreach(bwr.put(_, 1)); brBuf.clear()
+            }
+            flushEob()
+            putSym((run << 4) | 1)
+            bwr.put(if (v >= 0) 1 else 0, 1)
+            brBuf.foreach(bwr.put(_, 1)); brBuf.clear()
+            run = 0
+          }
+          z += 1
+        }
+        if (run > 0 || brBuf.nonEmpty) {
+          eobrun += 1; beBuf ++= brBuf
+          if (eobrun == 32767) flushEob()
+        }
+      }
+      flushEob()
+      bwr.flush()
+    }
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
   // ---- the general baseline decoder ----
 
   private final case class Component(id: Int, hi: Int, vi: Int, tq: Int)
@@ -304,7 +489,9 @@ object Jpeg {
     var comps: Array[Component] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
     var scan: Array[(Int, Int, Int)] = null // (compIdx, dcTbl, acTbl)
+    var scanSs = 0; var scanSe = 63; var scanAh = 0; var scanAl = 0
     var entropyStart = -1
     while (entropyStart < 0) {
       require(u8(pos) == 0xFF, "marker misalign")
@@ -313,7 +500,8 @@ object Jpeg {
       pos = p - 1
       m match {
         case 0xD9 => sys.error("EOI before scan")
-        case 0xC0 | 0xC1 => // baseline / extended sequential SOF
+        case 0xC0 | 0xC1 | 0xC2 => // baseline / ext. sequential / progressive SOF
+          progressive = m == 0xC2
           val n = u8(pos + 9)
           require(u8(pos + 4) == 8, "precision != 8")
           h = u16(pos + 5); w = u16(pos + 7)
@@ -323,8 +511,8 @@ object Jpeg {
             Component(u8(o), u8(o + 1) >> 4, u8(o + 1) & 0xF, u8(o + 2))
           }
           pos += 2 + u16(pos + 2)
-        case mm if mm >= 0xC2 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
-          sys.error("non-baseline SOF")
+        case mm if mm >= 0xC3 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
+          sys.error("unsupported SOF process")
         case 0xC4 => // DHT (possibly several tables)
           val end = pos + 2 + u16(pos + 2)
           var o = pos + 4
@@ -359,6 +547,9 @@ object Jpeg {
             require(ci >= 0, "scan component not in frame")
             (ci, u8(o + 1) >> 4, u8(o + 1) & 0xF)
           }
+          val so = pos + 5 + 2 * ns
+          scanSs = u8(so); scanSe = u8(so + 1)
+          scanAh = u8(so + 2) >> 4; scanAl = u8(so + 2) & 0xF
           entropyStart = pos + 2 + u16(pos + 2)
         case _ =>
           val len = u16(pos + 2)
@@ -374,6 +565,47 @@ object Jpeg {
     val planeW = comps.map(c => mcusX * c.hi * 8)
     val planeH = comps.map(c => mcusY * c.vi * 8)
     val planes = comps.indices.map(i => new Array[Int](planeW(i) * planeH(i))).toArray
+    // direct 2-D IDCT of one dequantized natural-order block, ascending
+    // natural index — the fold order the q258/q317 oracles mirror (zero
+    // coefficients add exact ±0.0); shared by both decode processes
+    def idctWrite(blk: Array[Int], ci: Int, px0: Int, py0: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var idx = 0
+          while (idx < 64) {
+            if (blk(idx) != 0)
+              s += blk(idx) * Ct(idx % 8)(x) * Ct(idx / 8)(y)
+            idx += 1
+          }
+          val v = 128.0 + s
+          val iv = math.floor(v + 0.5).toInt
+          planes(ci)((py0 + y) * planeW(ci) + px0 + x) =
+            if (iv < 0) 0 else if (iv > 255) 255 else iv
+          x += 1
+        }
+        y += 1
+      }
+    }
+    if (progressive)
+      decodeProgressiveScans(id, bytes, entropyStart, comps, w, h,
+        scan, scanSs, scanSe, scanAh, scanAl, restartInterval,
+        qt, dcT, acT, mcusX, mcusY, hmax, vmax, planeW, planeH, idctWrite)
+    else
+      decodeBaselineScan(bytes, entropyStart, comps, scan, restartInterval,
+        qt, dcT, acT, mcusX, mcusY, idctWrite)
+    renderMeans(id, comps, w, h, planes, planeW, hmax, vmax)
+  }
+
+  /** The single baseline (SOF0/SOF1) scan: inline entropy decode,
+    * dequantize, IDCT per block. */
+  private def decodeBaselineScan(bytes: Array[Byte], entropyStart: Int,
+      comps: Array[Component], scan: Array[(Int, Int, Int)],
+      restartInterval: Int, qt: Array[Array[Int]],
+      dcT: Array[Huff], acT: Array[Huff], mcusX: Int, mcusY: Int,
+      idctWrite: (Array[Int], Int, Int, Int) => Unit): Unit = {
     val rdr = new BitReader(bytes, entropyStart)
     val pred = new Array[Int](comps.length)
     val blk = new Array[Int](64)
@@ -414,33 +646,18 @@ object Jpeg {
               z += 1
             }
           }
-          // direct 2-D IDCT, ascending natural index — the fold order
-          // the q258 oracle mirrors (zero coefficients add exact ±0.0)
-          val px0 = (mx * c.hi + bx) * 8; val py0 = (my * c.vi + by) * 8
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0
-              var idx = 0
-              while (idx < 64) {
-                if (blk(idx) != 0)
-                  s += blk(idx) * Ct(idx % 8)(x) * Ct(idx / 8)(y)
-                idx += 1
-              }
-              val v = 128.0 + s
-              val iv = math.floor(v + 0.5).toInt
-              planes(ci)((py0 + y) * planeW(ci) + px0 + x) =
-                if (iv < 0) 0 else if (iv > 255) 255 else iv
-              x += 1
-            }
-            y += 1
-          }
+          idctWrite(blk, ci, (mx * c.hi + bx) * 8, (my * c.vi + by) * 8)
         }
       }
       mcu += 1
     }
-    // full-res sampling (replication upsample) + color convert + means
+  }
+
+  /** Full-res sampling (replication upsample) + color convert + means —
+    * shared by the baseline and progressive processes. */
+  private def renderMeans(id: Long, comps: Array[Component],
+      w: Int, h: Int, planes: Array[Array[Int]], planeW: Array[Int],
+      hmax: Int, vmax: Int): JpegPixels = {
     def sample(ci: Int, x: Int, y: Int): Int = {
       val c = comps(ci)
       planes(ci)((y * c.vi / vmax) * planeW(ci) + (x * c.hi / hmax))
@@ -470,6 +687,232 @@ object Jpeg {
     JpegPixels(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
+  /** The progressive (SOF2) scan loop — T.81 G.1.2 / figures G.2–G.7:
+    * quantized coefficients accumulate across scans in per-component
+    * stores (spectral selection picks the band, successive
+    * approximation the bit plane), and only after EOI are they
+    * dequantized and IDCT'd through the SAME fold as the baseline
+    * process. Handles: interleaved and single-component DC scans
+    * (first = shifted diffs, refinement = raw bits), non-interleaved
+    * AC scans with EOB-run accumulation (first) and the figure-G.7
+    * correction-bit walk (refinement, including mid-block EOB runs and
+    * ZRL over zero-history positions), DHT/DQT/DRI segments BETWEEN
+    * scans, and restart markers resetting predictors + EOB run. */
+  private def decodeProgressiveScans(id: Long, bytes: Array[Byte],
+      firstEntropy: Int, comps: Array[Component], w: Int, h: Int,
+      firstScan: Array[(Int, Int, Int)],
+      firstSs: Int, firstSe: Int, firstAh: Int, firstAl: Int,
+      restartInterval0: Int, qt: Array[Array[Int]],
+      dcT: Array[Huff], acT: Array[Huff],
+      mcusX: Int, mcusY: Int, hmax: Int, vmax: Int,
+      planeW: Array[Int], planeH: Array[Int],
+      idctWrite: (Array[Int], Int, Int, Int) => Unit): Unit = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var restartInterval = restartInterval0
+    val coefStore =
+      comps.indices.map(i => new Array[Int]((planeW(i) / 8) * (planeH(i) / 8) * 64)).toArray
+    def blockBase(ci: Int, bx: Int, by: Int): Int =
+      (by * (planeW(ci) / 8) + bx) * 64
+
+    var curScan = firstScan
+    var ss = firstSs; var se = firstSe; var ah = firstAh; var al = firstAl
+    var dataPos = firstEntropy
+    var sawEoi = false
+    while (!sawEoi) {
+      // ---- decode the current scan's entropy data ----
+      val rdr = new BitReader(bytes, dataPos)
+      val pred = new Array[Int](comps.length)
+      var eobrun = 0
+      def restart(): Unit = {
+        rdr.resetBits()
+        var q = rdr.pos
+        while (q + 1 < bytes.length && (bytes(q) & 0xFF) == 0xFF &&
+          (bytes(q + 1) & 0xFF) >= 0xD0 && (bytes(q + 1) & 0xFF) <= 0xD7) q += 2
+        require(q > rdr.pos, "missing RST marker")
+        rdr.pos = q
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      def doBlock(ci: Int, dci: Int, aci: Int, base: Int): Unit = {
+        val cf = coefStore(ci)
+        if (ss == 0) { // DC band
+          require(se == 0, "DC scan must have Se = 0")
+          if (ah == 0) {
+            val dtab = dcT(dci); require(dtab != null, "missing DHT")
+            val t = rdr.huff(dtab)
+            pred(ci) += extend(rdr.bits(t), t)
+            cf(base) = pred(ci) << al
+          } else if (rdr.bit() == 1) cf(base) |= (1 << al)
+        } else if (ah == 0) { // AC first pass for this bit position
+          val atab = acT(aci); require(atab != null, "missing DHT")
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = rdr.huff(atab); val r = rs >> 4; val s = rs & 0xF
+              if (s != 0) {
+                k += r
+                require(k <= se, "AC index overflow")
+                cf(base + ZigZag(k)) = extend(rdr.bits(s), s) << al
+                k += 1
+              } else if (r != 15) {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += rdr.bits(r)
+                k = se + 1
+              } else k += 16 // ZRL
+            }
+          }
+        } else { // AC refinement (figure G.7)
+          val atab = acT(aci); require(atab != null, "missing DHT")
+          val p1 = 1 << al; val m1 = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var ended = false
+            while (k <= se && !ended) {
+              val rs = rdr.huff(atab); var r = rs >> 4; val s = rs & 0xF
+              var newVal = 0
+              if (s == 0) {
+                if (r != 15) {
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += rdr.bits(r)
+                  ended = true
+                }
+                // r == 15: ZRL — skip 16 zero-history positions below
+              } else {
+                require(s == 1, "refinement size must be 1")
+                newVal = if (rdr.bit() == 1) p1 else m1
+              }
+              if (!ended) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = base + ZigZag(k)
+                  if (cf(idx) != 0) {
+                    // history-nonzero: one correction bit
+                    if (rdr.bit() == 1 && (cf(idx) & p1) == 0)
+                      cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+                  } else if (r == 0) {
+                    if (s != 0) cf(idx) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // the EOB run covers the rest of this block: correction
+            // bits still arrive for history-nonzero positions
+            while (k <= se) {
+              val idx = base + ZigZag(k)
+              if (cf(idx) != 0 && rdr.bit() == 1 && (cf(idx) & p1) == 0)
+                cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+      if (curScan.length > 1) { // interleaved (DC scans only, per T.81)
+        require(ss == 0, "interleaved AC scan is not legal")
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          for ((ci, dci, aci) <- curScan) {
+            val c = comps(ci)
+            for (by <- 0 until c.vi; bx <- 0 until c.hi)
+              doBlock(ci, dci, aci, blockBase(ci, mx * c.hi + bx, my * c.vi + by))
+          }
+          mcu += 1
+        }
+      } else { // non-interleaved: the component's own block raster
+        val (ci, dci, aci) = curScan(0)
+        val c = comps(ci)
+        val wB = (w * c.hi + 8 * hmax - 1) / (8 * hmax)
+        val hB = (h * c.vi + 8 * vmax - 1) / (8 * vmax)
+        var b = 0
+        while (b < wB * hB) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) restart()
+          doBlock(ci, dci, aci, blockBase(ci, b % wB, b / wB))
+          b += 1
+        }
+      }
+      // ---- advance to the next marker after the scan's entropy data ----
+      var pos = rdr.pos
+      while (pos + 1 < bytes.length &&
+        !((bytes(pos) & 0xFF) == 0xFF && (bytes(pos + 1) & 0xFF) != 0x00)) pos += 1
+      // ---- inter-scan segments until the next SOS or EOI ----
+      var inScan = false
+      while (!inScan && !sawEoi) {
+        require(pos + 1 < bytes.length && u8(pos) == 0xFF, "marker misalign")
+        var m = u8(pos + 1); var p = pos + 1
+        while (m == 0xFF && p + 1 < bytes.length) { p += 1; m = u8(p) }
+        pos = p - 1
+        m match {
+          case 0xD9 => sawEoi = true
+          case 0xC4 =>
+            val end = pos + 2 + u16(pos + 2)
+            var o = pos + 4
+            while (o < end) {
+              val tcTh = u8(o)
+              val counts = Array.tabulate(16)(i => u8(o + 1 + i))
+              val nsym = counts.sum
+              val syms = Array.tabulate(nsym)(i => u8(o + 17 + i))
+              val t = new Huff(counts, syms)
+              if (tcTh >> 4 == 0) dcT(tcTh & 0xF) = t else acT(tcTh & 0xF) = t
+              o += 17 + nsym
+            }
+            pos = end
+          case 0xDB =>
+            val end = pos + 2 + u16(pos + 2)
+            var o = pos + 4
+            while (o < end) {
+              val pq = u8(o) >> 4; val tq = u8(o) & 0xF
+              val tbl = new Array[Int](64)
+              for (i <- 0 until 64)
+                tbl(ZigZag(i)) = if (pq == 0) u8(o + 1 + i) else u16(o + 1 + 2 * i)
+              qt(tq) = tbl
+              o += 1 + (if (pq == 0) 64 else 128)
+            }
+            pos = end
+          case 0xDD => restartInterval = u16(pos + 4); pos += 2 + u16(pos + 2)
+          case 0xDA =>
+            val ns = u8(pos + 4)
+            curScan = Array.tabulate(ns) { i =>
+              val o = pos + 5 + 2 * i
+              val cidx = comps.indexWhere(_.id == u8(o))
+              require(cidx >= 0, "scan component not in frame")
+              (cidx, u8(o + 1) >> 4, u8(o + 1) & 0xF)
+            }
+            val so = pos + 5 + 2 * ns
+            ss = u8(so); se = u8(so + 1)
+            ah = u8(so + 2) >> 4; al = u8(so + 2) & 0xF
+            dataPos = pos + 2 + u16(pos + 2)
+            inScan = true
+          case _ =>
+            val len = u16(pos + 2)
+            require(len >= 2, "bad segment length")
+            pos += 2 + len
+        }
+      }
+    }
+    // ---- all scans in: dequantize + IDCT every block ----
+    for (ci <- comps.indices) {
+      val c = comps(ci)
+      val dq = qt(c.tq); require(dq != null, "missing DQT")
+      val wB = planeW(ci) / 8; val hB = planeH(ci) / 8
+      val blk = new Array[Int](64)
+      for (by <- 0 until hB; bx <- 0 until wB) {
+        val base = (by * wB + bx) * 64
+        var n = 0
+        while (n < 64) { blk(n) = coefStore(ci)(base + n) * dq(n); n += 1 }
+        idctWrite(blk, ci, bx * 8, by * 8)
+      }
+    }
+  }
+
   /** Distributed decode: one mapPartitions pass, malformed payloads
     * drop their ROW (never the job). */
   def decodeJpegPixels(payloadDf: DataFrame): Dataset[JpegPixels] = {
@@ -495,6 +938,142 @@ object Jpeg {
         "round(mean_g, 6) + 0.0 AS mean_g",
         "round(mean_b, 6) + 0.0 AS mean_b")
   }
+
+  /** Progressive payloads for every document — same coefficients,
+    * SOF2 scan script ([[buildCoefJpegProgressive]]). */
+  def jpegProgPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          md.reset()
+          (id, buildCoefJpegProgressive(id, md.digest(text.getBytes("UTF-8"))))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** q317: the PROGRESSIVE JPEG pixel pipeline under the driver's
+    * FULL-HASH gate (r15 verdict #3 — real web corpora are heavily
+    * progressive; q258 only proved the baseline process). Synthesizes
+    * SOF2 streams whose 8 scans exercise the whole G.1.2 surface (DC
+    * first/refine, per-component AC first with cross-block EOB runs,
+    * AC refinement with correction-bit buffering), runs the decoder's
+    * progressive path, and — because the accumulated coefficients are
+    * identical to q258's — hash-matches the SAME closed-form pixel
+    * oracle. ANY fault in the successive-approximation bit plumbing
+    * shifts a coefficient and the gate fails. */
+  def jpegProgressiveAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeJpegPixels(jpegProgPayloads(Tables.documents(spark, dir)))
+      .toDF()
+      .selectExpr("doc_id", "width", "height",
+        "round(mean_r, 6) + 0.0 AS mean_r",
+        "round(mean_g, 6) + 0.0 AS mean_g",
+        "round(mean_b, 6) + 0.0 AS mean_b")
+  }
+
+  /** DuckDB twin of [[jpegProgressiveAudit]]: q258's oracle verbatim —
+    * the progressive scan script carries the same coefficients, so the
+    * same closed-form pixel reconstruction is the truth for both. */
+  def jpegProgressiveAuditSql: String = jpegDecodeAuditSql
+
+  /** JPEG coding-process class by marker walk to the first SOF —
+    * "baseline" (SOF0/1), "progressive" (SOF2), "other" (any other
+    * SOF: lossless, arithmetic, hierarchical), "malformed" (no SOF /
+    * broken chain). The triage column that makes silently-dropped
+    * classes COUNTABLE (r15 verdict #3: a web corpus is heavily
+    * progressive — a profile that can't see the class can't see the
+    * drop rate). */
+  private[graft] def jpegProcessClass(bytes: Array[Byte]): String = {
+    def u8(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else -1
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return "malformed"
+    var pos = 2
+    while (pos + 3 < bytes.length) {
+      if (u8(pos) != 0xFF) return "malformed"
+      var m = u8(pos + 1); var p = pos + 1
+      while (m == 0xFF && p + 1 < bytes.length) { p += 1; m = u8(p) }
+      pos = p - 1
+      m match {
+        case 0xC0 | 0xC1 => return "baseline"
+        case 0xC2 => return "progressive"
+        case mm if mm >= 0xC3 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
+          return "other"
+        case 0xD9 | 0xDA => return "malformed" // scan/EOI before any SOF
+        case _ =>
+          val len = u16(pos + 2)
+          if (len < 2) return "malformed"
+          pos += 2 + len
+      }
+    }
+    "malformed"
+  }
+
+  /** A structurally valid but UNSUPPORTED-process stream: SOI, SOF3
+    * (lossless sequential) header, EOI. Classifiable, not decodable —
+    * the row q318 exists to count. */
+  private[graft] def buildSof3Stub(id: Long): Array[Byte] = {
+    val w = coefWidth(id); val h = coefHeight(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u8(0xFF); u8(0xD8) // SOI
+    u8(0xFF); u8(0xC3); u16(8 + 3) // SOF3, one component
+    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    u8(0xFF); u8(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** q318: the coding-process triage profile over a MIXED JPEG corpus
+    * (doc_id mod 5: 0–1 baseline coefficient payloads, 2–3 progressive,
+    * 4 the SOF3 stub): per class, how many documents and how many the
+    * decoder actually returned. The oracle recomputes both counts from
+    * the corpus-construction rule — so the gate checks that the
+    * CLASSIFIER routes every stream correctly AND that the decoder's
+    * coverage is exactly what the profile claims (baseline +
+    * progressive decode 1:1, "other" is visibly dropped, not silent). */
+  def jpegClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          md.reset()
+          val dig = md.digest(text.getBytes("UTF-8"))
+          val bytes = Math.floorMod(id, 5L) match {
+            case 0L | 1L => buildCoefJpeg(id, dig)
+            case 2L | 3L => buildCoefJpegProgressive(id, dig)
+            case _ => buildSof3Stub(id)
+          }
+          (jpegProcessClass(bytes),
+            if (parseJpegPixels(id, bytes).isDefined) 1L else 0L)
+        }
+      }
+      .toDF("jpeg_class", "dec")
+      .groupBy(col("jpeg_class"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dec")).cast("long").as("n_decoded"))
+  }
+
+  /** DuckDB twin of [[jpegClassProfile]]: the corpus-construction rule
+    * as arithmetic — class from doc_id mod 5, decodability 1 for the
+    * supported processes and 0 for "other". */
+  val jpegClassProfileSql: String =
+    """WITH cls AS (
+      |  SELECT CASE
+      |    WHEN doc_id % 5 IN (0, 1) THEN 'baseline'
+      |    WHEN doc_id % 5 IN (2, 3) THEN 'progressive'
+      |    ELSE 'other' END AS jpeg_class
+      |  FROM documents)
+      |SELECT jpeg_class, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN jpeg_class <> 'other' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_decoded
+      |FROM cls GROUP BY jpeg_class""".stripMargin
 
   /** DuckDB twin of [[jpegDecodeAudit]]: rebuilds each block's four
     * quantized coefficients from md5(text) ([[coefVal]]'s formula),

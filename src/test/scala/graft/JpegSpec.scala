@@ -65,6 +65,47 @@ class JpegSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("progressive ≡ baseline: same coefficients, bitwise-identical pixels") {
+    // the two scan scripts carry identical quantized coefficients, so
+    // the decoded stats must agree EXACTLY — any successive-
+    // approximation bit slip shifts a coefficient and breaks this
+    val docs = Tables.documents(spark, dir)
+    val base = Jpeg.decodeJpegPixels(Jpeg.jpegCoefPayloads(docs)).collect()
+      .map(p => p.doc_id -> p).toMap
+    val prog = Jpeg.decodeJpegPixels(Jpeg.jpegProgPayloads(docs)).collect()
+    assert(prog.length == base.size, "a progressive payload failed to decode")
+    prog.foreach { p => assert(p == base(p.doc_id), s"doc ${p.doc_id} differs") }
+  }
+
+  test("progressive payloads: the JDK's independent decoder agrees") {
+    // ImageIO is libjpeg-lineage and decodes progressive JPEG — a
+    // decoder-independent check that the SOF2 streams are well-formed
+    // and carry the pixels we think (band, not bitwise: IDCT paths
+    // differ)
+    val payloads = Jpeg.jpegProgPayloads(Tables.documents(spark, dir))
+      .limit(40).collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    var checked = 0
+    payloads.foreach { case (id, bytes) =>
+      val ours = Jpeg.parseJpegPixels(id, bytes)
+      assert(ours.isDefined, s"doc $id: progressive payload dropped")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejected the SOF2 stream")
+      val (w, h) = (img.getWidth, img.getHeight)
+      assert(ours.get.width == w && ours.get.height == h, s"doc $id geometry")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+      }
+      val n = (w * h).toDouble
+      assert(math.abs(ours.get.mean_r - sr / n) <= 3.0, s"doc $id mean_r")
+      assert(math.abs(ours.get.mean_g - sg / n) <= 3.0, s"doc $id mean_g")
+      assert(math.abs(ours.get.mean_b - sb / n) <= 3.0, s"doc $id mean_b")
+      checked += 1
+    }
+    info(s"cross-checked $checked progressive JPEGs against the JDK decoder")
+  }
+
   test("malformed payloads drop rows, never the job") {
     import spark.implicits._
     val good = Jpeg.buildCoefJpeg(7L, Array.tabulate(16)(i => (i * 17).toByte))
@@ -78,6 +119,17 @@ class JpegSpec extends AnyFunSuite {
     ).toDF("doc_id", "payload")
     val out = Jpeg.decodeJpegPixels(cases).collect()
     assert(out.map(_.doc_id).toSet == Set(6L))
+  }
+
+  test("process classifier: baseline / progressive / other / malformed routing") {
+    val dig = Array.tabulate(16)(i => (i * 31).toByte)
+    assert(Jpeg.jpegProcessClass(Jpeg.buildCoefJpeg(3L, dig)) == "baseline")
+    assert(Jpeg.jpegProcessClass(Jpeg.buildCoefJpegProgressive(3L, dig)) == "progressive")
+    assert(Jpeg.jpegProcessClass(Jpeg.buildSof3Stub(3L)) == "other")
+    assert(Jpeg.jpegProcessClass(Array[Byte](0x12, 0x34)) == "malformed")
+    assert(Jpeg.jpegProcessClass(Jpeg.buildCoefJpeg(3L, dig).take(4)) == "malformed")
+    // the unsupported process is dropped by the decoder, not crashed on
+    assert(Jpeg.parseJpegPixels(3L, Jpeg.buildSof3Stub(3L)).isEmpty)
   }
 
   test("DC-only flat block decodes to the closed-form constant") {
