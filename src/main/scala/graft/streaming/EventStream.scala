@@ -409,6 +409,9 @@ object EventStream {
       event_type: String, value: Option[Double])
   case class AttrConv(user_id: Long, ts: Timestamp, touch_type: String,
       value: Double)
+  /** t_ts is epoch MICROS (the q314 lesson: an epoch-millis window
+    * compare can disagree with the batch twin's microsecond timestamps
+    * exactly at the lookback boundary). */
   case class TouchState(t_type: String, t_ts: Long)
 
   /** Streaming twin of [[graft.operators.Attribution.lastTouch]]: each
@@ -432,16 +435,16 @@ object EventStream {
         (user, rows, st: GroupState[TouchState]) =>
           var cur = st.getOption
           val out = scala.collection.mutable.ListBuffer.empty[AttrConv]
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+          rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).foreach { r =>
             if (r.event_type == "purchase") {
               val credited = cur match {
-                case Some(t) if r.ts.getTime - t.t_ts <= lookbackDays * 86400000L =>
+                case Some(t) if tsMicros(r.ts) - t.t_ts <= lookbackDays * 86400000000L =>
                   t.t_type
                 case _ => "organic"
               }
               out += AttrConv(user, r.ts, credited, r.value.getOrElse(0.0))
             } else if (touches(r.event_type))
-              cur = Some(TouchState(r.event_type, r.ts.getTime))
+              cur = Some(TouchState(r.event_type, tsMicros(r.ts)))
           }
           cur.foreach(st.update)
           out.iterator
@@ -541,6 +544,96 @@ object EventStream {
           (round(col("sum_value"), 4) + 0.0).as("sum_value"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /** q320 — the SCD-2 stream EXECUTED under the driver's full-hash
+    * gate (r15 verdict #5/#8 — the twin-promotion ladder continued):
+    * events replay through [[scd2Stream]] in (ts, tie) order across
+    * three micro-batches; each key holds ONE open-version record and a
+    * version row is emitted the moment an observation CLOSES it. The
+    * oracle is q66's own SQL restricted to CLOSED versions — append
+    * mode's honest contract (the open version lives in state until its
+    * closing change arrives; q66's open rows are exactly the ones a
+    * running stream has not emitted YET). */
+  def replayScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.events(spark, dir)
+        .select(col("user_id").cast("long").as("key"),
+          col("event_type").as("state"), col("ts"),
+          col("event_id").cast("long").as("tie"))
+        .as[ScdObs].collect()
+        .sortBy(r => (tsMicros(r.ts), r.tie))
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q320_scd2_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ScdObs]
+      val q = scd2Stream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val rows: Seq[ScdClosed] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          spark.table(name).as[ScdClosed].collect().toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      rows.toDS().toDF()
+        .select(col("key").as("user_id"), col("state"),
+          col("valid_from"), col("valid_to"), col("version"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayScd2]]: q66's statement filtered to closed
+    * versions (valid_to IS NOT NULL). */
+  val replayScd2Sql: String =
+    s"""SELECT user_id, state, valid_from, valid_to, version
+       |FROM (${graft.operators.Scd.userStateHistorySql.replace("\n", " ")}) t
+       |WHERE valid_to IS NOT NULL""".stripMargin
+
+  /** q321 — last-touch attribution stream under the full-hash gate:
+    * (ts, event_id)-ordered replay through [[attributionStream]] (one
+    * TouchState record per user), per-conversion credits from the
+    * append sink, then q80's exact fixed-point rollup — the oracle is
+    * q80's own SQL verbatim. */
+  def replayLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.events(spark, dir)
+        .select(col("user_id").cast("long"), col("ts"),
+          col("event_id").cast("long"), col("event_type"), col("value"))
+        .as[AttrEvent].collect()
+        .sortBy(r => (tsMicros(r.ts), r.event_id))
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q321_attr_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AttrEvent]
+      val q = attributionStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val rows: Seq[AttrConv] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          spark.table(name).as[AttrConv].collect().toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      rows.toDS().toDF()
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"),
+          (expr("sum(CAST(floor(coalesce(value, 0) * 10000) AS BIGINT))") / 10000.0)
+            .as("revenue"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayLastTouch]]: q80's own oracle — replay ≡
+    * batch is the contract under test. */
+  val replayLastTouchSql: String = graft.operators.Attribution.lastTouchSql
 
   /** DuckDB twin of [[replaySessionize]]: the q18 statement projected
     * away from session_seq (replay ≡ batch is the contract). */
