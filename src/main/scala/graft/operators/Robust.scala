@@ -152,6 +152,136 @@ object Robust {
         "round(m, 6) + 0.0 AS slope", "round(b, 6) + 0.0 AS intercept")
   }
 
+  /** Theil–Sen slope with Sen's (1968) distribution-free confidence
+    * band (r15 verdict #8 — "Theil–Sen bands beside q102"): with N =
+    * total pair weight and V = Kendall's variance
+    * (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18 over the x-tie groups t, the
+    * band's endpoints are the k₁-th and k₂-th smallest pair slopes,
+    * k₁ = max(1, ⌊(N − z√V)/2⌋ + 1) and k₂ = ⌈(N + z√V)/2⌉ clamped to
+    * N — order-statistic picks on the SAME weighted slope grid the
+    * point estimate uses, so the band costs two more cumulative-weight
+    * window picks, not a second pair pass. Convention notes (mirrored
+    * verbatim in the oracle): z = 1.96; tie correction over x-value
+    * groups only; a group with constant x has no slopes → NULL row
+    * (the q102 contract).
+    *
+    * Integer discipline: N and the variance polynomial ride
+    * DECIMAL(38,0) (HUGEINT in the twin — the q102 pairing); the only
+    * doubles are the shared-text √V and the final slope values. */
+  def theilSenCi(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxCells: Long = CellGuard.DefaultMaxCells): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(xCol).as("vx"), col(yCol).as("vy"))
+      .agg(expr("CAST(count(1) AS BIGINT)").as("cnt"))
+      .localCheckpoint(true)
+    val c1 = cells.select(col("g"), col("vx").as("vx1"), col("vy").as("vy1"),
+      col("cnt").as("n1"))
+    val c2 = cells.select(col("g").as("g2"), col("vx").as("vx2"),
+      col("vy").as("vy2"), col("cnt").as("n2"))
+    val cum = Window.partitionBy("g").orderBy("slope")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("g")
+    val slopes = c1.join(c2, col("g") === col("g2") && col("vx1") < col("vx2"))
+      .select(col("g"), expr("(vy2 - vy1) / (vx2 - vx1)").as("slope"),
+        expr("CAST(n1 AS DECIMAL(38,0)) * n2").as("w"))
+      .groupBy("g", "slope")
+      .agg(expr("CAST(sum(w) AS DECIMAL(38,0))").as("w"))
+      .withColumn("cum", sum("w").over(cum))
+      .withColumn("wtot", sum("w").over(tot))
+      .withColumn("n_cells", count(lit(1)).over(tot))
+      .filter(expr(CellGuard.sqlGuard("theilSenCi", "n_cells", maxCells)))
+      .localCheckpoint(true) // three order-statistic picks ride it
+    // per-group Kendall variance with x-tie correction
+    val xTies = cells.groupBy("g", "vx")
+      .agg(expr("CAST(sum(cnt) AS DECIMAL(38,0))").as("t"))
+    val stats = cells.groupBy("g")
+      .agg(expr("CAST(sum(cnt) AS DECIMAL(38,0))").as("n"),
+        expr("CAST(sum(cnt) AS BIGINT)").as("n_rows"))
+      .join(xTies.groupBy("g")
+        .agg(expr("CAST(sum(t * (t - 1) * (2 * t + 5)) AS DECIMAL(38,0))").as("tie_poly")),
+        Seq("g"))
+      .selectExpr("g", "n_rows",
+        "CAST((n * (n - 1) * (2 * n + 5) - tie_poly) AS DOUBLE) / 18.0 AS vk")
+      .selectExpr("g", "n_rows", "1.96 * sqrt(vk) AS cz")
+    val ranked = slopes.join(stats.select("g", "cz"), Seq("g"))
+      .withColumn("k1", expr(
+        "greatest(CAST(1 AS BIGINT), CAST(floor((CAST(wtot AS DOUBLE) - cz) / 2.0) AS BIGINT) + 1)"))
+      .withColumn("k2", expr(
+        "CAST(ceil((CAST(wtot AS DOUBLE) + cz) / 2.0) AS BIGINT)"))
+    def pick(cond: String, as: String): DataFrame = ranked
+      .filter(expr(cond)).groupBy("g").agg(min("slope").as(as))
+    val mFit = pick("2 * cum >= wtot", "m")
+    val loFit = pick("cum >= k1", "lo")
+    val hiFit = pick("cum >= least(CAST(k2 AS DECIMAL(38,0)), wtot)", "hi")
+    stats.select("g", "n_rows")
+      .join(mFit, Seq("g"), "left")
+      .join(loFit, Seq("g"), "left")
+      .join(hiFit, Seq("g"), "left")
+      .selectExpr(s"g AS $groupCol", "n_rows",
+        "round(m, 6) + 0.0 AS slope",
+        "round(lo, 6) + 0.0 AS slope_lo",
+        "round(hi, 6) + 0.0 AS slope_hi")
+  }
+
+  /** q322: the q102 fit with its Sen confidence band. */
+  def lineitemTheilSenCi(spark: SparkSession, dir: String): DataFrame =
+    theilSenCi(
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_yr", expr("year(l_shipdate)")),
+      "ship_yr", "l_quantity", "l_discount")
+
+  /** DuckDB twin of [[lineitemTheilSenCi]]: identical cell grid,
+    * HUGEINT weight/variance polynomials, shared order-statistic
+    * picks. */
+  val lineitemTheilSenCiSql: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(year(l_shipdate) AS INTEGER) AS g, l_quantity AS vx,
+       |    l_discount AS vy, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |slopes AS (
+       |  SELECT g, slope,
+       |    sum(w) OVER (PARTITION BY g ORDER BY slope
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(w) OVER (PARTITION BY g) AS wtot
+       |  FROM (
+       |    SELECT c1.g, (c2.vy - c1.vy) / (c2.vx - c1.vx) AS slope,
+       |      CAST(sum(CAST(c1.cnt AS HUGEINT) * c2.cnt) AS HUGEINT) AS w
+       |    FROM cells c1 JOIN cells c2 ON c1.g = c2.g AND c1.vx < c2.vx
+       |    GROUP BY 1, 2)),
+       |stats AS (
+       |  SELECT n.g, n.n_rows,
+       |    1.96 * sqrt(CAST((n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_poly)
+       |      AS DOUBLE) / 18.0) AS cz
+       |  FROM (SELECT g, CAST(sum(cnt) AS HUGEINT) AS n,
+       |          CAST(sum(cnt) AS BIGINT) AS n_rows
+       |        FROM cells GROUP BY 1) n
+       |  JOIN (SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS HUGEINT) AS tie_poly
+       |        FROM (SELECT g, vx, CAST(sum(cnt) AS HUGEINT) AS t
+       |              FROM cells GROUP BY 1, 2) GROUP BY 1) t
+       |    ON n.g = t.g),
+       |ranked AS (
+       |  SELECT s.*,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor((CAST(wtot AS DOUBLE) - cz) / 2.0) AS BIGINT) + 1) AS k1,
+       |    CAST(ceil((CAST(wtot AS DOUBLE) + cz) / 2.0) AS BIGINT) AS k2
+       |  FROM slopes s JOIN stats ON s.g = stats.g),
+       |mfit AS (SELECT g, min(slope) AS m FROM ranked WHERE 2 * cum >= wtot GROUP BY 1),
+       |lofit AS (SELECT g, min(slope) AS lo FROM ranked WHERE cum >= k1 GROUP BY 1),
+       |hifit AS (SELECT g, min(slope) AS hi FROM ranked
+       |          WHERE cum >= least(CAST(k2 AS HUGEINT), wtot) GROUP BY 1)
+       |SELECT stats.g AS ship_yr, stats.n_rows,
+       |  round(mfit.m, 6) + 0.0 AS slope,
+       |  round(lofit.lo, 6) + 0.0 AS slope_lo,
+       |  round(hifit.hi, 6) + 0.0 AS slope_hi
+       |FROM stats
+       |LEFT JOIN mfit ON stats.g = mfit.g
+       |LEFT JOIN lofit ON stats.g = lofit.g
+       |LEFT JOIN hifit ON stats.g = hifit.g""".stripMargin
+
   /** q102: robust discount-vs-quantity line per ship year — the
     * outlier-proof twin of what q32 fits by least squares. */
   def lineitemTheilSen(spark: SparkSession, dir: String): DataFrame =

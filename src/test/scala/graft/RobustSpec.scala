@@ -122,6 +122,41 @@ class RobustSpec extends AnyFunSuite {
       (math.rint(expectM * 1e6) / 1e6))
   }
 
+  test("q322: Sen band brackets the point estimate and matches brute ranks") {
+    import spark.implicits._
+    // noisy line: slopes spread, so the band is non-degenerate
+    val pts = (1 to 12).map(i =>
+      ("g", i.toDouble, 2.0 * i + (if (i % 3 == 0) 1.5 else -0.5)))
+    val df = pts.toDF("g", "x", "y")
+    val r = operators.Robust.theilSenCi(df, "g", "x", "y").head()
+    val (m, lo, hi) = (r.getDouble(r.fieldIndex("slope")),
+      r.getDouble(r.fieldIndex("slope_lo")), r.getDouble(r.fieldIndex("slope_hi")))
+    assert(lo <= m && m <= hi, s"band [$lo, $hi] must bracket $m")
+    assert(lo < hi, "band must be non-degenerate on noisy data")
+    // brute-force the same convention: k1/k2 order statistics on the
+    // expanded slope list with the x-tie-corrected Kendall variance
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices
+      if pts(i)._2 < pts(j)._2
+    } yield (pts(j)._3 - pts(i)._3) / (pts(j)._2 - pts(i)._2)).sorted
+    val n = pts.size.toDouble
+    val v = n * (n - 1) * (2 * n + 5) / 18.0 // no x ties here
+    val cz = 1.96 * math.sqrt(v)
+    val k1 = math.max(1, math.floor((slopes.size - cz) / 2.0).toInt + 1)
+    val k2 = math.min(slopes.size, math.ceil((slopes.size + cz) / 2.0).toInt)
+    assert(lo == math.rint(slopes(k1 - 1) * 1e6) / 1e6)
+    assert(hi == math.rint(slopes(k2 - 1) * 1e6) / 1e6)
+  }
+
+  test("q322: constant-x group yields NULL band, counts intact") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 2.0), ("g", 1.0, 9.0)).toDF("g", "x", "y")
+    val r = operators.Robust.theilSenCi(df, "g", "x", "y").head()
+    assert(r.getLong(r.fieldIndex("n_rows")) == 2L)
+    assert(r.isNullAt(r.fieldIndex("slope")) &&
+      r.isNullAt(r.fieldIndex("slope_lo")) && r.isNullAt(r.fieldIndex("slope_hi")))
+  }
+
   test("q102: constant-x group yields NULL fit, counts intact") {
     import spark.implicits._
     val df = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0), ("g", 5.0, 3.0),
