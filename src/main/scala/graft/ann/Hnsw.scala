@@ -108,10 +108,12 @@ object Hnsw {
 
     /** Greedy descent at one level: walk to the closest neighbor until
       * no improvement. Deterministic — neighbor lists have a fixed
-      * order and strict improvement is required to move. */
-    private def greedy(q: Array[Double], qn: Double, ep: Int, level: Int): Int = {
+      * order and strict improvement is required to move. The distance
+      * is INJECTED so search can ride a compressed scorer (DiskANN's
+      * ADC traversal) over the same graph. */
+    private def greedyBy(d: Int => Double, ep: Int, level: Int): Int = {
       var cur = ep
-      var curD = dist(cur, q, qn)
+      var curD = d(cur)
       var improved = true
       while (improved) {
         improved = false
@@ -119,9 +121,9 @@ object Hnsw {
         var i = 0
         while (i < nb.length) {
           val c = nb(i)
-          val d = dist(c, q, qn)
-          if (d < curD || (d == curD && c < cur)) {
-            cur = c; curD = d; improved = true
+          val dc = d(c)
+          if (dc < curD || (dc == curD && c < cur)) {
+            cur = c; curD = dc; improved = true
           }
           i += 1
         }
@@ -129,16 +131,18 @@ object Hnsw {
       cur
     }
 
-    /** Best-first beam (Algorithm 2): returns up to ef nodes closest to
-      * q at `level`, ascending by (dist, id). */
-    private def searchLayer(q: Array[Double], qn: Double, ep: Int,
+    private def greedy(q: Array[Double], qn: Double, ep: Int, level: Int): Int =
+      greedyBy(dist(_, q, qn), ep, level)
+
+    /** Best-first beam (Algorithm 2) with an injected distance. */
+    private def searchLayerBy(d: Int => Double, ep: Int,
         ef: Int, level: Int): mutable.ArrayBuffer[(Double, Int)] = {
       val visited = new java.util.HashSet[Integer]()
       implicit val ordAsc: Ordering[(Double, Int)] = Ordering.Tuple2
       // candidates: closest first; results: farthest first (bounded ef)
       val cand = mutable.PriorityQueue.empty[(Double, Int)](ordAsc.reverse)
       val res = mutable.PriorityQueue.empty[(Double, Int)](ordAsc)
-      val d0 = dist(ep, q, qn)
+      val d0 = d(ep)
       visited.add(ep); cand.enqueue((d0, ep)); res.enqueue((d0, ep))
       while (cand.nonEmpty) {
         val (cd, c) = cand.dequeue()
@@ -151,10 +155,10 @@ object Hnsw {
             val e = nb(i)
             if (!visited.contains(e)) {
               visited.add(e)
-              val d = dist(e, q, qn)
-              if (res.size < ef || d < res.head._1 ||
-                  (d == res.head._1 && e < res.head._2)) {
-                cand.enqueue((d, e)); res.enqueue((d, e))
+              val de = d(e)
+              if (res.size < ef || de < res.head._1 ||
+                  (de == res.head._1 && e < res.head._2)) {
+                cand.enqueue((de, e)); res.enqueue((de, e))
                 if (res.size > ef) res.dequeue()
               }
             }
@@ -167,6 +171,10 @@ object Hnsw {
       out.sortInPlace()
       out
     }
+
+    private def searchLayer(q: Array[Double], qn: Double, ep: Int,
+        ef: Int, level: Int): mutable.ArrayBuffer[(Double, Int)] =
+      searchLayerBy(dist(_, q, qn), ep, ef, level)
 
     /** Select up to m neighbors from a (dist,id)-ascending pool —
       * simple closest-first selection (the paper's SELECT-SIMPLE;
@@ -221,6 +229,20 @@ object Hnsw {
         .map { case (d, i) => Cand(queryId, ids(i), 1.0 - d) }
         .toSeq
     }
+
+    /** Query with an INJECTED distance over local node ids — the
+      * DiskANN traversal hook: the caller scores nodes from compressed
+      * codes, so the walk never touches a full vector. Returns
+      * (distance, localIdx) ascending; map ids via [[idOf]]. */
+    def searchBy(d: Int => Double, ef: Int): Seq[(Double, Int)] = {
+      if (entry < 0) return Nil
+      var ep = entry
+      var l = levels(entry)
+      while (l > 0) { ep = greedyBy(d, ep, l); l -= 1 }
+      searchLayerBy(d, ep, ef, 0).toSeq
+    }
+
+    def idOf(i: Int): Long = ids(i)
   }
 
   private def embCast(emb: DataFrame): DataFrame =
