@@ -72,4 +72,62 @@ object WeightedSampleStream {
           }
         })
   }
+
+  /** q325 — the A-Res reservoir EXECUTED under the driver's full-hash
+    * gate (r15 verdict #8: "reservoir of the weighted-sample stream
+    * under the gate"; q259 runs this operator as a pipeline STAGE —
+    * this registers it standalone against q160's own oracle). Replay:
+    * deterministic Knuth scramble of the keyed frame, three
+    * micro-batches PLUS a duplicate redelivery of the first chunk
+    * (at-least-once idempotence is part of the gated claim), final
+    * winner set = last Update emission per (g, rk), es_key re-attached
+    * from the pure keyed projection for the oracle's column set. The
+    * election is order-free (A-Res ≡ batch Efraimidis–Spirakis by
+    * construction), so ANY replay order hash-matches q160. */
+  def replayReservoir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val src = graft.Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val keyed = keyedStream(src, "source", "doc_id", "n_chars")
+        .localCheckpoint(true) // feed + es_key join-back share it
+      val feed = keyed.collect().toSeq
+        .sortBy(r => r.id * 2654435761L % 1000003) // the q259 scramble
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q325_res_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyedRow]
+      val q = weightedSample(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val winners: Seq[(String, Long, Long, Int)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+          input.addData(feed.take(feed.length / 3)) // duplicate redelivery
+          q.processAllAvailable()
+          spark.table(name).collect().zipWithIndex
+            .groupBy(r => (r._1.getString(0), r._1.getInt(3)))
+            .map { case (_, vs) =>
+              val r = vs.maxBy(_._2)._1
+              (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))
+            }.toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      winners.toDF("source", "doc_id", "w", "rk")
+        .join(keyed.toDF().select(col("g").as("source"),
+          col("id").as("doc_id"), col("es")), Seq("source", "doc_id"))
+        .select(col("source"), col("doc_id"), col("w"), col("rk"),
+          (round(col("es"), 6) + 0.0).as("es_key"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayReservoir]]: q160's own oracle. */
+  val replayReservoirSql: String =
+    graft.operators.WeightedSample.sourceWeightedSampleSql
 }
