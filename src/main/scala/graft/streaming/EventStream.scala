@@ -100,7 +100,9 @@ object EventStream {
 
   /** Streaming as-of input row: side 0 = state change, side 1 = measure. */
   case class AsofEvent(user_id: Long, ts: Timestamp, side: Int, event_id: Long, value: Double)
-  case class AsofPending(event_id: Long, tsMs: Long, value: Double)
+  /** tsUs is epoch MICROS (the q314 lesson — millis state truncated
+    * the parquet microseconds the batch twin keeps). */
+  case class AsofPending(event_id: Long, tsUs: Long, value: Double)
   /** `maxTs` = newest event time seen for the user — the timeout base.
     * The WATERMARK is 0 during the first microbatch, so anchoring the
     * timeout on it would evict batch-1 users at epoch+TTL (i.e.
@@ -128,10 +130,10 @@ object EventStream {
 
     def resolve(user: Long, states: List[(Long, Double)], ready: List[AsofPending]) = {
       val sorted = states.sortBy(_._1)
-      ready.sortBy(p => (p.tsMs, p.event_id)).map { p =>
-        val st = sorted.filter(_._1 <= p.tsMs).lastOption
-        EnrichedEvent(user, p.event_id, new Timestamp(p.tsMs), p.value,
-          st.map(s => new Timestamp(s._1)), st.map(_._2))
+      ready.sortBy(p => (p.tsUs, p.event_id)).map { p =>
+        val st = sorted.filter(_._1 <= p.tsUs).lastOption
+        EnrichedEvent(user, p.event_id, microsTs(p.tsUs), p.value,
+          st.map(s => microsTs(s._1)), st.map(_._2))
       }
     }
 
@@ -143,9 +145,11 @@ object EventStream {
     // watermark is 0 during the first microbatch — anchoring on it
     // would evict batch-1 users at epoch+TTL, i.e. instantly).
     // Spark requires the timestamp to sit beyond the current watermark.
-    def nextTimeout(wm: Long, rest: List[AsofPending], maxTs: Long): Long = {
-      val base = if (rest.nonEmpty) rest.map(_.tsMs).min else maxTs + stateTtlMs
-      math.max(wm + 1, base)
+    def nextTimeout(wm: Long, rest: List[AsofPending], maxTsUs: Long): Long = {
+      // state times are MICROS; the timeout clock is millis — round up
+      val baseUs = if (rest.nonEmpty) rest.map(_.tsUs).min
+        else maxTsUs + stateTtlMs * 1000L
+      math.max(wm + 1, Math.floorDiv(baseUs + 999L, 1000L))
     }
 
     events
@@ -161,9 +165,9 @@ object EventStream {
           var pending = prev.pending
           var maxTs = prev.maxTs
           rows.foreach { e =>
-            if (e.side == 0) states ::= (e.ts.getTime, e.value)
-            else pending ::= AsofPending(e.event_id, e.ts.getTime, e.value)
-            maxTs = math.max(maxTs, e.ts.getTime)
+            if (e.side == 0) states ::= (tsMicros(e.ts), e.value)
+            else pending ::= AsofPending(e.event_id, tsMicros(e.ts), e.value)
+            maxTs = math.max(maxTs, tsMicros(e.ts))
           }
           // release measures at-or-before the watermark: Spark's
           // late-data drop predicate is ts <= watermark (INCLUSIVE —
@@ -173,14 +177,18 @@ object EventStream {
           // ever arrive again — releasing with <= misses nothing, and a
           // strict < would only delay the boundary measure one extra
           // watermark advance for no correctness gain
-          val (ready, rest) = pending.partition(_.tsMs <= wm)
+          // wm is millis; internal times micros. Spark's late-drop
+          // predicate compares micros event time against wm·1000, so
+          // tsUs <= wm·1000 is the exact release mirror.
+          val wmUs = wm * 1000L
+          val (ready, rest) = pending.partition(_.tsUs <= wmUs)
           val out = resolve(user, states, ready)
           // prune states: future measures all have ts > wm, so they
           // need at most the newest state <= wm plus everything after
           val sorted = states.sortBy(_._1)
-          val kept = sorted.filter(_._1 <= wm).lastOption.toList ++
-            sorted.filter(_._1 > wm)
-          val idle = rest.isEmpty && wm >= maxTs + stateTtlMs
+          val kept = sorted.filter(_._1 <= wmUs).lastOption.toList ++
+            sorted.filter(_._1 > wmUs)
+          val idle = rest.isEmpty && wmUs >= maxTs + stateTtlMs * 1000L
           if (idle || (kept.isEmpty && rest.isEmpty)) state.remove()
           else {
             state.update(AsofBuf(kept, rest, maxTs))
@@ -634,6 +642,183 @@ object EventStream {
   /** DuckDB twin of [[replayLastTouch]]: q80's own oracle — replay ≡
     * batch is the contract under test. */
   val replayLastTouchSql: String = graft.operators.Attribution.lastTouchSql
+
+  /** q326 — the as-of enrichment stream EXECUTED under the driver's
+    * full-hash gate: the q35 derivation's two sides (rounded measures;
+    * (user, ts)-deduped states) replay as ONE interleaved event-time-
+    * ordered feed through [[asofStream]] in three micro-batches, two
+    * far-future pusher batches advance the watermark so every buffered
+    * measure releases, and event_type joins back by event_id (a pure
+    * projection) to complete q35's column set. The oracle is q35's own
+    * SQL verbatim. Registration rode the micros hardening of
+    * [[AsofPending]] — the third instance of the q314 precision class. */
+  def replayAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val ev = graft.Tables.events(spark, dir)
+      val left = ev.filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("ts"), col("event_type"),
+          (round(col("value"), 4) + 0.0).as("value"))
+        .localCheckpoint(true) // feed + event_type join-back share it
+      val rights = ev.filter(col("event_type").isin("signup", "error"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg((round(expr("max_by(value, event_id)"), 4) + 0.0).as("state_value"))
+        .select(col("user_id").cast("long"), col("ts"), col("state_value"))
+        .as[(Long, Timestamp, Double)].collect()
+        .map { case (u, t, v) => AsofEvent(u, t, 0, 0L, v) }
+      val lefts = left
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, Timestamp, Long, Double)].collect()
+        .map { case (u, t, id, v) => AsofEvent(u, t, 1, id, v) }
+      val feed = (rights ++ lefts).sortBy(e => (tsMicros(e.ts), e.side, e.event_id))
+      val maxTs = feed.map(e => tsMicros(e.ts)).max / 1000L
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q326_asof_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsofEvent]
+      // TTL > the table's whole span: the batch twin joins states of
+      // ANY age, so the replay must not let the bounded-state knob
+      // evict an idle user's state mid-table (the TTL contract itself
+      // is pinned separately in StreamingSpec)
+      val q = asofStream(input.toDS(), watermark = "10 minutes",
+          stateTtlMs = 365L * 86400000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val rows: Seq[EnrichedEvent] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          input.addData(AsofEvent(-1L, new Timestamp(maxTs + 86400000L), 1, -1L, 0.0))
+          q.processAllAvailable()
+          input.addData(AsofEvent(-1L, new Timestamp(maxTs + 90000000L), 1, -2L, 0.0))
+          q.processAllAvailable()
+          spark.table(name).as[EnrichedEvent]
+            .filter(col("user_id") >= 0L).collect().toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      rows.toDS().toDF()
+        .join(left.select(col("event_id"), col("event_type")), Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("state_ts"), col("state_value"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayAsof]]: q35's own oracle. */
+  def replayAsofSql: String = graft.operators.AsOf.asofEventStateSql
+
+  /** q327 — the exact-dedup stream EXECUTED under the driver's
+    * full-hash gate: documents replay through [[dedupStream]] in
+    * doc_id order (three micro-batches; arrival order IS the
+    * canonical-id rule — first arrival survives, so ordered replay
+    * makes the survivor the min doc_id, exactly q19's canonical pick),
+    * with a deterministic synthetic event time (epoch + doc_id ms —
+    * the documents table has no timestamp; monotone, so nothing is
+    * late). The stream's survivors carry (text_hash, canonical_id);
+    * n_copies joins back from the plain batch count (a pure aggregate
+    * — the OPERATOR under the gate is the keep-first state machine).
+    * Oracle = q19's own SQL. */
+  def replayDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+      val feed = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+        // base well past epoch: the INITIAL watermark is 0, and a row
+        // with ts <= watermark is dropped as late — doc_id 0 at epoch 0
+        // would silently vanish
+        .map { case (id, text) => (new Timestamp(1700000000000L + id), id, text) }
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q327_dedup_$tag"
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Timestamp, Long, String)]
+      val q = dedupStream(input.toDF().toDF("ts", "doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val survivors: Seq[(String, Long)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          spark.table(name).select(col("text_hash"), col("doc_id"))
+            .as[(String, Long)].collect().toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      val counts = docs.select(md5(col("text")).as("text_hash"))
+        .groupBy("text_hash").agg(count(lit(1)).as("n_copies"))
+      survivors.toDF("text_hash", "canonical_id")
+        .join(counts, Seq("text_hash"))
+        .select(col("text_hash"), col("canonical_id"), col("n_copies"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayDedup]]: q19's own oracle. */
+  def replayDedupSql: String = graft.dedup.Dedup.dedupExactSql
+
+  /** q328 — the stream-stream RANGE join EXECUTED under the driver's
+    * full-hash gate: q36's two sides (error intervals; click/view/
+    * purchase measures) replay as two live watermarked feeds through
+    * [[rangeJoinStream]] in interleaved event-time order (the q311
+    * discipline — both watermarks move while the other side still has
+    * matches coming), and the appended pairs roll up to q36's
+    * (user_id, start_ts) aggregate. Oracle = q36's own SQL. */
+  def replayRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val ev = graft.Tables.events(spark, dir)
+      val mRows = ev.filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+        .as[(Long, Timestamp, Double)].collect().sortBy(r => tsMicros(r._2))
+      val iRows = ev.filter(col("event_type") === "error")
+        .select(col("user_id").cast("long"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+        .as[(Long, Timestamp, Timestamp)].collect().sortBy(r => tsMicros(r._2))
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q328_range_$tag"
+      val mIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Timestamp, Double)]
+      val iIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Timestamp, Timestamp)]
+      val measures = mIn.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+      val intervals = iIn.toDF().toDF("user_id", "start_ts", "end_ts")
+        .withWatermark("start_ts", "1 hour")
+      val q = rangeJoinStream(measures, intervals,
+          Seq("user_id"), "ts", "start_ts", "end_ts", "30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val pairs =
+        try {
+          val mChunks = mRows.grouped(math.max(1, (mRows.length + 2) / 3)).toSeq
+          val iChunks = iRows.grouped(math.max(1, (iRows.length + 2) / 3)).toSeq
+          (0 until math.max(mChunks.length, iChunks.length)).foreach { k =>
+            if (k < mChunks.length) mIn.addData(mChunks(k).toSeq)
+            if (k < iChunks.length) iIn.addData(iChunks(k).toSeq)
+            q.processAllAvailable()
+          }
+          spark.table(name)
+            .select(col("user_id"), col("start_ts"), col("value"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      pairs.toDF("user_id", "start_ts", "value")
+        .groupBy(col("user_id"), col("start_ts"))
+        .agg(count(lit(1)).as("n_events"),
+          (round(sum(col("value")), 4) + 0.0).as("sum_value"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayRangeJoin]]: q36's own oracle. */
+  def replayRangeJoinSql: String =
+    graft.operators.RangeJoin.rangeEventWindowsSql
 
   /** DuckDB twin of [[replaySessionize]]: the q18 statement projected
     * away from session_seq (replay ≡ batch is the contract). */
