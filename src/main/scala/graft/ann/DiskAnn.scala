@@ -121,8 +121,11 @@ object DiskAnn {
     val qDf = queries.toSeq.toDF("query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.toDF("query_id", "neighbor_id")
-      .join(corpus.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    // the candidate set is query-bounded (|queries|·NShards·ef rows) —
+    // BROADCAST it against the corpus scan so the exact re-rank's
+    // vector reads are one shuffle-free probe pass at any corpus size
+    corpus.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(cands.toDF("query_id", "neighbor_id")), Seq("neighbor_id"))
       .join(broadcast(qDf), Seq("query_id"))
       .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
