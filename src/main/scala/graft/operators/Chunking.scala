@@ -182,4 +182,85 @@ object Chunking {
        |  CAST(floor((start_off + n_tok - 1) / $PackCapacity)
        |    - floor(start_off / $PackCapacity) + 1 AS BIGINT) AS n_seqs
        |FROM o""".stripMargin
+
+  // ---- q331: length-bucketed batching waste curve ----
+
+  /** Candidate context capacities for the batching-policy curve. */
+  val BatchCapacities: Seq[Int] = Seq(64, 128, 256, 512)
+  /** Length-quantile buckets per capacity. */
+  val BatchBuckets = 4
+
+  /** q331 — the PADDING-WASTE curve that decides a batching policy
+    * (round-16 widening; the question q58's packing answers one way
+    * and inference/fine-tuning batchers answer another): per candidate
+    * capacity C, every document is clipped to C tokens and padded
+    * either (a) straight to C — the naive fixed-shape batch — or
+    * (b) to the max of its NTILE([[BatchBuckets]]) length-quantile
+    * bucket — length-bucketed batching, the standard padding-waste
+    * mitigation. One row per capacity: doc counts, truncation count,
+    * both waste totals, and the waste ratio — the measured curve that
+    * says whether bucketing is worth its scheduling complexity at each
+    * context size. ntile runs over (clipped length, doc_id) — a total
+    * order, so bucket boundaries are deterministic on both engines.
+    * Plan: one scan, a capacity explode (×4), one window per capacity
+    * partition, one aggregate. */
+  def batchingWaste(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val byCap = perDoc
+      .select(col("doc_id"), col("n_tok"),
+        explode(typedLit(BatchCapacities)).as("capacity"))
+      .withColumn("clipped", least(col("n_tok"), col("capacity").cast("long")))
+    val w = Window.partitionBy(col("capacity"))
+      .orderBy(col("clipped"), col("doc_id"))
+    val bw = Window.partitionBy(col("capacity"), col("bucket"))
+    byCap
+      .withColumn("bucket", ntile(BatchBuckets).over(w))
+      .withColumn("bucket_max", max(col("clipped")).over(bw))
+      .groupBy(col("capacity"))
+      .agg(
+        expr("CAST(count(1) AS BIGINT)").as("n_docs"),
+        expr("CAST(sum(CASE WHEN n_tok > capacity THEN 1 ELSE 0 END)" +
+          " AS BIGINT)").as("n_truncated"),
+        expr("CAST(sum(capacity - clipped) AS BIGINT)").as("waste_pad_to_cap"),
+        expr("CAST(sum(bucket_max - clipped) AS BIGINT)").as("waste_bucketed"),
+        expr("round(CAST(sum(bucket_max - clipped) AS DOUBLE)" +
+          " / nullif(CAST(sum(capacity - clipped) AS DOUBLE), 0e0), 6) + 0.0")
+          .as("waste_ratio"))
+  }
+
+  def batchingWaste(spark: SparkSession, dir: String): DataFrame =
+    batchingWaste(Tables.documents(spark, dir))
+
+  /** DuckDB twin of [[batchingWaste]]: same explode, same ntile total
+    * order, same integer waste sums. */
+  val batchingWasteSql: String = {
+    val caps = BatchCapacities.mkString(", ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |bycap AS (
+       |  SELECT doc_id, n_tok, CAST(capacity AS INT) AS capacity,
+       |    least(n_tok, capacity) AS clipped
+       |  FROM perdoc CROSS JOIN (SELECT unnest([$caps]) AS capacity)),
+       |bucketed AS (
+       |  SELECT *,
+       |    ntile($BatchBuckets) OVER (PARTITION BY capacity
+       |      ORDER BY clipped, doc_id) AS bucket
+       |  FROM bycap),
+       |withmax AS (
+       |  SELECT *,
+       |    max(clipped) OVER (PARTITION BY capacity, bucket) AS bucket_max
+       |  FROM bucketed)
+       |SELECT capacity, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_tok > capacity THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_truncated,
+       |  CAST(sum(capacity - clipped) AS BIGINT) AS waste_pad_to_cap,
+       |  CAST(sum(bucket_max - clipped) AS BIGINT) AS waste_bucketed,
+       |  round(CAST(sum(bucket_max - clipped) AS DOUBLE)
+       |    / nullif(CAST(sum(capacity - clipped) AS DOUBLE), 0e0), 6) + 0.0
+       |    AS waste_ratio
+       |FROM withmax GROUP BY capacity""".stripMargin
+  }
 }

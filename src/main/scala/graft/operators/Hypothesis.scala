@@ -546,6 +546,74 @@ object Hypothesis {
         "round(least(p_bh_min, 1e0), 6) + 0.0 AS p_bh")
   }
 
+  /** Benjamini–Yekutieli adjustment — BH's [[bhAdjust]] chain times the
+    * harmonic constant c(m) = Σ_{i≤m} 1/i, the correction that keeps
+    * FDR control under ARBITRARY dependence (BH assumes independence
+    * or PRDS; per-segment test families over the same fact table are
+    * exactly the correlated case BY exists for). c(m) rides an exact
+    * 1e-15 fixed-point integer sum over the rank column (rank_p
+    * enumerates 1..m, so Σ 1/rank over the window IS c(m)) — an
+    * order-independent BIGINT both engines reproduce bit-for-bit,
+    * where a double fold would flake on addition order. */
+  def byAdjust(tests: DataFrame, keyCol: String, zCol: String): DataFrame = {
+    val withP = tests
+      .filter(col(zCol).isNotNull)
+      .withColumn("p_raw", expr(pSql(zCol)))
+    val m = Window.partitionBy()
+    val byP = Window.orderBy(col("p_raw"), col(keyCol))
+    val fromLargest = Window.orderBy(col("p_raw").desc, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP
+      .withColumn("m_tests", count(lit(1)).over(m))
+      .withColumn("rank_p", row_number().over(byP).cast("long"))
+      .withColumn("cm_fixed", sum(expr(
+        "CAST(round(1e15 / CAST(rank_p AS DOUBLE)) AS BIGINT)")).over(m))
+      .withColumn("by_raw", expr(
+        "p_raw * CAST(m_tests AS DOUBLE) * (CAST(cm_fixed AS DOUBLE) / 1e15)" +
+          " / CAST(rank_p AS DOUBLE)"))
+      .withColumn("p_by_min", min("by_raw").over(fromLargest))
+      .selectExpr(keyCol, zCol,
+        "round(p_raw, 6) + 0.0 AS p_norm",
+        "rank_p",
+        "round(least(p_by_min, 1e0), 6) + 0.0 AS p_by")
+  }
+
+  /** q329: the q100 family under BY — same seven yearly Mann–Whitney
+    * tests, the dependence-robust adjustment beside the BH one. */
+  def mwuBy(spark: SparkSession, dir: String): DataFrame =
+    byAdjust(lineitemMwu(spark, dir), "ship_yr", "z_u")
+
+  val mwuBySql: String = {
+    val byRaw = "p_raw * CAST(m_tests AS DOUBLE)" +
+      " * (CAST(cm_fixed AS DOUBLE) / 1e15) / CAST(rank_p AS DOUBLE)"
+    s"""WITH mwu AS (
+       |${lineitemMwuSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |withp AS (
+       |  SELECT ship_yr, z_u, ${pSql("z_u")} AS p_raw
+       |  FROM mwu WHERE z_u IS NOT NULL),
+       |ranked AS (
+       |  SELECT ship_yr, z_u, p_raw,
+       |    CAST(count(*) OVER () AS BIGINT) AS m_tests,
+       |    CAST(row_number() OVER (ORDER BY p_raw, ship_yr) AS BIGINT) AS rank_p
+       |  FROM withp),
+       |harm AS (
+       |  SELECT ranked.*,
+       |    CAST(sum(CAST(round(1e15 / CAST(rank_p AS DOUBLE)) AS BIGINT))
+       |      OVER () AS BIGINT) AS cm_fixed
+       |  FROM ranked),
+       |mins AS (
+       |  SELECT harm.*,
+       |    min($byRaw) OVER (ORDER BY p_raw DESC, ship_yr DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_by_min
+       |  FROM harm)
+       |SELECT ship_yr, z_u,
+       |  round(p_raw, 6) + 0.0 AS p_norm,
+       |  rank_p,
+       |  round(least(p_by_min, 1e0), 6) + 0.0 AS p_by
+       |FROM mins""".stripMargin
+  }
+
   /** q100: FDR-corrected per-year Mann–Whitney family — q97's seven
     * yearly tests adjusted together (the multiple-comparisons step any
     * per-segment scan of 10⁴ segments needs before reading its

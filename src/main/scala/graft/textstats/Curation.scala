@@ -73,6 +73,88 @@ object Curation {
   /** DuckDB twin: nests the SAME component oracles (exact-dup,
     * repetition, quality) as subqueries and applies the identical
     * verdict chain. */
+  /** q330 — pipeline ORDER-SENSITIVITY audit (round-16 widening): a
+    * curation chain can dedup BEFORE the repetition/quality filters
+    * (the q52 precedence) or AFTER them, and on NEAR-dup groups the
+    * two orders genuinely differ — members have different bytes, so a
+    * group whose canonical (min doc_id) copy fails a filter goes
+    * EXTINCT under dedup-first while filter-first keeps the group's
+    * best PASSING copy. (On exact-hash groups the orders provably
+    * agree: the filters are pure functions of the text.) Groups here
+    * are q21's SimHash fingerprints — the near-dup key the engine
+    * already computes — and the row reports the kept counts under both
+    * orders, the docs filter-first rescues, and the near-dup groups it
+    * recovers from extinction: the pipeline-design decision as a
+    * measured number instead of folklore. */
+  def orderAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      split(col("text"), " ").as("ws"),
+      TextStats.qualityScoreExpr(col("text")).as("quality_score"))
+    val per0 = TextStats.repetitionCore(base, carry = Seq("quality_score"))
+      .withColumn("pass",
+        (col("repetition_pass") === 1 &&
+          col("quality_score") >= MinQuality).cast("int"))
+    val grp = Window.partitionBy(col("simhash"))
+    val per = per0
+      .join(graft.dedup.Dedup.dedupSimhash(docs), Seq("doc_id"))
+      .withColumn("canonical_all", min(col("doc_id")).over(grp))
+      .withColumn("canonical_pass",
+        min(when(col("pass") === 1, col("doc_id"))).over(grp))
+    per.agg(
+      expr("CAST(count(1) AS BIGINT)").as("n_docs"),
+      expr("CAST(sum(CASE WHEN doc_id = canonical_all AND pass = 1" +
+        " THEN 1 ELSE 0 END) AS BIGINT)").as("kept_dedup_first"),
+      expr("CAST(sum(CASE WHEN doc_id = canonical_pass" +
+        " THEN 1 ELSE 0 END) AS BIGINT)").as("kept_filter_first"),
+      expr("CAST(sum(CASE WHEN doc_id = canonical_pass" +
+        " AND NOT (doc_id = canonical_all AND pass = 1)" +
+        " THEN 1 ELSE 0 END) AS BIGINT)").as("rescued_docs"),
+      expr("CAST(count(DISTINCT CASE WHEN doc_id = canonical_pass" +
+        " AND canonical_pass <> canonical_all" +
+        " THEN simhash END) AS BIGINT)").as("groups_recovered"))
+  }
+
+  def orderAudit(spark: SparkSession, dir: String): DataFrame =
+    orderAudit(graft.Tables.documents(spark, dir))
+
+  /** DuckDB twin of [[orderAudit]]: the same component oracles (q21
+    * SimHash groups, q40 repetition, q27 quality), both order chains
+    * as window expressions. */
+  val orderAuditSql: String =
+    s"""WITH rep AS (
+       |  SELECT doc_id, repetition_pass
+       |  FROM (${TextStats.gopherRepetitionSql.replace("\n", " ")})),
+       |qual AS (
+       |  SELECT doc_id, quality_score
+       |  FROM (${TextStats.qualitySql.replace("\n", " ")})),
+       |sims AS (
+       |  SELECT doc_id, simhash
+       |  FROM (${graft.dedup.Dedup.dedupSimhashSql.replace("\n", " ")})),
+       |per AS (
+       |  SELECT s.doc_id, s.simhash,
+       |    CAST(rep.repetition_pass = 1
+       |      AND qual.quality_score >= $MinQuality AS INT) AS pass,
+       |    min(s.doc_id) OVER (PARTITION BY s.simhash) AS canonical_all,
+       |    min(CASE WHEN rep.repetition_pass = 1
+       |          AND qual.quality_score >= $MinQuality
+       |          THEN s.doc_id END)
+       |      OVER (PARTITION BY s.simhash) AS canonical_pass
+       |  FROM sims s JOIN rep USING (doc_id) JOIN qual USING (doc_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN doc_id = canonical_all AND pass = 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_dedup_first,
+       |  CAST(sum(CASE WHEN doc_id = canonical_pass
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_filter_first,
+       |  CAST(sum(CASE WHEN doc_id = canonical_pass
+       |    AND NOT (doc_id = canonical_all AND pass = 1)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS rescued_docs,
+       |  CAST(count(DISTINCT CASE WHEN doc_id = canonical_pass
+       |    AND canonical_pass <> canonical_all
+       |    THEN simhash END) AS BIGINT) AS groups_recovered
+       |FROM per""".stripMargin
+
   val curateSql: String =
     s"""WITH canon AS (
        |  SELECT d.doc_id, e.canonical_id
