@@ -198,35 +198,68 @@ object Chunking {
     * (b) to the max of its NTILE([[BatchBuckets]]) length-quantile
     * bucket — length-bucketed batching, the standard padding-waste
     * mitigation. One row per capacity: doc counts, truncation count,
-    * both waste totals, and the waste ratio — the measured curve that
-    * says whether bucketing is worth its scheduling complexity at each
-    * context size. ntile runs over (clipped length, doc_id) — a total
-    * order, so bucket boundaries are deterministic on both engines.
-    * Plan: one scan, a capacity explode (×4), one window per capacity
-    * partition, one aggregate. */
+    * both waste totals, and the waste ratio.
+    *
+    * SCALE SHAPE (the doc-window audit caught the naive form): a
+    * row-level ntile window puts the whole corpus into ONE partition
+    * per capacity — a single-task sort at 100 TB. The registered plan
+    * is the value-level reformulation (the q101/q102 cell trick):
+    * rows collapse to (capacity, clipped) cells, cumulative counts
+    * over the CELL grid (window partitions bounded by value
+    * cardinality ≤ capacity, never by rows) locate each ntile
+    * bucket's rank range R_{k−1}..R_k (sizes n/B +1 for the first
+    * n mod B — ntile's exact rule), per-(cell, bucket) overlap counts
+    * reproduce tie-splitting bit-for-bit, and bucket_max(k) = the max
+    * value with nonzero overlap. The DuckDB twin keeps the ROW-LEVEL
+    * ntile form — the hash gate is therefore a proof that the
+    * cell-level plan ≡ the textbook formulation. */
   def batchingWaste(docs: DataFrame): DataFrame = {
     val perDoc = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val byCap = perDoc
-      .select(col("doc_id"), col("n_tok"),
-        explode(typedLit(BatchCapacities)).as("capacity"))
+    val cells = perDoc
+      .select(col("n_tok"), explode(typedLit(BatchCapacities)).as("capacity"))
       .withColumn("clipped", least(col("n_tok"), col("capacity").cast("long")))
-    val w = Window.partitionBy(col("capacity"))
-      .orderBy(col("clipped"), col("doc_id"))
-    val bw = Window.partitionBy(col("capacity"), col("bucket"))
-    byCap
-      .withColumn("bucket", ntile(BatchBuckets).over(w))
+      .groupBy(col("capacity"), col("clipped"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("n_tok") > col("capacity"), 1L).otherwise(0L)).as("n_trunc"))
+    val byVal = Window.partitionBy(col("capacity")).orderBy(col("clipped"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("capacity"))
+    val ranked = cells
+      .withColumn("c_hi", sum(col("n")).over(byVal))
+      .withColumn("c_lo", col("c_hi") - col("n"))
+      .withColumn("n_tot", sum(col("n")).over(tot))
+    // bucket k's last rank: R_k = k·(n/B) + min(k, n mod B)
+    val b = lit(BatchBuckets.toLong)
+    val overlaps = ranked
+      .select(col("*"), explode(typedLit((1 to BatchBuckets).map(_.toLong))).as("k"))
+      .withColumn("r_hi", col("k") * (col("n_tot") / b) +
+        least(col("k"), col("n_tot") % b))
+      .withColumn("r_lo", (col("k") - 1) * (col("n_tot") / b) +
+        least(col("k") - 1, col("n_tot") % b))
+      .withColumn("n_vk", greatest(lit(0L),
+        least(col("c_hi"), col("r_hi")) - greatest(col("c_lo"), col("r_lo"))))
+      .filter(col("n_vk") > 0)
+    val bw = Window.partitionBy(col("capacity"), col("k"))
+    // bucket-independent stats straight from the cells (a cell can
+    // split across buckets — counting truncation through the split
+    // would integer-divide it away)
+    val flat = cells.groupBy(col("capacity"))
+      .agg(expr("CAST(sum(n) AS BIGINT)").as("n_docs"),
+        expr("CAST(sum(n_trunc) AS BIGINT)").as("n_truncated"),
+        expr("CAST(sum(n * (capacity - clipped)) AS BIGINT)")
+          .as("waste_pad_to_cap"))
+    val bucketed = overlaps
       .withColumn("bucket_max", max(col("clipped")).over(bw))
       .groupBy(col("capacity"))
-      .agg(
-        expr("CAST(count(1) AS BIGINT)").as("n_docs"),
-        expr("CAST(sum(CASE WHEN n_tok > capacity THEN 1 ELSE 0 END)" +
-          " AS BIGINT)").as("n_truncated"),
-        expr("CAST(sum(capacity - clipped) AS BIGINT)").as("waste_pad_to_cap"),
-        expr("CAST(sum(bucket_max - clipped) AS BIGINT)").as("waste_bucketed"),
-        expr("round(CAST(sum(bucket_max - clipped) AS DOUBLE)" +
-          " / nullif(CAST(sum(capacity - clipped) AS DOUBLE), 0e0), 6) + 0.0")
-          .as("waste_ratio"))
+      .agg(expr("CAST(sum(n_vk * (bucket_max - clipped)) AS BIGINT)")
+        .as("waste_bucketed"))
+    flat.join(bucketed, Seq("capacity"))
+      .selectExpr("capacity", "n_docs", "n_truncated", "waste_pad_to_cap",
+        "waste_bucketed",
+        "round(CAST(waste_bucketed AS DOUBLE)" +
+          " / nullif(CAST(waste_pad_to_cap AS DOUBLE), 0e0), 6) + 0.0" +
+          " AS waste_ratio")
   }
 
   def batchingWaste(spark: SparkSession, dir: String): DataFrame =
