@@ -170,8 +170,19 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get(out0))
       catch { case _: Throwable => "" }
     val onDisk = priorReadings(prevLine)
+    // applied-reset markers are STICKY across artifact loss: the prior
+    // line is the normal carrier, but bench_out.json has been lost or
+    // head-truncated before (BENCH_r08/r09) — if the marker vanished
+    // with it, a reset would re-fire and floor a legitimately-earned
+    // new-config best back up to the anchor (r16 advice finding). A
+    // separate tiny state file keeps the marker independent of the
+    // single prior line.
+    val resetStatePath = java.nio.file.Paths.get(out0 + ".resets")
+    val stickyResets: Set[String] =
+      try appliedResets(java.nio.file.Files.readString(resetStatePath))
+      catch { case _: Throwable => Set.empty }
     val (prevBest, resetsApplied) =
-      resetBest(bestReadings(prevLine), appliedResets(prevLine))
+      resetBest(bestReadings(prevLine), appliedResets(prevLine) ++ stickyResets)
     // per-query reference = the TIGHTER of (previous line's readings,
     // the monotone all-time best): an inflated mid-round reading can
     // no longer loosen the trigger (the q106-r11 escape)
@@ -245,6 +256,12 @@ object Bench {
     // durable record the judge can read (r9 verdict #2)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    // persist the sticky marker ONLY after the line carrying the
+    // floored best is durable — the reverse order would disarm a reset
+    // whose floor never reached disk
+    try java.nio.file.Files.writeString(resetStatePath,
+      "{\"best_reset\":" + resets + "}\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -229,13 +229,17 @@ object Chunking {
       .withColumn("c_hi", sum(col("n")).over(byVal))
       .withColumn("c_lo", col("c_hi") - col("n"))
       .withColumn("n_tot", sum(col("n")).over(tot))
-    // bucket k's last rank: R_k = k·(n/B) + min(k, n mod B)
+    // bucket k's last rank: R_k = k·floor(n/B) + min(k, n mod B).
+    // floor(n/B) must be INTEGER division — Spark's `/` on longs is
+    // double division, which only coincides with ntile's rule when
+    // n_tot is a multiple of B (the r16 advice finding).
     val b = lit(BatchBuckets.toLong)
+    val base = floor(col("n_tot") / b).cast("long")
     val overlaps = ranked
       .select(col("*"), explode(typedLit((1 to BatchBuckets).map(_.toLong))).as("k"))
-      .withColumn("r_hi", col("k") * (col("n_tot") / b) +
+      .withColumn("r_hi", col("k") * base +
         least(col("k"), col("n_tot") % b))
-      .withColumn("r_lo", (col("k") - 1) * (col("n_tot") / b) +
+      .withColumn("r_lo", (col("k") - 1) * base +
         least(col("k") - 1, col("n_tot") % b))
       .withColumn("n_vk", greatest(lit(0L),
         least(col("c_hi"), col("r_hi")) - greatest(col("c_lo"), col("r_lo"))))

@@ -21,9 +21,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object HeavyHittersStream {
 
   case class TokRow(part: Int, term: String)
-  case class MgState(counters: Map[String, Long], decs: Long)
-  /** `lower` ≤ true count ≤ `upper` (within this group's substream). */
-  case class MgCounter(part: Int, term: String, lower: Long, upper: Long)
+  case class MgState(counters: Map[String, Long], decs: Long, epoch: Long)
+  /** `lower` ≤ true count ≤ `upper` (within this group's substream);
+    * `epoch` counts this group's state invocations so a consumer can
+    * recover the group's FINAL summary (max-epoch rows) from an
+    * Update-mode sink — a term dropped by a later decrement sweep is
+    * absent from the final epoch even though earlier epochs emitted it
+    * (the r16 advice finding on [[replayGuaranteed]]). */
+  case class MgCounter(part: Int, term: String, lower: Long, upper: Long,
+      epoch: Long)
 
   val Capacity = 32
   val Partitions = 16
@@ -52,6 +58,7 @@ object HeavyHittersStream {
           var (counters, decs) = state.getOption
             .map(s => (s.counters, s.decs))
             .getOrElse((Map.empty[String, Long], 0L))
+          val epoch = state.getOption.map(_.epoch).getOrElse(0L) + 1L
           rows.foreach { r =>
             counters.get(r.term) match {
               case Some(c) => counters = counters.updated(r.term, c + 1)
@@ -64,8 +71,10 @@ object HeavyHittersStream {
                 }
             }
           }
-          state.update(MgState(counters, decs))
-          counters.iterator.map { case (t, c) => MgCounter(part, t, c, c + decs) }
+          state.update(MgState(counters, decs, epoch))
+          counters.iterator.map { case (t, c) =>
+            MgCounter(part, t, c, c + decs, epoch)
+          }
         })
   }
 
@@ -121,10 +130,20 @@ object HeavyHittersStream {
           feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
             input.addData(b.toSeq); q.processAllAvailable()
           }
-          // final summary = last emission per (part, term)
-          spark.table(name).collect().zipWithIndex
-            .groupBy(r => (r._1.getInt(0), r._1.getString(1)))
-            .map { case (k, vs) => (k, vs.maxBy(_._2)) }.keys.toSet
+          // final summary per group = the max-epoch emission for that
+          // part. A term decremented OUT of the summary in a later
+          // epoch must NOT survive — keys from earlier epochs would
+          // mask an MG implementation that loses a guaranteed-heavy
+          // term mid-stream (the r16 advice finding).
+          val rows = spark.table(name).collect()
+            .map(r => (r.getInt(0), r.getString(1),
+              r.getLong(r.fieldIndex("epoch"))))
+          val lastEpoch = rows.groupBy(_._1).map { case (p, vs) =>
+            (p, vs.map(_._3).max)
+          }
+          rows.iterator
+            .filter { case (p, _, e) => e == lastEpoch(p) }
+            .map { case (p, t, _) => (p, t) }.toSet
         } finally { q.stop(); spark.catalog.dropTempView(name) }
       val exact = toks.groupBy(col("part"), col("term"))
         .agg(count(lit(1)).cast("long").as("n"))

@@ -56,4 +56,19 @@ class Round16WideningSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("waste_pad_to_cap")) == 224L)
     assert(row.getLong(row.fieldIndex("waste_bucketed")) == 32L)
   }
+
+  test("q331: doc count NOT divisible by BatchBuckets follows ntile's exact rule") {
+    // 7 docs of lengths 8,16,…,56 at capacity 64 — ntile(4) over 7 rows
+    // gives bucket sizes 2,2,2,1 (first n mod B buckets get the extra
+    // row): maxes 16,32,48,56 → bucketed waste = 8+8+8+0 = 24. The r16
+    // advice finding: double division in R_k made any n_tot % B != 0
+    // corpus silently diverge from the ntile oracle.
+    import spark.implicits._
+    val docs = (1 to 7).map(i => (i.toLong, Seq.fill(8 * i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = operators.Chunking.batchingWaste(docs)
+      .filter(col("capacity") === 64).head()
+    assert(row.getLong(row.fieldIndex("waste_pad_to_cap")) == 224L)
+    assert(row.getLong(row.fieldIndex("waste_bucketed")) == 24L)
+  }
 }
