@@ -50,88 +50,148 @@ object DiskAnn {
   private def embCast(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** q323 — DiskANN-style top-k: code-scored graph walk per shard,
-    * exact join-back re-rank. Output shape = q24's. */
-  def annDiskAnn(embeddings: DataFrame,
-      efSearch: Int = EfSearch, nShards: Int = Hnsw.NShards): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val books: Seq[(Int, Int, Seq[Double])] = Pq.fit(embeddings)
-    val bookArr: Array[Array[Array[Double]]] =
-      Array.tabulate(Pq.M)(m => Pq.bookOf(books, m).map(_._2.toArray).toArray)
-    val emb = embCast(embeddings).as[(Long, Array[Double])]
-    val queries: Array[(Long, Array[Double])] =
-      emb.filter(_._1 % Ann.QueryStride == 0).collect().sortBy(_._1)
+  /** The per-shard compressed scorer: PQ-encode the shard's nodes once
+    * (codes + reconstruction norms), then per query build the M·Ks ADC
+    * tables and walk the graph on code reads only. Returns the
+    * candidate emitter [[Hnsw.shardedCandidates]] plugs in. */
+  private def adcSearcher(bookArr: Array[Array[Array[Double]]], efSearch: Int)(
+      g: Hnsw.ShardGraph, rows: Array[(Long, Array[Double])]):
+      ((Long, Array[Double])) => Iterator[(Long, Long)] = {
     val sub = Pq.SubDim
-    val cands = emb
-      .groupByKey { case (id, _) => math.floorMod(id, nShards.toLong) }
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(_._1)
-        val g = new Hnsw.ShardGraph(rows.map(_._1), rows.map(_._2)).build()
-        // PQ-encode every node once: codes + reconstruction norms
-        val codes = Array.ofDim[Int](rows.length, Pq.M)
-        val rnorm = new Array[Double](rows.length)
-        var i = 0
-        while (i < rows.length) {
-          val v = rows(i)._2
-          var nrm2 = 0.0
-          var m = 0
-          while (m < Pq.M) {
-            var best = 0; var bestD = Double.MaxValue
-            var j = 0
-            while (j < bookArr(m).length) {
-              val cb = bookArr(m)(j)
-              var d2 = 0.0; var k = 0
-              while (k < sub) {
-                val diff = v(m * sub + k) - cb(k); d2 += diff * diff; k += 1
-              }
-              if (d2 < bestD) { bestD = d2; best = j }
-              j += 1
-            }
-            codes(i)(m) = best
-            val cb = bookArr(m)(best)
-            var k = 0
-            while (k < sub) { nrm2 += cb(k) * cb(k); k += 1 }
-            m += 1
+    // PQ-encode every node once: codes + reconstruction norms
+    val codes = Array.ofDim[Int](rows.length, Pq.M)
+    val rnorm = new Array[Double](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val v = rows(i)._2
+      var nrm2 = 0.0
+      var m = 0
+      while (m < Pq.M) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < bookArr(m).length) {
+          val cb = bookArr(m)(j)
+          var d2 = 0.0; var k = 0
+          while (k < sub) {
+            val diff = v(m * sub + k) - cb(k); d2 += diff * diff; k += 1
           }
-          rnorm(i) = math.sqrt(nrm2)
-          i += 1
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
         }
-        queries.iterator.flatMap { case (qid, qv) =>
-          val qn = math.sqrt(qv.map(x => x * x).sum)
-          // per-query ADC tables: t(m)(j) = dot(q_m, cb_m[j])
-          val t = Array.tabulate(Pq.M, bookArr(0).length) { (m, j) =>
-            val cb = bookArr(m)(j)
-            var s = 0.0; var k = 0
-            while (k < sub) { s += qv(m * sub + k) * cb(k); k += 1 }
-            s
-          }
-          def adcDist(i: Int): Double = {
-            var s = 0.0; var m = 0
-            while (m < Pq.M) { s += t(m)(codes(i)(m)); m += 1 }
-            val den = qn * rnorm(i)
-            if (den == 0.0) 1.0 else 1.0 - s / den
-          }
-          g.searchBy(adcDist, efSearch).iterator
-            .map { case (_, li) => (qid, g.idOf(li)) }
-            .filter { case (q, nb) => nb != q }
-        }
+        codes(i)(m) = best
+        val cb = bookArr(m)(best)
+        var k = 0
+        while (k < sub) { nrm2 += cb(k) * cb(k); k += 1 }
+        m += 1
       }
-    val corpus = embCast(embeddings)
-    val qDf = queries.toSeq.toDF("query_id", "qv")
+      rnorm(i) = math.sqrt(nrm2)
+      i += 1
+    }
+    { case (qid, qv) =>
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      // per-query ADC tables: t(m)(j) = dot(q_m, cb_m[j])
+      val t = Array.tabulate(Pq.M, bookArr(0).length) { (m, j) =>
+        val cb = bookArr(m)(j)
+        var s = 0.0; var k = 0
+        while (k < sub) { s += qv(m * sub + k) * cb(k); k += 1 }
+        s
+      }
+      def adcDist(i: Int): Double = {
+        var s = 0.0; var m = 0
+        while (m < Pq.M) { s += t(m)(codes(i)(m)); m += 1 }
+        val den = qn * rnorm(i)
+        if (den == 0.0) 1.0 else 1.0 - s / den
+      }
+      g.searchBy(adcDist, efSearch).iterator
+        .map { case (_, li) => (qid, g.idOf(li)) }
+        .filter { case (q, nb) => nb != q }
+    }
+  }
+
+  /** Exact re-rank of the query-bounded candidate union: join back to
+    * the corpus for full vectors (the "disk" reads), window top-k. */
+  private def rerank(corpus: DataFrame, queries: DataFrame,
+      cands: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     // the candidate set is query-bounded (|queries|·NShards·ef rows) —
     // BROADCAST it against the corpus scan so the exact re-rank's
     // vector reads are one shuffle-free probe pass at any corpus size
-    corpus.withColumnRenamed("vec_id", "neighbor_id")
-      .join(broadcast(cands.toDF("query_id", "neighbor_id")), Seq("neighbor_id"))
-      .join(broadcast(qDf), Seq("query_id"))
+    embCast(corpus).withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(Hnsw.queryFrame(queries)), Seq("query_id"))
       .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= Ann.TopK)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         (round(col("cos"), 4) + 0.0).as("cos"))
+  }
+
+  /** DiskANN-style top-k of `queries` against `corpus` — the
+    * external-query surface (r16 verdict #1): code-scored graph walk
+    * per shard (queries cogrouped in, never driver-collected), exact
+    * join-back re-rank. `books` defaults to a fresh [[Pq.fit]]; a
+    * query-many caller passes [[IndexStore.loadCodebooks]] output.
+    * Output shape = q24's. */
+  def annDiskAnnQueries(corpus: DataFrame, queries: DataFrame,
+      efSearch: Int = EfSearch, nShards: Int = Hnsw.NShards,
+      qBlocks: Int = 1,
+      books0: Seq[(Int, Int, Seq[Double])] = Nil): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = if (books0.nonEmpty) books0 else Pq.fit(corpus)
+    val bookArr: Array[Array[Array[Double]]] =
+      Array.tabulate(Pq.M)(m => Pq.bookOf(books, m).map(_._2.toArray).toArray)
+    val emb = embCast(corpus).as[(Long, Array[Double])]
+    val cands = Hnsw.shardedCandidates(emb, Hnsw.queryCast(queries),
+      nShards, qBlocks) { rows =>
+        val g = new Hnsw.ShardGraph(rows.map(_._1), rows.map(_._2)).build()
+        adcSearcher(bookArr, efSearch)(g, rows)
+      }
+    rerank(corpus, queries, cands.toDF("query_id", "neighbor_id"))
+  }
+
+  /** q323 — the registered fixture: [[Hnsw.strideQueries]] routed
+    * through the external-query path. */
+  def annDiskAnn(embeddings: DataFrame,
+      efSearch: Int = EfSearch, nShards: Int = Hnsw.NShards): DataFrame =
+    annDiskAnnQueries(embeddings, Hnsw.strideQueries(embeddings),
+      efSearch, nShards)
+
+  /** DiskANN query-many against a PERSISTED [[Hnsw.buildIndex]] index:
+    * restore adjacency (no rebuild), PQ-encode from the index rows'
+    * vectors, walk on codes, re-rank exactly. Pass persisted codebooks
+    * to make the whole path fit-free. */
+  def annDiskAnnFromIndex(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, efSearch: Int = EfSearch,
+      nShards: Int = Hnsw.NShards, qBlocks: Int = 1,
+      books0: Seq[(Int, Int, Seq[Double])] = Nil): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val books = if (books0.nonEmpty) books0 else Pq.fit(corpus)
+    val bookArr: Array[Array[Array[Double]]] =
+      Array.tabulate(Pq.M)(m => Pq.bookOf(books, m).map(_._2.toArray).toArray)
+    val nb = math.max(1, qBlocks)
+    val rowsKeyed = index.as[Hnsw.GraphRow].flatMap { r =>
+      (0 until nb).iterator.map(bk => (r.shard * nb + bk, r))
+    }
+    val queriesKeyed = Hnsw.queryCast(queries).flatMap { case (qid, qv) =>
+      val bk = math.floorMod(Hnsw.mix64(qid), nb.toLong).toInt
+      (0 until nShards).iterator.map(s => (s * nb + bk, qid, qv))
+    }
+    val cands = rowsKeyed.groupByKey(_._1).cogroup(queriesKeyed.groupByKey(_._1)) {
+      (_, rit, qit) =>
+        val shardRows = rit.map(_._2).toArray
+        if (shardRows.isEmpty) Iterator.empty[(Long, Long)]
+        else {
+          val sorted = shardRows.sortBy(_.pos)
+          val g = Hnsw.restoreGraph(sorted)
+          val rows = sorted.map(r => (r.vec_id, r.v.toArray))
+          val search = adcSearcher(bookArr, efSearch)(g, rows)
+          qit.flatMap { case (_, qid, qv) => search((qid, qv)) }
+        }
+    }
+    rerank(corpus, queries, cands.toDF("query_id", "neighbor_id"))
   }
 
   def docAnnDiskAnn(spark: SparkSession, dir: String): DataFrame =

@@ -2,7 +2,7 @@ package graft.ann
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,8 +15,11 @@ import graft.Tables
   *
   * DISTRIBUTED SHAPE (the standard one): the corpus is sharded by
   * `pmod(vec_id, NShards)`, each shard builds an INDEPENDENT in-memory
-  * HNSW graph over its own vectors inside one `flatMapGroups` task, and
-  * every query searches every shard's graph; the per-shard beam results
+  * HNSW graph over its own vectors inside one cogroup task, and every
+  * query searches every shard's graph — queries arrive as a DATAFRAME
+  * cogrouped on the same shard key (replicated nShards ways through
+  * the shuffle, streamed through the task iterator), never as a
+  * driver-collected array (r16 verdict #1); the per-shard beam results
   * (efSearch candidates each, exact cosine attached at emit time) union
   * into one frame and a per-query window rank keeps the global top-k.
   * No cross-shard edges exist — recall comes from the union: a true
@@ -243,38 +246,212 @@ object Hnsw {
     }
 
     def idOf(i: Int): Long = ids(i)
+
+    // ---- persistence hooks (fit-once / query-many, r16 verdict #2) ----
+
+    private[ann] def levelOfNode(i: Int): Int = levels(i)
+    private[ann] def entryNode: Int = entry
+    /** Adjacency of node i, one list per level 0..levels(i). */
+    private[ann] def edgesOf(i: Int): Seq[Seq[Int]] =
+      edges(i).iterator.map(_.toSeq).toSeq
+
+    /** Install a previously-built adjacency instead of running
+      * [[build]] — levels are recomputed from ids (levelOf is a pure
+      * function), so only the edge lists and entry point need rows. */
+    private[ann] def restore(e: Array[Array[Array[Int]]], ent: Int): this.type = {
+      require(e.length == n, s"adjacency rows ${e.length} != corpus $n")
+      var i = 0
+      while (i < n) {
+        require(e(i).length == levels(i) + 1,
+          s"node $i: ${e(i).length} edge levels, expected ${levels(i) + 1}")
+        var l = 0
+        while (l < e(i).length) {
+          edges(i)(l).clear(); edges(i)(l) ++= e(i)(l); l += 1
+        }
+        i += 1
+      }
+      entry = ent
+      this
+    }
   }
+
+  /** One persisted index row: node `pos` (insertion position within
+    * `shard`) with its vector and full adjacency. Corpus-sized and
+    * DISTRIBUTED — the index lives as parquet rows in the cluster, is
+    * loaded shard-by-shard inside tasks, and never lands on the driver
+    * (unlike the dimension-grade IVF/PQ artifacts in [[IndexStore]]). */
+  case class GraphRow(shard: Int, pos: Int, vec_id: Long, v: Seq[Double],
+      level: Int, edges: Seq[Seq[Int]], is_entry: Boolean)
 
   private def embCast(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** q312 — HNSW top-k over the embeddings corpus: per-shard graphs,
-    * union of per-shard beams, exact global re-rank. Output shape =
-    * q24's (query_id, neighbor_id, rk, cos). */
-  def annHnsw(embeddings: DataFrame,
-      efSearch: Int = EfSearch, nShards: Int = NShards): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val emb = embCast(embeddings).as[(Long, Array[Double])]
-    // query side: the standard QueryStride rule — a k-bounded driver
-    // collect (the codebook-collect doctrine; queries are the SMALL
-    // side of ANN by definition)
-    val queries: Array[(Long, Array[Double])] =
-      emb.filter(_._1 % Ann.QueryStride == 0).collect().sortBy(_._1)
-    val cands = emb
-      .groupByKey { case (id, _) => math.floorMod(id, nShards.toLong) }
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(_._1)
+  /** External query frame → typed (query_id, qv) rows. Accepts either
+    * the canonical (query_id, qv) shape or an embeddings-shaped frame
+    * (vec_id, embedding). */
+  private[ann] def queryFrame(queries: DataFrame): DataFrame = {
+    val named =
+      if (queries.columns.contains("query_id")) queries
+      else queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+    named.select(col("query_id").cast("long"),
+      col("qv").cast("array<double>").as("qv"))
+  }
+
+  private[ann] def queryCast(queries: DataFrame): Dataset[(Long, Array[Double])] = {
+    import queries.sparkSession.implicits._
+    queryFrame(queries).as[(Long, Array[Double])]
+  }
+
+  /** The registered test fixture as a QUERY FRAME: every QueryStride-th
+    * corpus vector (the q24/q145 stride rule), expressed as a DataFrame
+    * so it rides the same external-query path a real caller uses. */
+  def strideQueries(embeddings: DataFrame): DataFrame =
+    embCast(embeddings).filter(col("vec_id") % Ann.QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  /** Distributed shard × query candidate generation shared by the HNSW
+    * and DiskANN query paths (r16 verdict #1 — the old path collected a
+    * corpus-proportional query set to the driver and closure-captured
+    * it into every shard task): the corpus and the query frame are
+    * COGROUPED on the shard key, so queries reach each shard through
+    * the shuffle and STREAM through the task iterator — no driver
+    * collect anywhere, nothing corpus-proportional in any closure.
+    *
+    * Query-side parallelism: with `qBlocks` = 1 parallelism is NShards
+    * (one graph build per shard). A caller with a large query frame
+    * sets qBlocks > 1: queries split into hash blocks, the corpus is
+    * replicated per block (build cost × qBlocks — the price of
+    * rebuild-per-task; [[annHnswFromIndex]] makes the same fan-out
+    * nearly free by restoring persisted adjacency instead of
+    * rebuilding), and parallelism becomes NShards·qBlocks.
+    *
+    * `searcher` builds whatever per-shard machinery it needs from the
+    * shard's (id, vector) rows and returns the per-query candidate
+    * emitter. */
+  private[ann] def shardedCandidates[T: org.apache.spark.sql.Encoder](
+      corpus: Dataset[(Long, Array[Double])],
+      queries: Dataset[(Long, Array[Double])],
+      nShards: Int, qBlocks: Int)(
+      searcher: Array[(Long, Array[Double])] =>
+        ((Long, Array[Double])) => Iterator[T]): Dataset[T] = {
+    import corpus.sparkSession.implicits._
+    val nb = math.max(1, qBlocks)
+    val corpusKeyed = corpus.flatMap { case (id, v) =>
+      val s = math.floorMod(id, nShards.toLong).toInt
+      (0 until nb).iterator.map(bk => (s * nb + bk, id, v))
+    }
+    val queriesKeyed = queries.flatMap { case (qid, qv) =>
+      val bk = math.floorMod(mix64(qid), nb.toLong).toInt
+      (0 until nShards).iterator.map(s => (s * nb + bk, qid, qv))
+    }
+    corpusKeyed.groupByKey(_._1).cogroup(queriesKeyed.groupByKey(_._1)) {
+      (_, cit, qit) =>
+        val rows = cit.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty[T]
+        else {
+          val search = searcher(rows)
+          qit.flatMap { case (_, qid, qv) => search((qid, qv)) }
+        }
+    }
+  }
+
+  /** HNSW top-k of `queries` against `corpus` — the external-query
+    * surface (r16 verdict #1: "find neighbors of MY vectors" is the
+    * first operation a real user runs). Per-shard graphs, union of
+    * per-shard beams, exact global re-rank; a corpus row whose vec_id
+    * equals a query's query_id is excluded as a self-pair. Output
+    * shape = q24's (query_id, neighbor_id, rk, cos). */
+  def annHnswQueries(corpus: DataFrame, queries: DataFrame,
+      efSearch: Int = EfSearch, nShards: Int = NShards,
+      qBlocks: Int = 1): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val emb = embCast(corpus).as[(Long, Array[Double])]
+    val cands = shardedCandidates(emb, queryCast(queries), nShards, qBlocks) {
+      rows =>
         val g = new ShardGraph(rows.map(_._1), rows.map(_._2)).build()
-        queries.iterator.flatMap { case (qid, qv) => g.search(qid, qv, efSearch) }
-      }
+        q => g.search(q._1, q._2, efSearch).iterator
+    }
+    rankTopK(cands.toDF())
+  }
+
+  /** Final exact re-rank shared by every HNSW-family query path. */
+  private[ann] def rankTopK(cands: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.toDF()
+    cands
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= Ann.TopK)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         (round(col("cos"), 4) + 0.0).as("cos"))
+  }
+
+  /** q312 — the registered fixture: [[strideQueries]] routed through
+    * the external-query path (nothing registered bypasses the surface
+    * a real caller uses). */
+  def annHnsw(embeddings: DataFrame,
+      efSearch: Int = EfSearch, nShards: Int = NShards): DataFrame =
+    annHnswQueries(embeddings, strideQueries(embeddings), efSearch, nShards)
+
+  // ---- persisted-index path (fit-once / query-many, r16 verdict #2) ----
+
+  /** Build every shard graph once and emit it as persistable rows —
+    * write with [[IndexStore.saveShardGraphs]]. The build is the same
+    * deterministic insertion [[annHnswQueries]] runs inline; the index
+    * captures adjacency + entry so a query job restores in O(n·M) array
+    * fills instead of re-running beam construction. */
+  def buildIndex(corpus: DataFrame, nShards: Int = NShards): Dataset[GraphRow] = {
+    import corpus.sparkSession.implicits._
+    embCast(corpus).as[(Long, Array[Double])]
+      .groupByKey { case (id, _) => math.floorMod(id, nShards.toLong).toInt }
+      .flatMapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val g = new ShardGraph(rows.map(_._1), rows.map(_._2)).build()
+        rows.indices.iterator.map { i =>
+          GraphRow(shard, i, rows(i)._1, rows(i)._2.toSeq,
+            g.levelOfNode(i), g.edgesOf(i), i == g.entryNode)
+        }
+      }
+  }
+
+  /** Reconstruct one shard's graph from its persisted rows. */
+  private[ann] def restoreGraph(rows: Array[GraphRow]): ShardGraph = {
+    val sorted = rows.sortBy(_.pos)
+    val g = new ShardGraph(sorted.map(_.vec_id), sorted.map(_.v.toArray))
+    g.restore(sorted.map(_.edges.iterator.map(_.toArray).toArray),
+      sorted.indexWhere(_.is_entry))
+  }
+
+  /** HNSW top-k against a PERSISTED index ([[buildIndex]] →
+    * [[IndexStore.saveShardGraphs]] → [[IndexStore.loadShardGraphs]]):
+    * query-many without rebuilding. Because restore is cheap array
+    * fills, qBlocks > 1 buys NShards·qBlocks query parallelism for an
+    * index-rows × qBlocks shuffle, with no rebuild penalty. Candidates
+    * are byte-identical to the inline path (HnswSpec pins it). */
+  def annHnswFromIndex(index: DataFrame, queries: DataFrame,
+      efSearch: Int = EfSearch, nShards: Int = NShards,
+      qBlocks: Int = 1): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val nb = math.max(1, qBlocks)
+    val rows = index.as[GraphRow]
+    val rowsKeyed = rows.flatMap { r =>
+      (0 until nb).iterator.map(bk => (r.shard * nb + bk, r))
+    }
+    val queriesKeyed = queryCast(queries).flatMap { case (qid, qv) =>
+      val bk = math.floorMod(mix64(qid), nb.toLong).toInt
+      (0 until nShards).iterator.map(s => (s * nb + bk, qid, qv))
+    }
+    val cands = rowsKeyed.groupByKey(_._1).cogroup(queriesKeyed.groupByKey(_._1)) {
+      (_, rit, qit) =>
+        val shardRows = rit.map(_._2).toArray
+        if (shardRows.isEmpty) Iterator.empty[Cand]
+        else {
+          val g = restoreGraph(shardRows)
+          qit.flatMap { case (_, qid, qv) => g.search(qid, qv, efSearch) }
+        }
+    }
+    rankTopK(cands.toDF())
   }
 
   def docAnnHnsw(spark: SparkSession, dir: String): DataFrame =

@@ -53,4 +53,29 @@ object IndexStore {
     df.orderBy("m", "code").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
   }
+
+  private val GraphCols =
+    Set("shard", "pos", "vec_id", "v", "level", "edges", "is_entry")
+
+  /** Save HNSW/DiskANN shard graphs ([[Hnsw.buildIndex]] output). The
+    * graph index is CORPUS-SIZED, so unlike the centroid/codebook
+    * artifacts above it stays distributed end to end: written as
+    * shard-partitioned parquet, reloaded shard-by-shard inside query
+    * tasks ([[Hnsw.annHnswFromIndex]]), never collected. Partitioning
+    * by shard makes a single-shard probe a pruned scan. */
+  def saveShardGraphs(index: org.apache.spark.sql.DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Load shard graphs; schema verified, column types restored to the
+    * [[Hnsw.GraphRow]] shape (partition columns come back as the
+    * discovered type, so re-cast). */
+  def loadShardGraphs(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSet == GraphCols,
+      s"not a shard-graph index: columns ${df.columns.mkString(",")}")
+    df.select(col("shard").cast("int"), col("pos").cast("int"),
+      col("vec_id").cast("long"), col("v").cast("array<double>"),
+      col("level").cast("int"), col("edges").cast("array<array<int>>"),
+      col("is_entry").cast("boolean"))
+  }
 }

@@ -34,4 +34,20 @@ class DiskAnnSpec extends AnyFunSuite {
     val recall = row.getDouble(row.fieldIndex("recall_diskann"))
     assert(recall >= 0.8, s"recall $recall < 0.80")
   }
+
+  test("persisted index + persisted codebooks: fully fit-free query ≡ inline") {
+    import ann.{Hnsw, IndexStore, Pq}
+    val emb = Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("diskannidx").toString
+    IndexStore.saveShardGraphs(Hnsw.buildIndex(emb).toDF(), s"$tmp/g")
+    IndexStore.saveCodebooks(spark, Pq.fit(emb), s"$tmp/cb")
+    val idx = IndexStore.loadShardGraphs(spark, s"$tmp/g")
+    val books = IndexStore.loadCodebooks(spark, s"$tmp/cb")
+    val fromIdx = DiskAnn.annDiskAnnFromIndex(idx, emb,
+        Hnsw.strideQueries(emb), books0 = books, qBlocks = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val inline = DiskAnn.docAnnDiskAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(fromIdx == inline, "persisted-index DiskANN must match the inline path")
+  }
 }

@@ -58,4 +58,53 @@ class HnswSpec extends AnyFunSuite {
     val recall = row.getDouble(row.fieldIndex("recall"))
     assert(recall >= 0.8, s"recall $recall < 0.80")
   }
+
+  test("external-query surface: arbitrary query frame, exhaustive ef ≡ brute per query") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    // queries NOT on the stride and NOT in the corpus id space: ids
+    // 1000001/1000002 carrying two corpus vectors — self-exclusion must
+    // not fire (no corpus vec_id matches), so top-1 is the vector itself
+    val vecs = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val queries = vecs.zipWithIndex
+      .map { case ((_, v), i) => (1000001L + i, v.toSeq) }
+      .toSeq.toDF("query_id", "qv")
+    val got = Hnsw.annHnswQueries(emb, queries, efSearch = n, nShards = 1)
+    val top1 = got.filter(col("rk") === 1).orderBy("query_id").collect()
+    assert(top1.length == 2)
+    top1.zip(vecs).foreach { case (r, (srcId, _)) =>
+      assert(r.getLong(1) == srcId && r.getDouble(3) == 1.0,
+        s"query of corpus vector $srcId: top-1 ${r.getLong(1)} cos ${r.getDouble(3)}")
+    }
+  }
+
+  test("qBlocks > 1 returns exactly the qBlocks = 1 rows (parallelism is free)") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Hnsw.strideQueries(emb)
+    val a = Hnsw.annHnswQueries(emb, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = Hnsw.annHnswQueries(emb, q, qBlocks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b)
+  }
+
+  test("persisted index: save → load → query ≡ inline build (fit-once/query-many)") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("hnswidx").toString + "/g"
+    ann.IndexStore.saveShardGraphs(Hnsw.buildIndex(emb).toDF(), path)
+    val idx = ann.IndexStore.loadShardGraphs(spark, path)
+    val fromIdx = Hnsw.annHnswFromIndex(idx, Hnsw.strideQueries(emb)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val inline = Hnsw.docAnnHnsw(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(fromIdx == inline, "persisted-index candidates must be byte-identical")
+    // and with query-block fan-out over the SAME persisted graphs
+    val blocked = Hnsw.annHnswFromIndex(idx, Hnsw.strideQueries(emb), qBlocks = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(blocked == inline)
+  }
 }
