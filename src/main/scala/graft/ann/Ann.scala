@@ -36,26 +36,33 @@ object Ann {
 
   // ---- #24 brute-force cosine top-k ----
 
-  /** Exact cosine top-k: broadcast the (small) query set against the full
-    * corpus scan, window-rank per query. The corpus side is a single
-    * pruned scan — at 100 TB the broadcast side stays tiny so this is
+  /** Exact cosine top-k of an EXTERNAL query frame — (query_id, qv) —
+    * against the corpus (r16 "missing #1": find neighbors of MY
+    * vectors): broadcast the (small) query set against the full corpus
+    * scan, window-rank per query. The corpus side is a single pruned
+    * scan — at 100 TB the broadcast side stays tiny so this is
     * shuffle-free until the final per-query top-k (TopK rows per query
-    * via rank). This is the recall oracle for [[annLsh]]; the scale path
-    * is LSH. */
-  def annBrute(embeddings: DataFrame): DataFrame = {
-    val emb = embCast(embeddings)
-    val queries = emb.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    * via rank). This is the recall oracle for [[annLsh]]; the scale
+    * path is LSH. A corpus row whose vec_id equals a query's query_id
+    * is excluded as a self-pair. */
+  def annBruteQueries(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val emb = embCast(corpus)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    broadcast(queries)
+    broadcast(Hnsw.queryFrame(queries))
       .join(emb, col("vec_id") =!= col("query_id"))
       .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
         (round(col("cos"), 4) + 0.0).as("cos"))
   }
+
+  /** q24 — the registered fixture: [[Hnsw.strideQueries]] through the
+    * external-query path. */
+  def annBrute(embeddings: DataFrame): DataFrame =
+    annBruteQueries(embeddings, Hnsw.strideQueries(embeddings))
 
   def annBrute(spark: SparkSession, dir: String): DataFrame =
     annBrute(Tables.embeddings(spark, dir))
@@ -87,8 +94,9 @@ object Ann {
     * AnnSpec; the pipeline itself is fully deterministic (md5-derived
     * planes), so [[annLshSql]] reproduces the exact bucket decision and
     * the oracle hash-matches — it verifies THIS plan, not brute force. */
-  def annLsh(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
-    val emb = embCast(embeddings)
+  def annLshQueries(corpus: DataFrame, queries0: DataFrame,
+      dim: Int = Dim): DataFrame = {
+    val emb = embCast(corpus)
     // plane index offset per table gives independent hash families
     val withBuckets = (0 until LshTables).foldLeft(emb) { (df, t) =>
       df.withColumn(s"b$t",
@@ -98,8 +106,17 @@ object Ann {
       withBuckets.select(col("vec_id"), col("v"),
         lit(t).as("tbl"), col(s"b$t").as("bucket"))
     }.reduce(_ unionByName _)
-    val queries = tables.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    // the query side buckets its OWN vectors with the same plane
+    // families — an external query needs no corpus row to hash
+    val qBuck = (0 until LshTables).foldLeft(Hnsw.queryFrame(queries0)) {
+      (df, t) =>
+        df.withColumn(s"b$t",
+          Hyperplanes.bucket(col("qv"), LshPlanes, dim, planeOffset = t * LshPlanes))
+    }
+    val queries = (0 until LshTables).map { t =>
+      qBuck.select(col("query_id"), col("qv"),
+        lit(t).as("tbl"), col(s"b$t").as("bucket"))
+    }.reduce(_ unionByName _)
     // dedupe multi-table repeats on the scalar pair key — a distinct
     // over rows still carrying both 64-double vectors would shuffle and
     // compare ~1 KB per candidate instead of 16 bytes
@@ -117,6 +134,10 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
         (round(col("cos"), 4) + 0.0).as("cos"))
   }
+
+  /** q25 — the registered fixture through the external-query path. */
+  def annLsh(embeddings: DataFrame, dim: Int = Dim): DataFrame =
+    annLshQueries(embeddings, Hnsw.strideQueries(embeddings), dim)
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(Tables.embeddings(spark, dir))
@@ -175,20 +196,21 @@ object Ann {
     * bounds work per query. Centroids are literals in the plan, so cell
     * assignment is a pure codegen'd projection over the scan — no join,
     * no collect, nothing driver-side in this path. */
-  def annIvf(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
-      nProbe: Int = IvfProbes, k: Int = TopK): DataFrame = {
-    val emb = embCast(embeddings)
+  def annIvfQueries(corpus: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      queries0: DataFrame, nProbe: Int = IvfProbes, k: Int = TopK): DataFrame = {
+    val emb = embCast(corpus)
     // per-row array of (cos-to-centroid, cell), sorted best-first
-    val scoredCells = reverse(array_sort(array(centroids.map { case (cid, cv) =>
-      struct(VectorMath.cosineFast(col("v"), typedLit(cv)).as("cos"),
-        lit(cid).as("cell"))
-    }.toIndexedSeq: _*)))
+    def scoredCells(v: org.apache.spark.sql.Column) =
+      reverse(array_sort(array(centroids.map { case (cid, cv) =>
+        struct(VectorMath.cosineFast(v, typedLit(cv)).as("cos"),
+          lit(cid).as("cell"))
+      }.toIndexedSeq: _*)))
     val assigned = emb.withColumn("cell",
-      element_at(scoredCells, 1).getField("cell"))
-    val queries = emb.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(transform(slice(scoredCells, 1, nProbe), s => s.getField("cell")))
-          .as("cell"))
+      element_at(scoredCells(col("v")), 1).getField("cell"))
+    val queries = Hnsw.queryFrame(queries0)
+      .select(col("query_id"), col("qv"),
+        explode(transform(slice(scoredCells(col("qv")), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     broadcast(queries)
@@ -203,6 +225,12 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
         (round(col("cos"), 4) + 0.0).as("cos"))
   }
+
+  /** Pre-fitted IVF against the registered stride fixture. */
+  def annIvf(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int = IvfProbes, k: Int = TopK): DataFrame =
+    annIvfQueries(embeddings, centroids, Hnsw.strideQueries(embeddings),
+      nProbe, k)
 
   /** Registered q25b: explicit fit-then-query composition (the fit is
     * the one collect, outside the query plan). */

@@ -81,10 +81,12 @@ object IvfPq {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Per-row array of (cos-to-centroid, cell) structs sorted best
-    * first — the [[Ann.annIvf]] assignment/probe expression. */
-  private def scoredCells(cents: Seq[(Int, Seq[Double])]): Column =
+    * first — the [[Ann.annIvf]] assignment/probe expression, over any
+    * vector column (corpus `v` or an external query's `qv`). */
+  private def scoredCells(cents: Seq[(Int, Seq[Double])],
+      vcol: Column = col("v")): Column =
     reverse(array_sort(array(cents.map { case (cid, cv) =>
-      struct(VectorMath.cosineFast(col("v"), typedLit(cv)).as("cos"),
+      struct(VectorMath.cosineFast(vcol, typedLit(cv)).as("cos"),
         lit(cid).as("cell"))
     }.toIndexedSeq: _*)))
 
@@ -126,19 +128,21 @@ object IvfPq {
           Pq.bookOf(idx.books, m)).as(s"c$m")
       }: _*)
 
-  /** IVFADC query: probe → ADC shortlist → exact re-rank. */
-  def annIvfAdc(embeddings: DataFrame, idx: Index,
+  /** IVFADC against an EXTERNAL query frame (query_id, qv) — probe →
+    * ADC shortlist → exact re-rank (r16 "missing #1"). */
+  def annIvfAdcQueries(corpus: DataFrame, idx: Index, queries0: DataFrame,
       nProbe: Int = Probes, k: Int = Ann.TopK,
       rerank: Int = Rerank): DataFrame = {
     val cents = idx.centroids.sortBy(_._1)
-    val emb = embCast(embeddings)
-    val codes = encode(embeddings, idx)
+    val emb = embCast(corpus)
+    val codes = encode(corpus, idx)
+    val qf = Hnsw.queryFrame(queries0)
     // per-(query, probed cell) rows carrying the query's lookup arrays
     // (t_m), its norm, and dot(q, c_cell) — nProbe rows per query
-    val queries = emb.filter(col("vec_id") % Ann.QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        VectorMath.norm(col("v")).as("qnrm"),
-        explode(transform(slice(scoredCells(cents), 1, nProbe),
+    val queries = qf
+      .select(col("query_id"), col("qv"),
+        VectorMath.norm(col("qv")).as("qnrm"),
+        explode(transform(slice(scoredCells(cents, col("qv")), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
     val qTab = queries.select(
       Seq(col("query_id"), col("qv"), col("qnrm"), col("cell"),
@@ -186,14 +190,21 @@ object IvfPq {
       .orderBy(col("cos").desc, col("vec_id"))
     shortlist
       .join(emb, "vec_id")
-      .join(broadcast(emb.filter(col("vec_id") % Ann.QueryStride === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+      .join(broadcast(qf), "query_id")
       .withColumn("cos", VectorMath.cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(wFin))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"),
         (round(col("cos"), 4) + 0.0).as("cos"))
   }
+
+  /** IVFADC query over the registered stride fixture: probe → ADC
+    * shortlist → exact re-rank. */
+  def annIvfAdc(embeddings: DataFrame, idx: Index,
+      nProbe: Int = Probes, k: Int = Ann.TopK,
+      rerank: Int = Rerank): DataFrame =
+    annIvfAdcQueries(embeddings, idx, Hnsw.strideQueries(embeddings),
+      nProbe, k, rerank)
 
   /** Registered q145: explicit fit-then-query composition. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {

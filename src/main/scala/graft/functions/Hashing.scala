@@ -67,10 +67,29 @@ object Hashing {
   // ---- JVM-side twins (for driver-derived constants) ----
 
   /** JVM md5 hex — byte-identical to SQL md5 on both engines. */
-  def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Hot path for the streaming twins (millions of calls per replay):
+    * thread-local digest + table hex, byte-identical to the naive
+    * getInstance + %02x formatting it replaces. */
+  def md5hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Deterministic constant from md5("tag:i"): first 24 bits, then
     * `% mod + offset`. The ONE recipe behind every driver-derived

@@ -77,4 +77,80 @@ object DdSketchStream {
           quantilesOf(g, counts, ps).iterator
         })
   }
+
+  /** q335 — the DDSketch stream EXECUTED under the driver's full-hash
+    * gate (r16 verdict #3; the q325 replay pattern): q260's value rows
+    * replayed in a deterministic scramble over three micro-batches —
+    * NO duplicate redelivery (bucket counts ADD; the additive contract
+    * documented above — order freedom is the gated replay claim). The
+    * final per-(g, p) emission carries the stream's own n and
+    * estimate; the exact type-1 quantile recomputes batch-side (the
+    * q260 value-cell program) and joins for q260's exact column set —
+    * oracle verbatim.
+    *
+    * Scale note (q259 doctrine): the collect/feed is the harness; the
+    * operator's state is the log-bucket count map, bounded by the
+    * VALUE RANGE, never by stream length — that is the 100 TB path. */
+  def replayDdSketch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val rows = graft.Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("g"), col("o_totalprice").as("x"),
+          col("o_orderkey").as("k"))
+        .localCheckpoint(true) // feed + exact audit share the scan
+      val feed = rows.select(col("g"), col("x"), col("k").cast("long"))
+        .as[(String, Double, Long)].collect()
+        .sortBy(r => r._3 * 2654435761L % 1000003) // the q259 scramble
+        .map { case (g, x, _) => ValueEvent(g, x) }
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q335_dds_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ValueEvent]
+      val q = ddSketchStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val finals: Seq[(String, Double, Long, Double)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          spark.table(name).collect().zipWithIndex
+            .groupBy(r => (r._1.getString(0), r._1.getDouble(1)))
+            .map { case ((g, p), vs) =>
+              val r = vs.maxBy(_._2)._1
+              (g, p, r.getLong(r.fieldIndex("n")),
+                r.getDouble(r.fieldIndex("est")))
+            }.toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      val est = finals.toDF("g", "p", "n", "est")
+      // exact type-1 quantile over value cells — the q260 program
+      val cells = rows.groupBy("g", "x").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.withColumn("cumc", sum(col("c")).over(wCum))
+      val ns = rows.groupBy("g").agg(count(lit(1)).as("n_b"))
+      val exact = ns.select(col("g"), explode(typedLit(DdSketch.Ps)).as("p"),
+          ceil(col("p") * col("n_b")).cast("long").as("r"))
+        .join(cum, "g")
+        .filter(col("cumc") >= col("r"))
+        .groupBy(col("g"), col("p"))
+        .agg(min(col("x")).as("exact"))
+      est.join(exact, Seq("g", "p"))
+        .select(col("g"), (round(col("p"), 2) + 0.0).as("p"), col("n"),
+          (round(col("est"), 6) + 0.0).as("est"),
+          col("exact"),
+          (round((col("est") - col("exact")) / col("exact"), 6) + 0.0)
+            .as("rel_err"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayDdSketch]]: q260's own oracle verbatim. */
+  val replayDdSketchSql: String =
+    graft.operators.DdSketch.orderPriceDdSketchSql
 }

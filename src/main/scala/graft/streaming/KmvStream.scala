@@ -67,4 +67,80 @@ object KmvStream {
             java.util.Arrays.copyOfRange(buf.vs, 0, buf.size).toSeq))
         })
   }
+
+  /** q333 — the KMV stream EXECUTED under the driver's full-hash gate
+    * (r16 verdict #3; the q325 replay pattern): q264's keyed frame
+    * replayed in a deterministic scramble, three micro-batches plus a
+    * duplicate redelivery of the first chunk (bottom-k insert dedups,
+    * so at-least-once redelivery is part of the gated claim). The
+    * final per-group emission carries (sz, hk) for the estimate AND
+    * the live hash sample `hs`; the batch audit columns (exact counts
+    * + the sample semijoin means) recompute from the shared keyed
+    * frame against THAT sample, so the gate checks the sketch state
+    * itself, not just the scalar estimate. Oracle = q264 verbatim.
+    *
+    * Scale note (q259 doctrine): the collect/feed is the harness; the
+    * operator's state is k sorted longs per group regardless of
+    * stream length — that bound is the 100 TB path. */
+  def replayKmv(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val keyed = graft.Tables.lineitem(spark, dir)
+        .selectExpr("l_returnflag AS g", "CAST(l_orderkey AS STRING) AS k")
+        .withColumn("h", graft.functions.Hashing.hash48(col("k")))
+        .localCheckpoint(true) // feed + audits share the scan+hash
+      val feed = keyed.select("g", "k").as[KeyEvent].collect()
+        .sortBy(r => r.k.toLong * 2654435761L % 1000003) // the q259 scramble
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q333_kmv_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyEvent]
+      val q = kmvStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val finals: Seq[(String, Long, Long, Seq[Long])] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          input.addData(feed.take(feed.length / 3).toSeq) // dup redelivery
+          q.processAllAvailable()
+          spark.table(name).collect().zipWithIndex
+            .groupBy(_._1.getString(0))
+            .map { case (g, vs) =>
+              val r = vs.maxBy(_._2)._1
+              (g, r.getLong(r.fieldIndex("sz")), r.getLong(r.fieldIndex("hk")),
+                r.getSeq[Long](r.fieldIndex("hs")))
+            }.toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      val sk = finals.toDF("g", "sz", "hk", "hs").localCheckpoint(true)
+      val exact = keyed.groupBy("g")
+        .agg(expr("CAST(count(1) AS BIGINT)").as("n_lines"),
+          expr("CAST(count(DISTINCT k) AS BIGINT)").as("n_exact"))
+      val sampleKeys = sk.select(col("g"), explode(col("hs")).as("h"))
+      val samp = keyed.join(broadcast(sampleKeys), Seq("g", "h"))
+        .groupBy("g")
+        .agg(expr("CAST(count(1) AS BIGINT)").as("s_lines"),
+          expr("CAST(count(DISTINCT k) AS BIGINT)").as("s_orders"))
+      sk.join(exact, "g").join(samp, "g")
+        .selectExpr("g", "n_exact", "n_lines", "s_lines", "s_orders",
+          s"CASE WHEN sz < $K THEN CAST(sz AS DOUBLE)" +
+            s" ELSE $EstNum / (CAST(hk AS DOUBLE) + 1.0) END AS est_raw")
+        .selectExpr("g AS l_returnflag", "n_exact",
+          "round(est_raw, 4) + 0.0 AS kmv_estimate",
+          "round((est_raw - n_exact) / n_exact, 6) + 0.0 AS rel_err",
+          "round(CAST(n_lines AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) + 0.0" +
+            " AS lines_mean_exact",
+          "round(CAST(s_lines AS DOUBLE) / CAST(s_orders AS DOUBLE), 6) + 0.0" +
+            " AS lines_mean_kmv")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayKmv]]: q264's own oracle verbatim. */
+  val replayKmvSql: String = graft.operators.Kmv.orderkeyKmvSql
 }

@@ -70,6 +70,32 @@ class AnnSpec extends AnyFunSuite {
     Ann.annIvf(poisoned, cents) // must not throw: no action at build time
   }
 
+  test("external-query surface: a foreign-id copy of a corpus vector finds itself at rk 1") {
+    // the r16 "missing #1" overloads: every family accepts a
+    // (query_id, qv) frame. Query with an id OUTSIDE the corpus id
+    // space carrying corpus vector 0's embedding — self-exclusion must
+    // not fire, so each path's top-1 is vector 0 at cos 1.0.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val v0 = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]].head()
+    val q = Seq((900001L, v0.toSeq)).toDF("query_id", "qv")
+    val cents = Ann.fitCentroids(emb)
+    val idx = ann.IvfPq.fit(emb)
+    val paths = Map(
+      "brute" -> Ann.annBruteQueries(emb, q),
+      "lsh" -> Ann.annLshQueries(emb, q),
+      "ivf" -> Ann.annIvfQueries(emb, cents, q),
+      "ivfadc" -> ann.IvfPq.annIvfAdcQueries(emb, idx, q))
+    paths.foreach { case (name, df) =>
+      val top = df.filter(col("rk") === 1).head()
+      assert(top.getLong(0) == 900001L && top.getLong(1) == 0L &&
+        top.getDouble(3) == 1.0,
+        s"$name: top-1 ${top.getLong(1)} cos ${top.getDouble(3)}")
+    }
+  }
+
   test("q23 embed near-dup: pairs share a bucket and clear the cosine floor") {
     val df = ann.Ann.embedNearDup(spark, dir).cache()
     assert(df.filter(col("cos") < Ann.NearDupCos).count() == 0)
