@@ -86,27 +86,44 @@ object DriftStream {
     * the ordered-source contract) and
     * [[LateStream.cusumStreamLate]] (sorted by (ts, seq) over a
     * watermark-released buffer — the batch operator's order). */
-  private[streaming] def cusumFold(g: String, st0: CusumState,
+  /** Every in-order row's reflected-CUSUM state in CENTS (s values
+    * exactly the batch q105 frame's `s_up`/`s_dn` longs); `dir` is
+    * null below the decision interval. The per-row frame the q336
+    * replay gate aggregates. */
+  case class CusumRow(g: String, ts: Timestamp, seq: Long,
+      s_up: Long, s_dn: Long, dir: Option[String])
+
+  /** The ONE CUSUM recurrence: emits every folded row;
+    * [[cusumFold]] filters it down to alarms for the base twin. */
+  private[streaming] def cusumFoldRows(g: String, st0: CusumState,
       sorted: Seq[CusumEvent], targetCents: Long, kCents: Long,
-      hCents: Long): (CusumState, Seq[CusumAlarm]) = {
+      hCents: Long): (CusumState, Seq[CusumRow]) = {
     var st = st0
-    val alarms = sorted.flatMap { e =>
+    val out = sorted.flatMap { e =>
       if (e.seq <= st.lastSeq) None // out-of-order: dropped
       else {
         val xc = math.floor(e.v * 100.0).toLong
         val su = math.max(0L, st.sUp + (xc - targetCents - kCents))
         val sd = math.max(0L, st.sDn + (targetCents - kCents - xc))
         st = CusumState(su, sd, e.seq)
-        if (su > hCents || sd > hCents) {
-          val dir =
-            if (su > hCents && sd > hCents) "both"
-            else if (su > hCents) "up" else "down"
-          Some(CusumAlarm(g, e.ts, e.seq,
-            su.toDouble / 100.0, sd.toDouble / 100.0, dir))
-        } else None
+        val dir =
+          if (su > hCents && sd > hCents) Some("both")
+          else if (su > hCents) Some("up")
+          else if (sd > hCents) Some("down")
+          else None
+        Some(CusumRow(g, e.ts, e.seq, su, sd, dir))
       }
     }
-    (st, alarms)
+    (st, out)
+  }
+
+  private[streaming] def cusumFold(g: String, st0: CusumState,
+      sorted: Seq[CusumEvent], targetCents: Long, kCents: Long,
+      hCents: Long): (CusumState, Seq[CusumAlarm]) = {
+    val (st, rows) = cusumFoldRows(g, st0, sorted, targetCents, kCents, hCents)
+    (st, rows.collect { case CusumRow(_, ts, seq, su, sd, Some(dir)) =>
+      CusumAlarm(g, ts, seq, su.toDouble / 100.0, sd.toDouble / 100.0, dir)
+    })
   }
 
   def cusumStream(events: Dataset[CusumEvent], targetCents: Long,

@@ -36,4 +36,22 @@ class SketchStreamGateSpec extends AnyFunSuite {
     assert(rows(streaming.DdSketchStream.replayDdSketch(spark, dir)) ==
       rows(operators.DdSketch.orderPriceDdSketch(spark, dir)))
   }
+
+  // the late-tolerant trio (q336–q338): bounded scramble with
+  // CROSS-boundary lateness — the reordered-Kafka contract
+
+  test("q336: late CUSUM replay ≡ batch q105 summary") {
+    assert(rows(streaming.LateStream.replayCusumLate(spark, dir)) ==
+      rows(operators.Changepoint.eventsCusum(spark, dir)))
+  }
+
+  test("q337: late TWAP replay ≡ batch q113") {
+    assert(rows(streaming.LateStream.replayTwapLate(spark, dir)) ==
+      rows(operators.Twap.userTwap(spark, dir)))
+  }
+
+  test("q338: late Mann–Kendall replay ≡ batch q143") {
+    assert(rows(streaming.LateStream.replayMkLate(spark, dir)) ==
+      rows(operators.MannKendall.orderRevenueTrend(spark, dir)))
+  }
 }
