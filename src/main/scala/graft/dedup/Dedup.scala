@@ -176,9 +176,10 @@ object Dedup {
     dedupMinhash(Tables.documents(spark, dir))
 
   /** CTE chain ending in `buckets(doc_id, band, band_key)` — the DuckDB
-    * twin of [[bandedSignatures]] over the whole `documents` table.
-    * Shared by the minhash-pair oracle and the incremental-dedup oracle. */
-  private[graft] val bucketsCtesSql: String = {
+    * twin of [[bandedSignatures]] over any (doc_id, text) relation
+    * `src` (the whole `documents` table for the q20 family; the
+    * paragraph frame for q339). */
+  private[graft] def bucketsCtesSqlFrom(src: String): String = {
     val mins = (0 until MinhashK).map { i =>
       val (a, b) = MinhashCoefs(i)
       s"list_min(list_transform(sk, k -> ((k % $MinhashP) * $a + $b) % $MinhashP))::VARCHAR AS mh$i"
@@ -193,7 +194,7 @@ object Dedup {
       .mkString("\nUNION ALL\n")
     s"""th AS (SELECT doc_id, text,
        |  list_transform(string_split(text, ' '), t -> ${Hashing.hash48Sql("t")} % $ShingleP) AS th
-       |FROM documents),
+       |FROM $src),
        |sk AS (SELECT doc_id, ${shingleKeysSql("th", "text").replace("\n", " ")} AS sk FROM th),
        |mh AS (SELECT doc_id,
        |  $mins
@@ -205,6 +206,8 @@ object Dedup {
        |$unions
        |)""".stripMargin
   }
+
+  private[graft] val bucketsCtesSql: String = bucketsCtesSqlFrom("documents")
 
   val dedupMinhashSql: String =
     s"""WITH $bucketsCtesSql

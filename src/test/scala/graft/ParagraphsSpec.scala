@@ -49,6 +49,46 @@ class ParagraphsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 1L, Some(b))))
   }
 
+  private def runFuzzy(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Option[String])] = {
+    import spark.implicits._
+    Paragraphs.dedupParagraphsFuzzy(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+  }
+
+  test("q339: exact repeats drop (bands subsume q85); near-dup paragraph drops too") {
+    val (a, b) = (block("a"), block("b"))
+    // one token changed in a's repeat: not hash-equal, but 7 of the
+    // 8 3-gram shingles survive → some band collides
+    val aNear = block("a").replace("a5", "zz")
+    val got = runFuzzy(Seq(
+      (1L, s"$a $b"),
+      (2L, s"$a $aNear"))) // exact repeat AND near-dup — both drop
+    assert(got(1L) == (2L, 2L, Some(s"$a $b")))
+    assert(got(2L)._1 == 2L)
+    assert(got(2L)._2 <= 1L,
+      s"near-dup paragraph survived the band election: ${got(2L)}")
+    // fuzzy keep set ⊆ exact keep set on the same corpus
+    val exact = run(Seq((1L, s"$a $b"), (2L, s"$a $aNear")))
+    assert(got.values.map(_._2).sum <= exact.values.map(_._2).sum)
+  }
+
+  test("q339 over testdata: never keeps more than q85, doc set identical") {
+    val dir = "/root/testdata/sf0.001"
+    val fuzzy = Paragraphs.dedupParagraphsFuzzy(spark, dir)
+      .select("doc_id", "n_paras", "n_kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Paragraphs.dedupParagraphs(spark, dir)
+      .select("doc_id", "n_paras", "n_kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fuzzy.keySet == exact.keySet)
+    fuzzy.foreach { case (d, (np, nk)) =>
+      assert(np == exact(d)._1, s"doc $d paragraph count changed")
+      assert(nk <= exact(d)._2, s"doc $d: fuzzy kept $nk > exact ${exact(d)._2}")
+    }
+  }
+
   test("q85 over testdata: token conservation and global uniqueness hold") {
     val dir = "/root/testdata/sf0.001"
     val out = Paragraphs.dedupParagraphs(spark, dir).cache()
