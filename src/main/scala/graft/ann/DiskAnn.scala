@@ -39,12 +39,14 @@ import graft.functions.VectorMath
 object DiskAnn {
 
   /** Per-shard beam width under the ADC scorer. Measured frontier at
-    * sf0.1 (M=8/Ks=16 codes, NShards=4, vs q312's exact-scored 0.90 at
-    * ef=24): ef 48 → recall 0.72, 64 → 0.795, 96 → 0.90, 128 → 0.94.
-    * 96 — the compressed walk needs ~4× the exact walk's beam for the
-    * SAME recall, and each evaluation is M=8 code reads instead of 64
-    * doubles, so traversal memory traffic is still ~2× cheaper; that
-    * ratio IS the DiskANN trade and q324 keeps it measured. */
+    * sf0.1 (M=8/Ks=16 codes, NShards=4, vs the exact-scored walk's
+    * 0.90 at ef=24 — q312 has since re-registered at ef=48/recall
+    * 0.98, r16 verdict #5): ef 48 → recall 0.72, 64 → 0.795,
+    * 96 → 0.90, 128 → 0.94. 96 — the compressed walk needs ~4× the
+    * exact walk's beam for the SAME recall, and each evaluation is
+    * M=8 code reads instead of 64 doubles, so traversal memory
+    * traffic is still ~2× cheaper; that ratio IS the DiskANN trade
+    * and q324 keeps it measured. */
   val EfSearch = 96
 
   private def embCast(emb: DataFrame): DataFrame =

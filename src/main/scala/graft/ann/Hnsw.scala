@@ -60,8 +60,13 @@ object Hnsw {
   val EfConstruction = 32
   /** Query beam width per shard. The union across shards re-ranks
     * NShards·EfSearch candidates exactly, so recall grows with BOTH
-    * knobs; 24 puts q312 recall at/above the 0.80 IVF-PQ frontier. */
-  val EfSearch = 24
+    * knobs. Measured frontier at sf0.1 (NShards = 4, mean / worst
+    * per-query recall@5): ef 24 → 0.90/0.60, 32 → 0.945/0.60,
+    * 48 → 0.98/0.80, 64 → 1.00/1.00 (sf0.01 and sf0.001 read 1.00 at
+    * ef ≥ 32). 48 — the first point whose WORST query clears the 0.80
+    * IVF-PQ frontier (r16 verdict #5: the mean hid a 0.60 tail query);
+    * search cost is build-dominated, so the wider beam is ~free. */
+  val EfSearch = 48
   /** Corpus shards = independent graphs. Test-scale value; at corpus
     * scale set NShards ≈ corpus / targetShardRows (executor-memory
     * unit), not this literal. */

@@ -57,6 +57,10 @@ class HnswSpec extends AnyFunSuite {
     val row = Hnsw.docHnswRecall(spark, dir).collect()(0)
     val recall = row.getDouble(row.fieldIndex("recall"))
     assert(recall >= 0.8, s"recall $recall < 0.80")
+    // r16 verdict #5: the WORST query is the registered floor now —
+    // ef = 48 is the first frontier point whose tail clears 0.80
+    val worst = row.getDouble(row.fieldIndex("recall_worst"))
+    assert(worst >= 0.8, s"recall_worst $worst < 0.80")
   }
 
   test("external-query surface: arbitrary query frame, exhaustive ef ≡ brute per query") {
