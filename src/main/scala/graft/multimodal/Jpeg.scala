@@ -138,13 +138,19 @@ object Jpeg {
   }
   private val EncDc = new Huff(flatCounts(EncDcSyms.length, 4), EncDcSyms)
   private val EncAc = new Huff(flatCounts(EncAcSyms.length, 7), EncAcSyms)
-  /** Progressive AC table: EOB-run classes (nbits<<4, nbits ≤ 8) —
-    * which double as the (r, s=0) codes the sequential table never
-    * uses — plus the (run, size) pairs and ZRL. */
+  /** Progressive AC table over the FULL T.81 symbol range (r16 advice:
+    * the old 7-bit table stopped at run 8 / size 6 / EOB-run nbits 8 —
+    * adequate for the registered fixture geometry but a latent
+    * Huff.encode throw if it ever widened): EOB-run classes
+    * (nbits<<4 for nbits ≤ 14, the eobrun ≤ 32767 ceiling) — which
+    * double as the (r, s=0) codes the sequential table never uses —
+    * every (run ≤ 15, size ≤ 10) pair (size ≤ 10 covers any 8-bit
+    * precision quantized AC magnitude), and ZRL. 176 symbols → flat
+    * 8-bit codes (< 255, the all-ones JPEG reservation holds). */
   private val EncAcProgSyms: Array[Int] =
-    ((0 to 8).map(_ << 4) ++
-      (for (r <- 0 to 8; s <- 1 to 6) yield (r << 4) | s) ++ Seq(0xF0)).toArray
-  private val EncAcProg = new Huff(flatCounts(EncAcProgSyms.length, 7), EncAcProgSyms)
+    ((0 to 14).map(_ << 4) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s) ++ Seq(0xF0)).toArray
+  private val EncAcProg = new Huff(flatCounts(EncAcProgSyms.length, 8), EncAcProgSyms)
 
   // ---- bit IO ----
 
@@ -300,7 +306,8 @@ object Jpeg {
     * runs carrying the buffered bits — the figure-G.7 machinery).
     * Because the final coefficients are identical, the decoded pixels
     * — and therefore the q317 oracle — are EXACTLY q258's. */
-  private[graft] def buildCoefJpegProgressive(id: Long, dig: Array[Byte]): Array[Byte] = {
+  private[graft] def buildCoefJpegProgressive(id: Long, dig: Array[Byte],
+      coefOf: Option[(Int, Int, Int) => Int] = None): Array[Byte] = {
     val w = coefWidth(id); val h = coefHeight(id)
     val bw = w / 8; val bh = h / 8; val nBlocks = bw * bh
     val out = new java.io.ByteArrayOutputStream()
@@ -325,10 +332,15 @@ object Jpeg {
     }
     dht(0x00, EncDc); dht(0x10, EncAcProg)
     dht(0x01, EncDc); dht(0x11, EncAcProg)
-    // quantized coefficient value at zigzag slot z for (component, block)
-    def zval(c: Int, b: Int, z: Int): Int = {
-      val k = CoefZz.indexOf(z)
-      if (k < 0) 0 else coefVal(dig, c, b, k)
+    // quantized coefficient value at zigzag slot z for (component,
+    // block); `coefOf` overrides the fixture geometry — the JpegSpec
+    // hook that reaches the wide-run scan paths (ZRL in refinement,
+    // run > 8, size > 6) the registered CoefZz corpus never produces
+    def zval(c: Int, b: Int, z: Int): Int = coefOf match {
+      case Some(f) => f(c, b, z)
+      case None =>
+        val k = CoefZz.indexOf(z)
+        if (k < 0) 0 else coefVal(dig, c, b, k)
     }
     def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
       marker(0xDA); u16(6 + 2 * comps.length)
@@ -442,17 +454,28 @@ object Jpeg {
           val v = zval(c, b, z)
           val temp = math.abs(v)
           if (temp == 0) run += 1
-          else if (temp > 1) brBuf += (temp & 1) // history-nonzero: correction bit
-          else { // newly significant
+          else {
+            // ZRLs are due at EVERY nonzero position once run > 15 —
+            // history-nonzero included — so the correction bits
+            // buffered SO FAR flush right after the ZRL and bits for
+            // coefficients AFTER the covered zeros stay behind the
+            // next Huffman symbol (libjpeg's encode_mcu_AC_refine
+            // order; the r16 advice finding — deferring the ZRL to
+            // the next newly-significant coefficient emitted later
+            // correction bits ahead of it, which a decoder would
+            // read as code bits)
             while (run > 15 && z <= eobIdx) {
               flushEob(); putSym(0xF0); run -= 16
               brBuf.foreach(bwr.put(_, 1)); brBuf.clear()
             }
-            flushEob()
-            putSym((run << 4) | 1)
-            bwr.put(if (v >= 0) 1 else 0, 1)
-            brBuf.foreach(bwr.put(_, 1)); brBuf.clear()
-            run = 0
+            if (temp > 1) brBuf += (temp & 1) // history-nonzero: correction bit
+            else { // newly significant
+              flushEob()
+              putSym((run << 4) | 1)
+              bwr.put(if (v >= 0) 1 else 0, 1)
+              brBuf.foreach(bwr.put(_, 1)); brBuf.clear()
+              run = 0
+            }
           }
           z += 1
         }

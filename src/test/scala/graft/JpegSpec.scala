@@ -106,6 +106,43 @@ class JpegSpec extends AnyFunSuite {
     info(s"cross-checked $checked progressive JPEGs against the JDK decoder")
   }
 
+  test("AC-refinement ZRL with interleaved correction bits: JDK decoder agrees (r16 advice)") {
+    // The registered CoefZz corpus never produces run > 15 in the
+    // refinement scans, so this path was unreachable until now. The
+    // planted block forces exactly the bit-order trap the advice
+    // described: z1 history-nonzero (|v| > 1), 16 zero-history slots,
+    // z18 history-nonzero whose correction bit must ride the NEXT
+    // symbol (not flush with the ZRL that covers the zeros), z19
+    // newly significant (|v| = 1) — libjpeg order is
+    // ZRL, [z1 bit], (0,1) symbol, sign, [z18 bit]; the pre-fix
+    // encoder emitted z18's bit before the symbol, which an
+    // independent decoder reads as Huffman code bits. Also reaches
+    // run 9–15 ((r,s) codes the old 7-bit table lacked).
+    val coef: (Int, Int, Int) => Int = (_, _, z) => z match {
+      case 0 => 3; case 1 => 4; case 18 => 6; case 19 => 1; case _ => 0
+    }
+    for (id <- 0L to 5L) { // all fixture geometries (1–3 × 1–2 blocks)
+      val bytes = Jpeg.buildCoefJpegProgressive(id,
+        Array.tabulate(16)(i => (i * 13).toByte), Some(coef))
+      val ours = Jpeg.parseJpegPixels(id, bytes)
+      assert(ours.isDefined, s"id $id: wide-run progressive payload dropped")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"id $id: ImageIO rejected the wide-run stream")
+      val (w, h) = (img.getWidth, img.getHeight)
+      assert(ours.get.width == w && ours.get.height == h, s"id $id geometry")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+      }
+      val n = (w * h).toDouble
+      assert(math.abs(ours.get.mean_r - sr / n) <= 3.0, s"id $id mean_r")
+      assert(math.abs(ours.get.mean_g - sg / n) <= 3.0, s"id $id mean_g")
+      assert(math.abs(ours.get.mean_b - sb / n) <= 3.0, s"id $id mean_b")
+    }
+  }
+
   test("malformed payloads drop rows, never the job") {
     import spark.implicits._
     val good = Jpeg.buildCoefJpeg(7L, Array.tabulate(16)(i => (i * 17).toByte))
