@@ -322,8 +322,10 @@ object Hypothesis {
 
   /** Shared D / z chain over the exact integer numerator:
     * D = max|c1·n2 − c2·n1| / (n1·n2) keeps the ECDF difference an
-    * exact BIGINT until the single final division. */
-  private val KsSql: Seq[String] = {
+    * exact BIGINT until the single final division. `private[graft]`
+    * so the q345 drift-stream oracle reuses the text verbatim (one
+    * maintained formula, the q99 discipline). */
+  private[graft] val KsSql: Seq[String] = {
     val n1d = "CAST(n_x AS DOUBLE)"
     val n2d = "CAST(n_y AS DOUBLE)"
     val d = s"CAST(dnum AS DOUBLE) / nullif($n1d * $n2d, 0e0)"

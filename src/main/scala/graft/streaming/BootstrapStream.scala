@@ -77,4 +77,53 @@ object BootstrapStream {
           }
       }
   }
+
+  /** q342 — the Poisson-bootstrap CI stream EXECUTED under the
+    * driver's full-hash gate (r17 widening): the q144 customer frame
+    * replays Knuth-scrambled across 3 micro-batches — NO duplicate
+    * redelivery (weights ADD; exactly-once is the documented
+    * contract, so the replay exercises the order-freedom the
+    * mergeable state guarantees); final Update emission per segment
+    * IS the batch q144 row. Scale note (q259 doctrine): the
+    * collect/feed is the harness; state is (2B + 2) longs per group —
+    * the 100 TB path. */
+  def replayBootstrapCi(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.customer(spark, dir)
+        .filter(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .selectExpr("c_mktsegment AS g", "c_custkey AS k",
+          "CAST(floor(c_acctbal * 1e2) AS BIGINT) AS xc")
+        .as[CiEvent].collect()
+        .sortBy(e => e.k * 2654435761L % 1000003) // the q259 scramble
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q342_ci_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CiEvent]
+      val q = bootstrapCiStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val finals: Seq[(String, Long, Long, Double, Double, Double)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          spark.table(name).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+            .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      finals.toDF("c_mktsegment", "n_rows", "n_resamples", "mean",
+        "ci_lo", "ci_hi")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayBootstrapCi]]: q144's own oracle verbatim. */
+  val replayBootstrapCiSql: String =
+    graft.operators.Bootstrap.segmentBalanceCiSql
 }

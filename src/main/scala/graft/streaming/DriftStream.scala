@@ -274,4 +274,130 @@ object DriftStream {
           out.iterator
       }
   }
+
+  // ------------------------------------------------- q345 replay gate
+
+  /** The q345 feed split: events BEFORE Jan 8 2024 are the trusted
+    * historical snapshot the baseline cells come from; events at or
+    * after it are the monitored stream. A fixed boundary (not a
+    * data-derived one) because that is what a deployed drift monitor
+    * has — the baseline is frozen before the stream starts. */
+  val KsDriftCutoffMs: Long =
+    java.time.LocalDate.of(2024, 1, 8).toEpochDay * 86400000L
+  val KsDriftWindowMs: Long = 86400000L // daily drift readout
+
+  /** q345 — the windowed KS drift monitor EXECUTED under the driver's
+    * full-hash gate (r17 widening — the last substantive spec-only
+    * twin): baseline = the value-cell distribution of the first seven
+    * days, feed = the remaining 23 days bounded-scrambled (disorder
+    * within AND across batch boundaries — the q336 LateStream
+    * contract; a window's cell counts are order-free, so lateness
+    * within the watermark is absorbed exactly), one alert row per
+    * day window the moment the watermark closes it. The oracle
+    * recomputes every (window × baseline) KS from the parquet in pure
+    * SQL through [[graft.operators.Hypothesis.KsSql]] — the q99
+    * formula text verbatim. Scale note (q259 doctrine): the
+    * collect/feed is the harness; operator state is one value-cell
+    * map per OPEN window (bounded by the quantization grid × the
+    * watermark horizon, never row count) and the baseline map is
+    * dimension-grade by the same precondition — the 100 TB path. */
+  def replayKsDrift(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val cents = floor(col("value") * 100.0).cast("double")
+      val ev = graft.Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("ts"), cents.as("v"), col("event_id"))
+      val baseline: Map[Double, Long] = ev
+        .filter(expr("unix_millis(ts)") < KsDriftCutoffMs)
+        .groupBy("v").count().collect()
+        .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val feed = ev
+        .filter(expr("unix_millis(ts)") >= KsDriftCutoffMs)
+        .select(col("ts"), col("v"), col("event_id"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(e => (e._1.getTime, e._3))
+        .map(e => DriftEvent(e._1, e._2)).toSeq
+      val (batches, delayMs) =
+        LateStream.boundedScramble[DriftEvent](feed, _.ts.getTime, 4, 8, 17)
+      val maxTs = feed.map(_.ts.getTime).max
+      val lastRealWs = maxTs / KsDriftWindowMs * KsDriftWindowMs
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q345_ksdrift_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DriftEvent]
+      val q = ksDriftStream(input.toDF(), baseline, KsDriftWindowMs,
+          s"$delayMs milliseconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val alerts: Seq[(Long, Long, Double, Double)] =
+        try {
+          batches.foreach { b => input.addData(b); q.processAllAvailable() }
+          val flushTs = maxTs + 4 * delayMs
+          for (i <- 0 to 1) {
+            input.addData(Seq(DriftEvent(
+              new Timestamp(flushTs + i * delayMs), 0.0)))
+            q.processAllAvailable()
+          }
+          spark.table(name).collect()
+            .map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+              r.getDouble(2), r.getDouble(3)))
+            .filter(_._1 <= lastRealWs) // drop the sentinel windows
+            .toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      alerts.toDF("ws_ms", "n_window", "d_stat", "ks_z")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayKsDrift]]: per daily window, the two-sample
+    * KS of the window's cents cells against the frozen first-week
+    * baseline — the q99 cumulative program partitioned by window, the
+    * final D/z chain verbatim from [[graft.operators.Hypothesis.KsSql]]. */
+  val replayKsDriftSql: String =
+    s"""WITH ev AS (
+       |  SELECT ts,
+       |    CAST(floor(epoch_ms(ts) / $KsDriftWindowMs) * $KsDriftWindowMs
+       |      AS BIGINT) AS ws,
+       |    CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |base AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS cy
+       |  FROM ev WHERE epoch_ms(ts) < $KsDriftCutoffMs GROUP BY v),
+       |win AS (
+       |  SELECT ws, v, CAST(count(*) AS BIGINT) AS cx
+       |  FROM ev WHERE epoch_ms(ts) >= $KsDriftCutoffMs GROUP BY ws, v),
+       |support AS (
+       |  SELECT w.ws, b.v
+       |  FROM (SELECT DISTINCT ws FROM win) w CROSS JOIN base b
+       |  UNION
+       |  SELECT ws, v FROM win),
+       |cells AS (
+       |  SELECT s.ws, s.v,
+       |    COALESCE(w.cx, 0) AS cx, COALESCE(b.cy, 0) AS cy
+       |  FROM support s
+       |  LEFT JOIN win w ON w.ws = s.ws AND w.v = s.v
+       |  LEFT JOIN base b ON b.v = s.v),
+       |cum AS (
+       |  SELECT ws,
+       |    sum(cx) OVER (PARTITION BY ws ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+       |    sum(cy) OVER (PARTITION BY ws ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+       |    sum(cx) OVER (PARTITION BY ws) AS n1,
+       |    sum(cy) OVER (PARTITION BY ws) AS n2
+       |  FROM cells),
+       |agg AS (
+       |  SELECT ws,
+       |    CAST(max(n1) AS BIGINT) AS n_x,
+       |    CAST(max(n2) AS BIGINT) AS n_y,
+       |    CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS dnum
+       |  FROM cum GROUP BY ws)
+       |SELECT ws AS ws_ms, n_x AS n_window,
+       |  ${graft.operators.Hypothesis.KsSql.mkString(",\n  ")}
+       |FROM agg""".stripMargin
 }

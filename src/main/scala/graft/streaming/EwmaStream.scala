@@ -79,4 +79,53 @@ object EwmaStream {
           else Iterator.empty
       }
   }
+
+  /** q340 — the EWMA level tracker EXECUTED under the driver's
+    * full-hash gate (r17 widening; the q332 promotion pattern): the
+    * events feed replays in (tsUs, seq) order across 3 micro-batches
+    * PLUS a duplicate redelivery of the first chunk — the stale-drop
+    * rule (seq ≤ last seen) makes redelivery a no-op, so at-least-once
+    * is part of the gated claim; the compacted changelog (max-n_events
+    * snapshot per user) IS the batch q124 frame. Scale note (q259
+    * doctrine): the collect/feed is the harness; state is K+1 longs
+    * per entity forever — the 100 TB path. */
+  def replayEwma(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.events(spark, dir)
+        .select(expr("unix_micros(ts)").as("tsUs"),
+          col("user_id").as("user"), col("event_id").as("seq"),
+          col("value").as("v"))
+        .as[EwmaEvent].collect()
+        .sortBy(e => (e.tsUs, e.seq))
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q340_ewma_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EwmaEvent]
+      val q = ewmaStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val finals: Seq[(Long, Long, Double, Double)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          input.addData(feed.take(feed.length / 3).toSeq) // dup redelivery
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+              r.getDouble(3)))
+            .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      finals.toDF("user_id", "n_events", "last_value", "ewma")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayEwma]]: q124's own oracle verbatim. */
+  val replayEwmaSql: String = graft.operators.Ewma.userEwmaSql
 }

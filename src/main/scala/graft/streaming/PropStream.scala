@@ -54,4 +54,53 @@ object PropStream {
           else Iterator.empty
       }
   }
+
+  /** q341 — the conversion changelog EXECUTED under the driver's
+    * full-hash gate (r17 widening): the events feed replays in seq
+    * order across 3 micro-batches PLUS a duplicate redelivery of the
+    * first chunk (the stale-drop rule makes it a no-op — at-least-once
+    * is part of the gated claim); the compacted changelog
+    * (max-n_events snapshot per unit) feeds the BATCH
+    * [[graft.operators.PropTest.propZTest]] read layer unchanged, so
+    * the live A/B z IS the batch q132 row. Scale note (q259 doctrine):
+    * the collect/feed is the harness; state is 3 longs per unit —
+    * entity-dimension bounded, the 100 TB path. */
+  def replayConv(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.events(spark, dir)
+        .select(col("user_id").as("u"), col("event_id").as("seq"),
+          (col("event_type") === "purchase").as("success"))
+        .as[PropEvent].collect()
+        .sortBy(_.seq)
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q341_conv_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PropEvent]
+      val q = convStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val finals: Seq[(Long, Int)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          input.addData(feed.take(feed.length / 3).toSeq) // dup redelivery
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+            .groupBy(_._1)
+            .map { case (u, vs) => (u, vs.maxBy(_._2)._3) }.toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      graft.operators.PropTest.propZTest(finals.toDF("u", "conv"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayConv]]: q132's own oracle verbatim. */
+  val replayConvSql: String = graft.operators.PropTest.purchaseRateTestSql
 }

@@ -108,4 +108,76 @@ object SequentialStream {
           out.iterator
       }
   }
+
+  /** Yearly look-end mapping (look = calendar year; its accrual closes
+    * at Jan 1 of the next year). Object-level so closures shipped into
+    * flatMapGroupsWithState stay serializable; the 9999 sentinel look
+    * never closes. */
+  val YearEndMs: Int => Long = y =>
+    if (y >= 9999) Long.MaxValue / 2
+    else java.time.LocalDate.of(y + 1, 1, 1).toEpochDay * 86400000L
+
+  /** q343 — the group-sequential monitor EXECUTED under the driver's
+    * full-hash gate (r17 widening): the q153 order feed replays
+    * bounded-scrambled (cross-boundary lateness — the LateStream
+    * contract) with plannedTotal = the realized total, so every
+    * closed-look boundary row equals the batch q153 row bit-for-bit
+    * (how a pre-registered design replays history); two sentinel
+    * events on a never-closing look flush the watermark. Scale note
+    * (q259 doctrine): the collect/feed is the harness; state is 4
+    * cumulative longs + the horizon-bounded pending buffer on ONE key
+    * (a sequential monitor is inherently a single accumulator). */
+  def replayObf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull)
+        .selectExpr("CAST(o_orderdate AS DATE) AS d",
+          "year(CAST(o_orderdate AS DATE)) AS look",
+          s"CAST(hash48(concat('${graft.operators.Sequential.Seed}:'," +
+            " CAST(o_orderkey AS STRING))) % 2 AS INT) AS t",
+          "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv")
+        .collect()
+        .map(r => ObfEvent(
+          new Timestamp(r.getDate(0).toLocalDate.toEpochDay * 86400000L),
+          r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSeq.sortBy(_.ts.getTime)
+      val (batches, delayMs) =
+        LateStream.boundedScramble[ObfEvent](feed, _.ts.getTime, 4, 8, 31)
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q343_obf_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ObfEvent]
+      val q = obfStream(input.toDS(), feed.length.toLong, YearEndMs,
+          watermark = s"$delayMs milliseconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val rows: Seq[org.apache.spark.sql.Row] =
+        try {
+          batches.foreach { b => input.addData(b); q.processAllAvailable() }
+          val flushTs = feed.map(_.ts.getTime).max + 4 * delayMs
+          for (i <- 0 to 1) {
+            input.addData(Seq(ObfEvent(
+              new Timestamp(flushTs + i * delayMs), 9999, 0, 0)))
+            q.processAllAvailable()
+          }
+          spark.table(name).collect().toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getBoolean(8), r.getBoolean(9)))
+        .filter(_._1 != 9999)
+        .toDF("look", "na", "xa", "nb", "xb", "t_frac", "z", "bound",
+          "crossed", "is_decision")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayObf]]: q153's own oracle verbatim. */
+  val replayObfSql: String =
+    graft.operators.Sequential.orderFinishMonitorSql
 }

@@ -46,4 +46,57 @@ object TrendStream {
           else Iterator.empty
       }
   }
+
+  /** q344 — the level-cell changelog EXECUTED under the driver's
+    * full-hash gate (r17 widening): the q168 order feed replays in
+    * seq order across 3 micro-batches PLUS a duplicate redelivery of
+    * the first chunk (the stale-drop rule makes it a no-op —
+    * at-least-once is part of the gated claim); the compacted
+    * changelog (max-trial-count snapshot per level) feeds the BATCH
+    * [[graft.operators.TrendTest.fromCells]] read layer unchanged, so
+    * the live Cochran–Armitage z IS the batch q168 row. Scale note
+    * (q259 doctrine): the collect/feed is the harness; state is 3
+    * longs per SCORED LEVEL (k levels by design) — the smallest state
+    * cardinality in the streaming deck. */
+  def replayTrendCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val feed = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority").isNotNull &&
+          col("o_orderstatus").isNotNull)
+        .selectExpr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w",
+          "o_orderkey AS seq", "o_orderstatus = 'F' AS success")
+        .as[TrendEvent].collect()
+        .sortBy(_.seq)
+      val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      val name = s"q344_trend_$tag"
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TrendEvent]
+      val q = cellStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val finals: Seq[(Long, Long, Long)] =
+        try {
+          feed.grouped(math.max(1, (feed.length + 2) / 3)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          input.addData(feed.take(feed.length / 3).toSeq) // dup redelivery
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
+        } finally { q.stop(); spark.catalog.dropTempView(name) }
+      graft.operators.TrendTest.fromCells(
+        finals.toDF("w", "n_c", "x_c"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** DuckDB twin of [[replayTrendCells]]: q168's own oracle verbatim. */
+  val replayTrendCellsSql: String =
+    graft.operators.TrendTest.priorityFinishTrendSql
 }

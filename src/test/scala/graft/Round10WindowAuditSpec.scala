@@ -82,6 +82,11 @@ class Round10WindowAuditSpec extends AnyFunSuite {
       " class, range-bounded); production reads the sketch walk, whose" +
       " window is log-bucket-bounded (~B·log2(range) rows) — the" +
       " q24/q245 audit-price doctrine (r15)"),
+    "q335_ddsketch_stream" -> ("the q260 adjudication verbatim: the" +
+      " flagged window is the replay gate's exact-AUDIT recompute" +
+      " (the q260 value-cell program rerun batch-side to price the" +
+      " stream's estimate); the STREAM under test carries log-bucket" +
+      "-bounded state and no window at all"),
     "q71_mad_outliers" -> "value cells: range-bounded cent cells",
     "q102_theil_sen" -> "slope cells over bounded value grid; CellGuard (r10)",
     "q117_pareto" -> "(band) partitions: bandWidth is the documented knob",
