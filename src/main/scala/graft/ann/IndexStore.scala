@@ -54,6 +54,26 @@ object IndexStore {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
   }
 
+  /** Save an SQ8 grid ([[Sq.fit]] output) as parquet rows (j, mn, span)
+    * — d rows of two doubles, the smallest artifact in the store. */
+  def saveSqCodebook(spark: SparkSession, cb: Sq.SqCodebook,
+      path: String): Unit = {
+    import spark.implicits._
+    cb.mn.indices.map(j => (j, cb.mn(j), cb.span(j)))
+      .toDF("j", "mn", "span")
+      .repartition(1).sortWithinPartitions("j")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load an SQ8 grid; dimension order restored, schema verified. */
+  def loadSqCodebook(spark: SparkSession, path: String): Sq.SqCodebook = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSeq == Seq("j", "mn", "span"),
+      s"not an SQ codebook: columns ${df.columns.mkString(",")}")
+    val rows = df.orderBy("j").collect()
+    Sq.SqCodebook(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
   private val GraphCols =
     Set("shard", "pos", "vec_id", "v", "level", "edges", "is_entry")
 

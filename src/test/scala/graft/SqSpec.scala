@@ -65,4 +65,19 @@ class SqSpec extends AnyFunSuite {
     val b = Sq.annSq(spark, dir).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("persisted codebook round-trips and searches byte-identically") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = Sq.fit(emb)
+    val path = java.nio.file.Files
+      .createTempDirectory("sq_idx").toString + "/cb"
+    graft.ann.IndexStore.saveSqCodebook(spark, cb, path)
+    val cb2 = graft.ann.IndexStore.loadSqCodebook(spark, path)
+    assert(cb2.mn.toSeq == cb.mn.toSeq && cb2.span.toSeq == cb.span.toSeq)
+    val inline = Sq.annSqQueries(emb, graft.ann.Hnsw.strideQueries(emb), cb)
+      .collect().map(_.toSeq).toSet
+    val loaded = Sq.annSqQueries(emb, graft.ann.Hnsw.strideQueries(emb), cb2)
+      .collect().map(_.toSeq).toSet
+    assert(inline == loaded)
+  }
 }
