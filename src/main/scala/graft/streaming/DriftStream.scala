@@ -338,7 +338,12 @@ object DriftStream {
       val alerts: Seq[(Long, Long, Double, Double)] =
         try {
           batches.foreach { b => input.addData(b); q.processAllAvailable() }
-          val flushTs = maxTs + 4 * delayMs
+          // + 2 windows: guarantees (a) the sentinels land OUTSIDE every
+          // real window regardless of how small delayMs is (they carry a
+          // real v=0.0 cell, so landing inside lastRealWs would corrupt
+          // its KS row), and (b) the post-sentinel watermark (= flushTs)
+          // clears the last real window END even when delayMs < window
+          val flushTs = maxTs + 4 * delayMs + 2 * KsDriftWindowMs
           for (i <- 0 to 1) {
             input.addData(Seq(DriftEvent(
               new Timestamp(flushTs + i * delayMs), 0.0)))

@@ -100,7 +100,9 @@ object EwmaStream {
       val feed = graft.Tables.events(spark, dir)
         .select(expr("unix_micros(ts)").as("tsUs"),
           col("user_id").as("user"), col("event_id").as("seq"),
-          col("value").as("v"))
+          // the batch q124 reads coalesce(value, 0e0) — mirror it here
+          // or a NULL value crashes the non-nullable encoder field
+          coalesce(col("value"), lit(0.0)).as("v"))
         .as[EwmaEvent].collect()
         .sortBy(e => (e.tsUs, e.seq))
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')

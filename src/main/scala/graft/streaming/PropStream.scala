@@ -75,7 +75,9 @@ object PropStream {
     try {
       val feed = graft.Tables.events(spark, dir)
         .select(col("user_id").as("u"), col("event_id").as("seq"),
-          (col("event_type") === "purchase").as("success"))
+          // null-safe: the batch q132 CASE counts a NULL event_type as
+          // non-purchase; plain === would null the non-nullable field
+          (col("event_type") <=> "purchase").as("success"))
         .as[PropEvent].collect()
         .sortBy(_.seq)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')

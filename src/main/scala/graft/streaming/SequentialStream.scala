@@ -160,7 +160,14 @@ object SequentialStream {
       val rows: Seq[org.apache.spark.sql.Row] =
         try {
           batches.foreach { b => input.addData(b); q.processAllAvailable() }
-          val flushTs = feed.map(_.ts.getTime).max + 4 * delayMs
+          // flush must clear the LAST look's Jan-1 boundary, not just
+          // maxTs: on a short feed (span ≲ 1.3 years) maxTs + 4·delay
+          // can sit before the boundary and the final look would never
+          // close — anchor on YearEndMs of the max look explicitly
+          val maxTs = feed.map(_.ts.getTime).max
+          val lastLookEnd = YearEndMs(feed.map(_.look).max)
+          val flushTs =
+            math.max(maxTs + 4 * delayMs, lastLookEnd + 2 * delayMs)
           for (i <- 0 to 1) {
             input.addData(Seq(ObfEvent(
               new Timestamp(flushTs + i * delayMs), 9999, 0, 0)))
@@ -171,7 +178,8 @@ object SequentialStream {
       rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
           r.getBoolean(8), r.getBoolean(9)))
-        .filter(_._1 != 9999)
+        .filter(_._1 != 9999) // defensive: look 9999 never closes (its
+        // YearEndMs is ~Long.MaxValue/2), so no such row should emit
         .toDF("look", "na", "xa", "nb", "xb", "t_frac", "z", "bound",
           "crossed", "is_decision")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
