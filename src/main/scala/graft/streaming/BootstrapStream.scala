@@ -92,9 +92,7 @@ object BootstrapStream {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    LateStream.withShuffle4(spark) {
       val feed = graft.Tables.customer(spark, dir)
         .filter(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
         .selectExpr("c_mktsegment AS g", "c_custkey AS k",
@@ -120,7 +118,7 @@ object BootstrapStream {
         } finally { q.stop(); spark.catalog.dropTempView(name) }
       finals.toDF("c_mktsegment", "n_rows", "n_resamples", "mean",
         "ci_lo", "ci_hi")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** DuckDB twin of [[replayBootstrapCi]]: q144's own oracle verbatim. */

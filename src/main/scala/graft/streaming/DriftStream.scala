@@ -305,9 +305,7 @@ object DriftStream {
       dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    LateStream.withShuffle4(spark) {
       val cents = floor(col("value") * 100.0).cast("double")
       val ev = graft.Tables.events(spark, dir)
         .filter(col("value").isNotNull)
@@ -356,7 +354,7 @@ object DriftStream {
             .toSeq
         } finally { q.stop(); spark.catalog.dropTempView(name) }
       alerts.toDF("ws_ms", "n_window", "d_stat", "ks_z")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** DuckDB twin of [[replayKsDrift]]: per daily window, the two-sample

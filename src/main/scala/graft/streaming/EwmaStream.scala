@@ -94,9 +94,7 @@ object EwmaStream {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    LateStream.withShuffle4(spark) {
       val feed = graft.Tables.events(spark, dir)
         .select(expr("unix_micros(ts)").as("tsUs"),
           col("user_id").as("user"), col("event_id").as("seq"),
@@ -125,7 +123,7 @@ object EwmaStream {
             .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
         } finally { q.stop(); spark.catalog.dropTempView(name) }
       finals.toDF("user_id", "n_events", "last_value", "ewma")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** DuckDB twin of [[replayEwma]]: q124's own oracle verbatim. */

@@ -248,7 +248,10 @@ object LateStream {
     } finally { q.stop(); spark.catalog.dropTempView(name) }
   }
 
-  private def withShuffle4[T](spark: SparkSession)(body: => T): T = {
+  /** `private[streaming]`: every replay harness in the package runs
+    * its tiny feed at 4 shuffle partitions and must restore the
+    * session setting — one maintained wrapper, not six copies. */
+  private[streaming] def withShuffle4[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -70,9 +70,7 @@ object PropStream {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    LateStream.withShuffle4(spark) {
       val feed = graft.Tables.events(spark, dir)
         .select(col("user_id").as("u"), col("event_id").as("seq"),
           // null-safe: the batch q132 CASE counts a NULL event_type as
@@ -100,7 +98,7 @@ object PropStream {
             .map { case (u, vs) => (u, vs.maxBy(_._2)._3) }.toSeq
         } finally { q.stop(); spark.catalog.dropTempView(name) }
       graft.operators.PropTest.propZTest(finals.toDF("u", "conv"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** DuckDB twin of [[replayConv]]: q132's own oracle verbatim. */

@@ -132,9 +132,7 @@ object SequentialStream {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    LateStream.withShuffle4(spark) {
       val feed = graft.Tables.orders(spark, dir)
         .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull)
         .selectExpr("CAST(o_orderdate AS DATE) AS d",
@@ -182,7 +180,7 @@ object SequentialStream {
         // YearEndMs is ~Long.MaxValue/2), so no such row should emit
         .toDF("look", "na", "xa", "nb", "xb", "t_frac", "z", "bound",
           "crossed", "is_decision")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** DuckDB twin of [[replayObf]]: q153's own oracle verbatim. */

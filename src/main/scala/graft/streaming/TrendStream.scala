@@ -63,9 +63,7 @@ object TrendStream {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    LateStream.withShuffle4(spark) {
       val feed = graft.Tables.orders(spark, dir)
         .filter(col("o_orderpriority").isNotNull &&
           col("o_orderstatus").isNotNull)
@@ -93,7 +91,7 @@ object TrendStream {
         } finally { q.stop(); spark.catalog.dropTempView(name) }
       graft.operators.TrendTest.fromCells(
         finals.toDF("w", "n_c", "x_c"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** DuckDB twin of [[replayTrendCells]]: q168's own oracle verbatim. */
