@@ -463,32 +463,15 @@ object Hnsw {
     annHnsw(Tables.embeddings(spark, dir))
 
   /** q313 — recall of [[annHnsw]] against q24's brute-force truth (the
-    * q241 audit shape: semijoin on (query_id, neighbor_id), per-query
-    * floor so a fully-missed query reads 0, shared-text divisions). */
+    * q241 audit shape, via the shared [[IvfPqRecall.recallAudit]]
+    * scaffold: semijoin on (query_id, neighbor_id), per-query floor so
+    * a fully-missed query reads 0, shared-text divisions). */
   def hnswRecall(embeddings: DataFrame): DataFrame = {
     val emb = embeddings.localCheckpoint(true) // both paths scan it
     val truth = Ann.annBrute(emb)
       .select("query_id", "neighbor_id").localCheckpoint(true)
     val returned = annHnsw(emb).select("query_id", "neighbor_id")
-    val perQuery = truth
-      .join(returned, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id")
-      .agg(expr("CAST(count(1) AS BIGINT)").as("n_hit_q"))
-    val queries = truth.select("query_id").distinct()
-    val floor = queries
-      .join(perQuery, Seq("query_id"), "left")
-      .selectExpr("coalesce(n_hit_q, CAST(0 AS BIGINT)) AS n_hit_q")
-      .agg(expr("CAST(min(n_hit_q) AS BIGINT)").as("min_hit"),
-        expr("CAST(sum(n_hit_q) AS BIGINT)").as("n_hit"),
-        expr("CAST(count(1) AS BIGINT)").as("n_queries"))
-    truth.agg(expr("CAST(count(1) AS BIGINT)").as("n_truth"))
-      .crossJoin(floor)
-      .selectExpr("n_queries", s"CAST(${Ann.TopK} AS INT) AS k",
-        "n_truth", "n_hit",
-        "round(CAST(n_hit AS DOUBLE)" +
-          " / nullif(CAST(n_truth AS DOUBLE), 0e0), 6) + 0.0 AS recall",
-        s"round(CAST(min_hit AS DOUBLE) / ${Ann.TopK}.0, 6) + 0.0" +
-          " AS recall_worst")
+    IvfPqRecall.recallAudit(truth, returned)
   }
 
   def docHnswRecall(spark: SparkSession, dir: String): DataFrame =

@@ -30,19 +30,19 @@ import graft.Tables
   * over k·|queries|-row frames. */
 object IvfPqRecall {
 
-  /** One row: (n_queries, k, n_truth, n_hit, recall, recall_worst). */
-  def ivfPqRecall(embeddings: DataFrame): DataFrame = {
-    val emb = embeddings.localCheckpoint(true) // both paths scan it
-    val truth = Ann.annBrute(emb)
-      .select("query_id", "neighbor_id").localCheckpoint(true)
-    val returned = IvfPq.annIvfAdc(emb, IvfPq.fit(emb))
-      .select("query_id", "neighbor_id").localCheckpoint(true)
+  /** The SHARED audit scaffold every single-family recall row rides
+    * (q241 IVF-PQ, q313 HNSW, q347 SQ8 — one maintained program, not
+    * three copies): semijoin `truth` (query_id, neighbor_id) against
+    * `returned`, per-query hit counts RE-ANCHORED on the truth-side
+    * query list so a fully-missed query reads 0 (not absent), then one
+    * row (n_queries, k, n_truth, n_hit, recall, recall_worst) via
+    * shared-text divisions. Callers checkpoint their own inputs. */
+  private[ann] def recallAudit(truth: DataFrame,
+      returned: DataFrame): DataFrame = {
     val perQuery = truth
       .join(returned, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id")
       .agg(expr("CAST(count(1) AS BIGINT)").as("n_hit_q"))
-    // queries whose ENTIRE truth set was missed have no semijoin rows:
-    // re-anchor on the truth-side query list so they read 0, not absent
     val queries = truth.select("query_id").distinct()
     val floor = queries
       .join(perQuery, Seq("query_id"), "left")
@@ -60,20 +60,15 @@ object IvfPqRecall {
           " AS recall_worst")
   }
 
-  /** q241: measured IVFADC recall against brute-force truth on the
-    * embeddings corpus. */
-  def docIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
-    ivfPqRecall(Tables.embeddings(spark, dir))
-
-  /** DuckDB twin: the q24 and q145 statements verbatim as nested
-    * subqueries (each is self-contained), then the same counts. */
-  val docIvfPqRecallSql: String =
+  /** The matching DuckDB twin builder: `truthSql`/`retSql` nest
+    * verbatim as subqueries, then the same count arithmetic. */
+  private[ann] def recallAuditSql(truthSql: String, retSql: String): String =
     s"""WITH truth AS (
        |  SELECT query_id, neighbor_id
-       |  FROM (${Ann.annBruteSql.replace("\n", " ")}) t),
+       |  FROM (${truthSql.replace("\n", " ")}) t),
        |ret AS (
        |  SELECT query_id, neighbor_id
-       |  FROM (${IvfPq.annIvfPqSql.replace("\n", " ")}) r),
+       |  FROM (${retSql.replace("\n", " ")}) r),
        |hitq AS (
        |  SELECT q.query_id,
        |    CAST(count(h.neighbor_id) AS BIGINT) AS n_hit_q
@@ -96,4 +91,24 @@ object IvfPqRecall {
        |  round(CAST(min_hit AS DOUBLE) / ${Ann.TopK}.0, 6) + 0.0
        |    AS recall_worst
        |FROM agg, tot""".stripMargin
+
+  /** One row: (n_queries, k, n_truth, n_hit, recall, recall_worst). */
+  def ivfPqRecall(embeddings: DataFrame): DataFrame = {
+    val emb = embeddings.localCheckpoint(true) // both paths scan it
+    val truth = Ann.annBrute(emb)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val returned = IvfPq.annIvfAdc(emb, IvfPq.fit(emb))
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    recallAudit(truth, returned)
+  }
+
+  /** q241: measured IVFADC recall against brute-force truth on the
+    * embeddings corpus. */
+  def docIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRecall(Tables.embeddings(spark, dir))
+
+  /** DuckDB twin: the q24 and q145 statements verbatim as nested
+    * subqueries (each is self-contained), then the same counts. */
+  val docIvfPqRecallSql: String =
+    recallAuditSql(Ann.annBruteSql, IvfPq.annIvfPqSql)
 }

@@ -139,33 +139,15 @@ object Sq {
 
   /** q347 — SQ8 recall against brute-force truth (the q241/q313 audit
     * doctrine: a compression claim is a tuning slogan until recall is
-    * a measured number). Same output shape as q241 so the two
-    * compressed families read side by side. */
+    * a measured number), via the shared [[IvfPqRecall.recallAudit]]
+    * scaffold so the compressed families read side by side. */
   def sqRecall(embeddings: DataFrame): DataFrame = {
     val emb = embeddings.localCheckpoint(true) // both paths scan it
     val truth = Ann.annBrute(emb)
       .select("query_id", "neighbor_id").localCheckpoint(true)
     val returned = annSq(emb)
       .select("query_id", "neighbor_id").localCheckpoint(true)
-    val perQuery = truth
-      .join(returned, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id")
-      .agg(expr("CAST(count(1) AS BIGINT)").as("n_hit_q"))
-    val queries = truth.select("query_id").distinct()
-    val floor = queries
-      .join(perQuery, Seq("query_id"), "left")
-      .selectExpr("coalesce(n_hit_q, CAST(0 AS BIGINT)) AS n_hit_q")
-      .agg(expr("CAST(min(n_hit_q) AS BIGINT)").as("min_hit"),
-        expr("CAST(sum(n_hit_q) AS BIGINT)").as("n_hit"),
-        expr("CAST(count(1) AS BIGINT)").as("n_queries"))
-    truth.agg(expr("CAST(count(1) AS BIGINT)").as("n_truth"))
-      .crossJoin(floor)
-      .selectExpr("n_queries", s"CAST(${Ann.TopK} AS INT) AS k",
-        "n_truth", "n_hit",
-        "round(CAST(n_hit AS DOUBLE)" +
-          " / nullif(CAST(n_truth AS DOUBLE), 0e0), 6) + 0.0 AS recall",
-        s"round(CAST(min_hit AS DOUBLE) / ${Ann.TopK}.0, 6) + 0.0" +
-          " AS recall_worst")
+    IvfPqRecall.recallAudit(truth, returned)
   }
 
   def docSqRecall(spark: SparkSession, dir: String): DataFrame =
@@ -174,32 +156,5 @@ object Sq {
   /** DuckDB twin: q24 and q346 verbatim as subqueries, then the shared
     * count arithmetic — full-hash like q241, unlike the graph audits. */
   val docSqRecallSql: String =
-    s"""WITH truth AS (
-       |  SELECT query_id, neighbor_id
-       |  FROM (${Ann.annBruteSql.replace("\n", " ")}) t),
-       |ret AS (
-       |  SELECT query_id, neighbor_id
-       |  FROM (${annSqSql.replace("\n", " ")}) r),
-       |hitq AS (
-       |  SELECT q.query_id,
-       |    CAST(count(h.neighbor_id) AS BIGINT) AS n_hit_q
-       |  FROM (SELECT DISTINCT query_id FROM truth) q
-       |  LEFT JOIN (
-       |    SELECT t.query_id, t.neighbor_id
-       |    FROM truth t JOIN ret r
-       |      ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id) h
-       |    ON q.query_id = h.query_id
-       |  GROUP BY 1),
-       |agg AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
-       |    CAST(sum(n_hit_q) AS BIGINT) AS n_hit,
-       |    CAST(min(n_hit_q) AS BIGINT) AS min_hit
-       |  FROM hitq),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
-       |SELECT n_queries, CAST(${Ann.TopK} AS INT) AS k, n_truth, n_hit,
-       |  round(CAST(n_hit AS DOUBLE)
-       |    / nullif(CAST(n_truth AS DOUBLE), 0e0), 6) + 0.0 AS recall,
-       |  round(CAST(min_hit AS DOUBLE) / ${Ann.TopK}.0, 6) + 0.0
-       |    AS recall_worst
-       |FROM agg, tot""".stripMargin
+    IvfPqRecall.recallAuditSql(Ann.annBruteSql, annSqSql)
 }
