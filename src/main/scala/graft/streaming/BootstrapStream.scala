@@ -93,12 +93,12 @@ object BootstrapStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     LateStream.withShuffle4(spark) {
-      val feed = graft.Tables.customer(spark, dir)
+      val feed = Replay.knuthSorted(graft.Tables.customer(spark, dir)
         .filter(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
         .selectExpr("c_mktsegment AS g", "c_custkey AS k",
           "CAST(floor(c_acctbal * 1e2) AS BIGINT) AS xc")
-        .as[CiEvent].collect()
-        .sortBy(e => e.k * 2654435761L % 1000003) // the q259 scramble
+        .as[CiEvent].collect())(
+        e => e.k * 2654435761L % 1000003) // the q259 scramble
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q342_ci_$tag"
       val input =

@@ -91,11 +91,11 @@ object CountMinStream {
       val lines = graft.Tables.lineitem(spark, dir)
         .selectExpr("CAST(l_partkey AS STRING) AS t", "l_partkey AS k")
         .localCheckpoint(true) // feed + cells election share the scan
-      val feed = lines
+      val feed = Replay.knuthSorted(lines
         .select(pmod(graft.functions.Hashing.hash48(col("t")),
           lit(nParts.toLong)).cast("int").as("part"), col("t"))
-        .as[TermEvent].collect()
-        .sortBy(r => r.t.toLong * 2654435761L % 1000003) // the q259 scramble
+        .as[TermEvent].collect())(
+        r => r.t.toLong * 2654435761L % 1000003) // the q259 scramble
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q334_cms_$tag"
       val input =

@@ -104,9 +104,10 @@ object DdSketchStream {
         .select(col("o_orderpriority").as("g"), col("o_totalprice").as("x"),
           col("o_orderkey").as("k"))
         .localCheckpoint(true) // feed + exact audit share the scan
-      val feed = rows.select(col("g"), col("x"), col("k").cast("long"))
-        .as[(String, Double, Long)].collect()
-        .sortBy(r => r._3 * 2654435761L % 1000003) // the q259 scramble
+      val feed = Replay.knuthSorted(
+        rows.select(col("g"), col("x"), col("k").cast("long"))
+          .as[(String, Double, Long)].collect())(
+        r => r._3 * 2654435761L % 1000003) // the q259 scramble
         .map { case (g, x, _) => ValueEvent(g, x) }
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q335_dds_$tag"

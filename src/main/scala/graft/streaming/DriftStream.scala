@@ -314,13 +314,13 @@ object DriftStream {
         .filter(expr("unix_millis(ts)") < KsDriftCutoffMs)
         .groupBy("v").count().collect()
         .map(r => r.getDouble(0) -> r.getLong(1)).toMap
-      val feed = ev
+      val feed = Replay.sortedByLongs(ev
         .filter(expr("unix_millis(ts)") >= KsDriftCutoffMs)
         .select(col("ts"), col("v"), col("event_id"))
         .collect()
-        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
-        .sortBy(e => (e._1.getTime, e._3))
-        .map(e => DriftEvent(e._1, e._2)).toSeq
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2))))(
+        _._1.getTime, _._3)
+        .map(e => DriftEvent(e._1, e._2))
       val (batches, delayMs) =
         LateStream.boundedScramble[DriftEvent](feed, _.ts.getTime, 4, 8, 17)
       val maxTs = feed.map(_.ts.getTime).max

@@ -568,12 +568,11 @@ object EventStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val feed = graft.Tables.events(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.events(spark, dir)
         .select(col("user_id").cast("long").as("key"),
           col("event_type").as("state"), col("ts"),
           col("event_id").cast("long").as("tie"))
-        .as[ScdObs].collect()
-        .sortBy(r => (tsMicros(r.ts), r.tie))
+        .as[ScdObs].collect())(r => tsMicros(r.ts), _.tie)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q320_scd2_$tag"
       val input =
@@ -612,11 +611,10 @@ object EventStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val feed = graft.Tables.events(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.events(spark, dir)
         .select(col("user_id").cast("long"), col("ts"),
           col("event_id").cast("long"), col("event_type"), col("value"))
-        .as[AttrEvent].collect()
-        .sortBy(r => (tsMicros(r.ts), r.event_id))
+        .as[AttrEvent].collect())(r => tsMicros(r.ts), _.event_id)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q321_attr_$tag"
       val input =
@@ -674,7 +672,8 @@ object EventStream {
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .as[(Long, Timestamp, Long, Double)].collect()
         .map { case (u, t, id, v) => AsofEvent(u, t, 1, id, v) }
-      val feed = (rights ++ lefts).sortBy(e => (tsMicros(e.ts), e.side, e.event_id))
+      val feed = Replay.sortedByLongs(rights ++ lefts)(
+        e => tsMicros(e.ts), _.side.toLong, _.event_id)
       val maxTs = feed.map(e => tsMicros(e.ts)).max / 1000L
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q326_asof_$tag"
@@ -774,13 +773,15 @@ object EventStream {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val ev = graft.Tables.events(spark, dir)
-      val mRows = ev.filter(col("event_type").isin("click", "view", "purchase"))
-        .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
-        .as[(Long, Timestamp, Double)].collect().sortBy(r => tsMicros(r._2))
-      val iRows = ev.filter(col("event_type") === "error")
-        .select(col("user_id").cast("long"), col("ts").as("start_ts"),
-          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
-        .as[(Long, Timestamp, Timestamp)].collect().sortBy(r => tsMicros(r._2))
+      val mRows = Replay.sortedByLongs(
+        ev.filter(col("event_type").isin("click", "view", "purchase"))
+          .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+          .as[(Long, Timestamp, Double)].collect())(r => tsMicros(r._2))
+      val iRows = Replay.sortedByLongs(
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id").cast("long"), col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+          .as[(Long, Timestamp, Timestamp)].collect())(r => tsMicros(r._2))
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q328_range_$tag"
       val mIn = org.apache.spark.sql.execution.streaming.runtime

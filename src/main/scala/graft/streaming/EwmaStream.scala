@@ -95,14 +95,13 @@ object EwmaStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     LateStream.withShuffle4(spark) {
-      val feed = graft.Tables.events(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.events(spark, dir)
         .select(expr("unix_micros(ts)").as("tsUs"),
           col("user_id").as("user"), col("event_id").as("seq"),
           // the batch q124 reads coalesce(value, 0e0) — mirror it here
           // or a NULL value crashes the non-nullable encoder field
           coalesce(col("value"), lit(0.0)).as("v"))
-        .as[EwmaEvent].collect()
-        .sortBy(e => (e.tsUs, e.seq))
+        .as[EwmaEvent].collect())(_.tsUs, _.seq)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q340_ewma_$tag"
       val input =

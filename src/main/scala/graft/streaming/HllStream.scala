@@ -94,8 +94,8 @@ object HllStream {
       val keyed = graft.Tables.lineitem(spark, dir)
         .selectExpr("l_returnflag AS g", "CAST(l_orderkey AS STRING) AS k")
         .localCheckpoint(true) // feed + exact audit share the scan
-      val feed = keyed.as[KeyEvent].collect()
-        .sortBy(r => r.k.toLong * 2654435761L % 1000003) // the q259 scramble
+      val feed = Replay.knuthSorted(keyed.as[KeyEvent].collect())(
+        r => r.k.toLong * 2654435761L % 1000003) // the q259 scramble
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q332_hll_$tag"
       val input =

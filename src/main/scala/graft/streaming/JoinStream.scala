@@ -110,10 +110,10 @@ object JoinStream {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val events = Tables.events(spark, dir)
-      val impRows = impressionsOf(events).as[Imp].collect()
-        .sortBy(r => (r.ts.getTime, r.event_id))
-      val convRows = conversionsOf(events).as[Conv].collect()
-        .sortBy(r => (r.cts.getTime, r.conv_id))
+      val impRows = Replay.sortedByLongs(
+        impressionsOf(events).as[Imp].collect())(_.ts.getTime, _.event_id)
+      val convRows = Replay.sortedByLongs(
+        conversionsOf(events).as[Conv].collect())(_.cts.getTime, _.conv_id)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q311_ssjoin_$tag"
       val iIn = MemoryStream[Imp]; val cIn = MemoryStream[Conv]

@@ -94,8 +94,8 @@ object KmvStream {
         .selectExpr("l_returnflag AS g", "CAST(l_orderkey AS STRING) AS k")
         .withColumn("h", graft.functions.Hashing.hash48(col("k")))
         .localCheckpoint(true) // feed + audits share the scan+hash
-      val feed = keyed.select("g", "k").as[KeyEvent].collect()
-        .sortBy(r => r.k.toLong * 2654435761L % 1000003) // the q259 scramble
+      val feed = Replay.knuthSorted(keyed.select("g", "k").as[KeyEvent].collect())(
+        r => r.k.toLong * 2654435761L % 1000003) // the q259 scramble
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q333_kmv_$tag"
       val input =

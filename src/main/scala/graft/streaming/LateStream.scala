@@ -272,13 +272,12 @@ object LateStream {
     withShuffle4(spark) {
       val (t, k, h) = (graft.operators.Changepoint.Target,
         graft.operators.Changepoint.K, graft.operators.Changepoint.H)
-      val feed = graft.Tables.events(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.events(spark, dir)
         .filter(col("value").isNotNull)
         .select(col("ts"), col("event_type"), col("event_id"), col("value"))
         .collect()
         .map(r => CusumEvent(r.getTimestamp(0), r.getString(1), r.getLong(2),
-          r.getDouble(3)))
-        .toSeq.sortBy(e => (e.ts.getTime, e.seq))
+          r.getDouble(3))))(_.ts.getTime, _.seq)
       val (batches, delayMs) =
         boundedScramble[CusumEvent](feed, _.ts.getTime, 4, 8, 7)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
@@ -318,14 +317,13 @@ object LateStream {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     withShuffle4(spark) {
-      val feed = graft.Tables.events(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.events(spark, dir)
         .filter(col("value").isNotNull)
         .selectExpr("user_id", "ts", "unix_micros(ts) AS us", "event_id",
           "value")
         .collect()
         .map(r => TwapLateEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
-          r.getLong(3), r.getDouble(4)))
-        .toSeq.sortBy(e => (e.us, e.tie))
+          r.getLong(3), r.getDouble(4))))(_.us, _.tie)
       val (batches, delayMs) =
         boundedScramble[TwapLateEvent](feed, _.ts.getTime, 4, 8, 11)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')

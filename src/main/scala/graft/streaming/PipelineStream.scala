@@ -108,8 +108,8 @@ object PipelineStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val kept = Pipeline.keptFrame(Tables.documents(spark, dir))
-    val feed = keyedKept(kept).collect().toSeq
-      .sortBy(r => r.id * 2654435761L % 1000003)
+    val feed = Replay.knuthSorted(keyedKept(kept).collect())(
+      r => r.id * 2654435761L % 1000003)
     val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
     val electName = s"q259_elect_$tag"
     val input = MemoryStream[WeightedSampleStream.KeyedRow]

@@ -71,13 +71,12 @@ object PropStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     LateStream.withShuffle4(spark) {
-      val feed = graft.Tables.events(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.events(spark, dir)
         .select(col("user_id").as("u"), col("event_id").as("seq"),
           // null-safe: the batch q132 CASE counts a NULL event_type as
           // non-purchase; plain === would null the non-nullable field
           (col("event_type") <=> "purchase").as("success"))
-        .as[PropEvent].collect()
-        .sortBy(_.seq)
+        .as[PropEvent].collect())(_.seq)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q341_conv_$tag"
       val input =

@@ -133,7 +133,7 @@ object SequentialStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     LateStream.withShuffle4(spark) {
-      val feed = graft.Tables.orders(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.orders(spark, dir)
         .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull)
         .selectExpr("CAST(o_orderdate AS DATE) AS d",
           "year(CAST(o_orderdate AS DATE)) AS look",
@@ -143,8 +143,7 @@ object SequentialStream {
         .collect()
         .map(r => ObfEvent(
           new Timestamp(r.getDate(0).toLocalDate.toEpochDay * 86400000L),
-          r.getInt(1), r.getInt(2), r.getInt(3)))
-        .toSeq.sortBy(_.ts.getTime)
+          r.getInt(1), r.getInt(2), r.getInt(3))))(_.ts.getTime)
       val (batches, delayMs) =
         LateStream.boundedScramble[ObfEvent](feed, _.ts.getTime, 4, 8, 31)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')

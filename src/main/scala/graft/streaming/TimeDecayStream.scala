@@ -106,11 +106,10 @@ object TimeDecayStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val feed = graft.Tables.events(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.events(spark, dir)
         .select(col("user_id").cast("long"), col("ts"),
           col("event_id").cast("long"), col("event_type"), col("value"))
-        .as[TdEvent].collect()
-        .sortBy(e => (e.ts.getTime, e.event_id))
+        .as[TdEvent].collect())(_.ts.getTime, _.event_id)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q316_td_$tag"
       val input =

@@ -64,13 +64,12 @@ object TrendStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     LateStream.withShuffle4(spark) {
-      val feed = graft.Tables.orders(spark, dir)
+      val feed = Replay.sortedByLongs(graft.Tables.orders(spark, dir)
         .filter(col("o_orderpriority").isNotNull &&
           col("o_orderstatus").isNotNull)
         .selectExpr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w",
           "o_orderkey AS seq", "o_orderstatus = 'F' AS success")
-        .as[TrendEvent].collect()
-        .sortBy(_.seq)
+        .as[TrendEvent].collect())(_.seq)
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q344_trend_$tag"
       val input =

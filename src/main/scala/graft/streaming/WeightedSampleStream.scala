@@ -96,8 +96,8 @@ object WeightedSampleStream {
         .select(col("source"), col("doc_id"), col("n_chars"))
       val keyed = keyedStream(src, "source", "doc_id", "n_chars")
         .localCheckpoint(true) // feed + es_key join-back share it
-      val feed = keyed.collect().toSeq
-        .sortBy(r => r.id * 2654435761L % 1000003) // the q259 scramble
+      val feed = Replay.knuthSorted(keyed.collect())(
+        r => r.id * 2654435761L % 1000003) // the q259 scramble
       val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
       val name = s"q325_res_$tag"
       val input =
