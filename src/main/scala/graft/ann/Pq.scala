@@ -80,12 +80,24 @@ object Pq {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Shared-association squared-L2 between an array column and a
-    * centroid literal. HOF form (compact codegen — the unrolled
-    * 16-term variant made Janino compilation the dominant query cost);
-    * the left fold's `0.0 + t1 + t2 + …` equals [[sqDistSql]]'s
-    * unrolled `t1 + t2 + …` bitwise because every term is ≥ 0 and
-    * +0.0 is an exact additive identity. */
-  private[ann] def sqDist(v: Column, c: Seq[Double]): Column =
+    * centroid literal, as the fused native
+    * [[graft.functions.expressions.SqDistance]] (one compiled loop, no
+    * intermediate array — the HOF chain it replaces is CodegenFallback
+    * and the encode projection evaluates this Ks·M = 128× per row; the
+    * still-earlier unrolled 16-term variant had made Janino
+    * compilation the dominant query cost). The fused left fold's
+    * `0.0 + t1 + t2 + …` equals [[sqDistSql]]'s unrolled
+    * `t1 + t2 + …` bitwise because every term is ≥ 0 and +0.0 is an
+    * exact additive identity; native ≡ HOF parity is pinned by
+    * DotProductSpec. */
+  private[graft] def sqDist(v: Column, c: Seq[Double]): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.expressions.SqDistance(
+        org.apache.spark.sql.GraftSql.expression(v),
+        org.apache.spark.sql.GraftSql.expression(typedLit(c))))
+
+  /** The composable HOF form [[sqDist]] fuses — kept for parity specs. */
+  private[graft] def sqDistComposable(v: Column, c: Seq[Double]): Column =
     aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -138,9 +150,10 @@ object Pq {
     }.toIndexedSeq: _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
       .persist()
-    val d2 = aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d2 = org.apache.spark.sql.GraftSql.column(
+      graft.functions.expressions.SqDistance(
+        org.apache.spark.sql.GraftSql.expression(col("sv")),
+        org.apache.spark.sql.GraftSql.expression(col("cv"))))
     for (_ <- 0 until iters) {
       val bookDf = books.zipWithIndex.flatMap { case (bk, m) =>
         bk.map { case (cid, cv) => (m, cid, cv) }

@@ -19,14 +19,32 @@ object VectorMath {
   def vsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two array<double> columns (element order fold). */
+  /** Dot product of two array<double> columns (element order fold).
+    * Runs as the fused native
+    * [[graft.functions.expressions.DotProduct]] — bitwise-identical to
+    * [[dotComposable]] (same strict left fold) but one register-level
+    * pass with no intermediate array: the zip_with/aggregate chain is
+    * CodegenFallback, and the literal-row projections built on this
+    * (OPQ rotation, PQ lookup tables, JL, hyperplanes) evaluate it up
+    * to 128× per row. Parity is pinned by DotProductSpec. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      expressions.DotProduct(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
+  /** The composable HOF form [[dot]] fuses — kept for parity specs. */
+  private[graft] def dotComposable(a: Column, b: Column): Column =
     vsum(zip_with(a, b, (x, y) => x * y))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fully composable cosine — the reference form CosineSimilaritySpec
+    * compares the fused expressions against, so it must stay on the
+    * HOF chain (not on the fused [[dot]]). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dotComposable(a, b) /
+      (sqrt(dotComposable(a, a)) * sqrt(dotComposable(b, b)))
 
   /** Fused single-pass cosine via the native
     * [[graft.functions.expressions.CosineSimilarity]] expression —
