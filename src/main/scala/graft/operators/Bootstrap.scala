@@ -104,6 +104,23 @@ object Bootstrap {
     Thresholds.map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** Scale-adaptive fan-out for the ×B resampling explodes (shared by
+    * q144/q150/q257): the explode+hash+partial-aggregate is the
+    * resampling family's dominant compute, and it inherits the INPUT's
+    * partitioning — on a single-row-group parquet scan (the local
+    * testdata shape; guide §2.5 "one huge unsplittable file") that is
+    * ONE task doing all B·n digests. Round-robin repartition to the
+    * session's parallelism when (and only when) the frame arrives with
+    * fewer partitions, so an already-parallel corpus-scale input pays
+    * nothing. Result-safe by construction: every downstream aggregate
+    * here is a commutative integer/decimal sum keyed by (g, b), so row
+    * placement cannot change a value (and keyless repartition's
+    * sort-before-shuffle keeps the placement itself deterministic). */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Per-group percentile-bootstrap CI of the mean of `centsCol`
     * (exact integer cents), keyed by `keyCol`, at ±`tailPermille`/1000
     * tails (default 25 → a 95% CI). */
@@ -119,7 +136,7 @@ object Bootstrap {
       .agg(expr("CAST(count(1) AS BIGINT)").as("n_rows"),
         expr("CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DECIMAL(38,0))")
           .as("sx"))
-    val res = base
+    val res = spread(base)
       .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
       .withColumn("u", Hashing.hash48(
         concat(col("k").cast("string"), lit("#"), col("b").cast("string"))))

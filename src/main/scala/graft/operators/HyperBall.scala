@@ -129,12 +129,22 @@ object HyperBall {
       regs = regs.select("v", "arr").unionByName(nbr)
         .groupBy("v")
         .agg(ArrayMax.arrayMax(col("arr"), M).as("arr"))
-        .localCheckpoint(true) // iterative: cut the exponential lineage
-      if (t <= ExactHops)
+      // iterative: cut the exponential lineage — but only while a NEXT
+      // hop will consume the frame twice (regs feeds hop t+1 AND the
+      // estimate chain). At the final hop the aggregate has exactly one
+      // consumer, so an eager materialization is a wasted extra pass
+      // over the largest frame (r17 optimization: one fewer
+      // |V|-row×64-int checkpoint per run, same rows out).
+      if (t < Hops) regs = regs.localCheckpoint(true)
+      if (t <= ExactHops) {
         ball = ball.unionByName(
           ball.join(edges.selectExpr("src AS w", "dst"), "w")
             .selectExpr("v", "dst AS w"))
-          .distinct().localCheckpoint(true)
+          .distinct()
+        // same single-consumer rule: the hop-ExactHops ball only feeds
+        // its own exactAgg — no further expansion reads it
+        if (t < ExactHops) ball = ball.localCheckpoint(true)
+      }
       val est = estChain(regs
         .join(broadcast(nodes.select("v", "sampled")), "v")
         .selectExpr("v", "sampled",

@@ -67,7 +67,7 @@ object Permutation {
     // (posexplode pos = b), not per (row, b) pair — value-identical to
     // hash48(Seed, concat(b, ":", k)), pinned by Hash48SeqSpec; the
     // DuckDB twin keeps the per-pair portable recipe
-    val perB = rows
+    val perB = Bootstrap.spread(rows)
       .select(col("xc"),
         posexplode(Hashing.hash48Seq(Seed, b, col("k").cast("string")))
           .as(Seq("b", "h")))

@@ -56,7 +56,7 @@ object UpliftCi {
     // (the q150 posexplode idiom — 200 per-pair md5s per row read
     // 16.5 s at sf0.1; the fused family form is the difference
     // between the bootstrap being usable and not)
-    val res = base
+    val res = Bootstrap.spread(base)
       .select(col("g"), col("s"), col("xc"),
         posexplode(Hashing.hash48Seq(Seed, b, col("k").cast("string")))
           .as(Seq("b", "u")))
