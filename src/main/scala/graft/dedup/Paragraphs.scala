@@ -130,7 +130,11 @@ object Paragraphs {
     val pids = paras.select(
       (col("doc_id") * 1000000L + col("para_ix")).as("doc_id"),
       col("para").as("text"))
-    val buckets = Dedup.bandedSignatures(pids)
+    // TWO consumers (bucketMin aggregate + the firstOf join) and
+    // ReusedExchange does not cover the fan-out — unpinned, the whole
+    // md5 minhash/banding pipeline re-ran per consumer (the q193
+    // lesson, r17 optimization round; same rows out, hash-gate green)
+    val buckets = Dedup.bandedSignatures(pids).localCheckpoint(true)
     val bucketMin = buckets
       .groupBy(col("band"), col("band_key"))
       .agg(min(col("doc_id")).as("bmin"))
